@@ -1,0 +1,61 @@
+"""net_spider_spark — a PySpark-native time-varying-graph analytics engine.
+
+A from-scratch reimplementation of the query and data-processing
+capabilities of debug-ito/net-spider (Haskell / Gremlin middleware for
+time-varying graphs), re-expressed Spark-first:
+
+* The *history graph* is an append-only ``findings`` DataFrame/Parquet
+  table (the reference's property-graph encoding is a Gremlin storage
+  artifact; ``net-spider/src/NetSpider/Weaver.hs:57-65`` proves a
+  findings table keyed by subject node is the complete state).
+* The *snapshot query* (reference ``NetSpider/Spider.hs:175-185`` /
+  ``NetSpider/Weaver.hs:156-203``) is a pure DataFrame pipeline:
+  time-filter -> found-node policy -> reachability -> link unification
+  -> negation -> direction resolution.  No RDDs, no row-at-a-time UDFs
+  on the default path.
+
+Public API mirrors the reference surface (Query / get_snapshot /
+Weaver / GraphML + JSON writers) plus large-scale data-pipeline
+extensions (dedup, similarity search, text analysis).
+"""
+
+from net_spider_spark.model import (
+    LinkState,
+    FINDINGS_SCHEMA,
+    LINK_SAMPLE_SCHEMA,
+    SNAPSHOT_NODE_SCHEMA,
+    SNAPSHOT_LINK_SCHEMA,
+)
+from net_spider_spark.timestamp import Timestamp, parse_timestamp, format_timestamp
+from net_spider_spark.interval import Interval, NEG_INF, POS_INF
+from net_spider_spark.findings import FoundNode, FoundLink, findings_to_df
+from net_spider_spark.unify import UnifyConfig, unify_to_one, unify_to_many
+from net_spider_spark.snapshot import Query, get_snapshot
+from net_spider_spark.weaver import Weaver
+from net_spider_spark.graphml import write_graphml
+
+__all__ = [
+    "LinkState",
+    "FINDINGS_SCHEMA",
+    "LINK_SAMPLE_SCHEMA",
+    "SNAPSHOT_NODE_SCHEMA",
+    "SNAPSHOT_LINK_SCHEMA",
+    "Timestamp",
+    "parse_timestamp",
+    "format_timestamp",
+    "Interval",
+    "NEG_INF",
+    "POS_INF",
+    "FoundNode",
+    "FoundLink",
+    "findings_to_df",
+    "UnifyConfig",
+    "unify_to_one",
+    "unify_to_many",
+    "Query",
+    "get_snapshot",
+    "Weaver",
+    "write_graphml",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,275 @@
+"""The snapshot query: reconstruct the graph state at a point/interval
+in the past from the append-only findings table.
+
+Parity target: ``getSnapshot`` (``net-spider/src/NetSpider/Spider.hs:175-185``)
+and its pure specification ``Weaver.getSnapshot'``
+(``net-spider/src/NetSpider/Weaver.hs:156-203``). Pipeline:
+
+    findings
+      |> time-interval filter          (F1; Catalyst pushdown)
+      |> found-node policy             (A1/A2; max_by groupBy, map-side combine)
+      |> [starts_from] BFS restriction (J4/J5; driver loop, traverse.py)
+      |> node states                   (latest kept finding per node)
+      |> explode link samples          (J2)
+      |> unify per undirected pair     (A3-A6; unify.py)
+      |> negation                      (J8; two equi-joins on node states)
+      |> direction resolution          (C8; CASE expressions)
+      -> (snapshot_nodes, snapshot_links)
+
+Everything on the default path is built-in DataFrame ops — one Spark
+job graph, no Python in the row loop. Scale notes per stage are inline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from net_spider_spark.findings import explode_link_samples
+from net_spider_spark.interval import Interval
+from net_spider_spark.traverse import reachable_nodes
+from net_spider_spark.unify import UnifyConfig, unify_to_one
+
+POLICY_OVERWRITE = "overwrite"
+POLICY_APPEND = "append"
+
+# Weaver-mode boundary handling (Weaver.hs:120-134): 'mark' reports
+# target-only nodes with is_on_boundary=true (raw Weaver); 'visit'
+# treats them as visited (visitAllBoundaryNodes — also what the
+# reference's unbounded server traversal produces, since `out("finds")`
+# reaches every target).
+BOUNDARY_MARK = "mark"
+BOUNDARY_VISIT = "visit"
+
+
+@dataclass
+class Query:
+    """Snapshot query parameters (``NetSpider/Query.hs:47-101``).
+
+    ``starts_from=None`` means whole-graph (Weaver semantics,
+    README.md:316-321); a node list bounds the result to what is
+    reachable from those nodes through kept findings.
+    """
+
+    starts_from: Optional[Sequence[str]] = None
+    time_interval: Interval = field(default_factory=Interval.always)
+    found_node_policy: str = POLICY_OVERWRITE
+    unify: UnifyConfig = field(default_factory=unify_to_one)
+    boundary_mode: str = BOUNDARY_VISIT
+    max_hops: Optional[int] = None
+    # Extra node IDs to treat as visited even without findings
+    # (markAsVisited, Weaver.hs:93-96). Whole-graph mode only.
+    extra_visited: Sequence[str] = ()
+
+
+_SAMPLE_COLS = [
+    "finding_id",
+    "link_pos",
+    "subject_node",
+    "target_node",
+    "link_state",
+    "found_at",
+    "link_attrs",
+]
+
+
+def latest_findings_per_node(findings: DataFrame) -> DataFrame:
+    """policyOverwrite (A1): keep only each subject's latest finding.
+
+    Expressed as ``max_by(struct(*), (found_at, finding_id))`` — a hash
+    aggregate with map-side partial combine, which scales better than a
+    window sort over the same partition key (no per-partition full sort,
+    and AQE can handle skewed subjects).
+    """
+    cols = findings.columns
+    ordering = F.struct(F.col("found_at"), F.col("finding_id"))
+    agg = findings.groupBy("subject_node").agg(
+        F.max_by(F.struct(*[F.col(c) for c in cols]), ordering).alias("_latest")
+    )
+    return agg.select([F.col(f"_latest.{c}").alias(c) for c in cols])
+
+
+def _node_states(kept: DataFrame) -> DataFrame:
+    """Per-node latest timestamp + attributes over the kept findings
+    (makeSnapshotNode, Weaver.hs:136-151)."""
+    ordering = F.struct(F.col("found_at"), F.col("finding_id"))
+    return kept.groupBy("subject_node").agg(
+        F.max("found_at").alias("node_ts"),
+        F.max_by(F.col("node_attrs"), ordering).alias("node_attrs"),
+    )
+
+
+def get_snapshot(
+    findings: DataFrame, query: Optional[Query] = None
+) -> tuple[DataFrame, DataFrame]:
+    """Run the snapshot query; returns (snapshot_nodes, snapshot_links).
+
+    Output schemas: model.SNAPSHOT_NODE_SCHEMA / SNAPSHOT_LINK_SCHEMA
+    (``NetSpider/Snapshot/Internal.hs:34-114``).
+    """
+    query = query or Query()
+    spark = findings.sparkSession
+
+    kept = findings.filter(query.time_interval.predicate(F.col("found_at")))
+    if query.found_node_policy == POLICY_OVERWRITE:
+        kept = latest_findings_per_node(kept)
+    elif query.found_node_policy != POLICY_APPEND:
+        raise ValueError(f"unknown found_node_policy: {query.found_node_policy}")
+
+    samples = explode_link_samples(kept)
+
+    if query.starts_from is not None:
+        # The traversal can only begin at nodes that exist in the history
+        # graph at all — identity vertices persist outside the query
+        # interval (getOrMakeNode, Spider.hs:146-158), so existence is
+        # checked against the FULL findings table, not the kept subset.
+        starts_df = spark.createDataFrame(
+            [(str(s),) for s in query.starts_from], "node_id string"
+        )
+        universe = (
+            findings.select(F.col("subject_node").alias("node_id"))
+            .unionByName(
+                findings.select(
+                    F.explode("neighbor_links.target_node").alias("node_id")
+                )
+            )
+            .distinct()
+        )
+        starts_df = starts_df.join(universe, "node_id", "left_semi")
+        edges = samples.select(
+            F.col("subject_node").alias("src"), F.col("target_node").alias("dst")
+        )
+        visited = reachable_nodes(edges, starts_df, max_hops=query.max_hops)
+        kept = kept.join(
+            visited.withColumnRenamed("node_id", "subject_node"),
+            "subject_node",
+            "left_semi",
+        )
+        samples = samples.join(
+            visited.withColumnRenamed("node_id", "subject_node"),
+            "subject_node",
+            "left_semi",
+        )
+        node_ids = visited.withColumn("is_on_boundary", F.lit(False))
+    else:
+        # Whole-graph (Weaver) mode: visited = subjects (+ explicit marks),
+        # boundary = link targets never visited (Weaver.hs:120-129).
+        visited = kept.select(F.col("subject_node").alias("node_id")).distinct()
+        if query.extra_visited:
+            extra = spark.createDataFrame(
+                [(str(s),) for s in query.extra_visited], "node_id string"
+            )
+            visited = visited.unionByName(extra).distinct()
+        targets = samples.select(F.col("target_node").alias("node_id")).distinct()
+        boundary = targets.join(visited, "node_id", "left_anti")
+        flag = F.lit(query.boundary_mode == BOUNDARY_MARK)
+        node_ids = visited.withColumn("is_on_boundary", F.lit(False)).unionByName(
+            boundary.withColumn("is_on_boundary", flag)
+        )
+
+    # --- snapshot nodes -------------------------------------------------
+    node_states = _node_states(kept)
+    nodes = (
+        node_ids.join(
+            node_states.withColumnRenamed("subject_node", "node_id"),
+            "node_id",
+            "left",
+        ).select("node_id", "is_on_boundary", "node_ts", "node_attrs")
+    )
+
+    # --- unify ----------------------------------------------------------
+    links = _unify_links(samples, nodes, query.unify)
+    return nodes, links
+
+
+def _unify_links(
+    samples: DataFrame, nodes: DataFrame, conf: UnifyConfig
+) -> DataFrame:
+    """Steps 1-3 of unifyStd (Unify.hs:169-193) + direction resolution
+    (Weaver.hs:190-203)."""
+    # Swap-insensitive link identity (Pair.hs:17-30). The pair columns
+    # are the shuffle key; the un-swapped subject/target stay inside the
+    # sample struct because output direction depends on them.
+    with_pair = samples.withColumn(
+        "p1", F.least("subject_node", "target_node")
+    ).withColumn("p2", F.greatest("subject_node", "target_node"))
+    sub_id = conf.sub_id() if conf.sub_id is not None else F.lit("")
+    with_pair = with_pair.withColumn("sub_id", sub_id)
+
+    if conf.merge_samples is not None:
+        # Custom merge: Arrow-batched grouped-map per (pair, sub_id).
+        if conf.merge_output_schema is None:
+            raise ValueError("merge_output_schema required with merge_samples")
+        merged = (
+            with_pair.groupBy("p1", "p2", "sub_id")
+            .applyInPandas(conf.merge_samples, schema=conf.merge_output_schema)
+        )
+    else:
+        # Default merge = latestLinkSample over both endpoints' samples:
+        # single hash aggregate, deterministic tie-break on
+        # (found_at, finding_id, link_pos).
+        ordering = F.struct(
+            F.col("found_at"), F.col("finding_id"), F.col("link_pos")
+        )
+        merged = (
+            with_pair.groupBy("p1", "p2", "sub_id")
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(c) for c in _SAMPLE_COLS]), ordering
+                ).alias("_w")
+            )
+            .select(
+                "p1",
+                "p2",
+                *[F.col(f"_w.{c}").alias(c) for c in _SAMPLE_COLS],
+            )
+        )
+
+    if conf.winner_transform is not None:
+        for name, col in conf.winner_transform().items():
+            merged = merged.withColumn(name, col)
+
+    # Negation (Unify.hs:184-193): check the merged sample against BOTH
+    # endpoints' snapshot-node timestamps. Node states are a per-node
+    # aggregate — orders of magnitude smaller than the sample table — so
+    # these two equi-joins broadcast under AQE at typical scales.
+    node_ts = nodes.select(
+        F.col("node_id"), F.col("node_ts").alias("_end_ts")
+    )
+    for end in ("p1", "p2"):
+        nt = node_ts.withColumnRenamed("node_id", f"_{end}_id").withColumnRenamed(
+            "_end_ts", f"_{end}_ts"
+        )
+        merged = merged.join(nt, merged[end] == nt[f"_{end}_id"], "left")
+        merged = merged.filter(
+            ~conf.negates(F.col(f"_{end}_id"), F.col(f"_{end}_ts"))
+        ).drop(f"_{end}_id", f"_{end}_ts")
+
+    # Direction resolution (Weaver.hs:190-203; C8).
+    resolved = merged.filter(F.col("link_state") != "unused").select(
+        F.when(F.col("link_state") == "to_subject", F.col("target_node"))
+        .otherwise(F.col("subject_node"))
+        .alias("source_node"),
+        F.when(F.col("link_state") == "to_subject", F.col("subject_node"))
+        .otherwise(F.col("target_node"))
+        .alias("dest_node"),
+        (F.col("link_state") != "bidirectional").alias("is_directed"),
+        F.col("found_at").alias("link_ts"),
+        F.col("link_attrs"),
+    )
+    return resolved
+
+
+def graph_timestamp(nodes: DataFrame, links: DataFrame):
+    """Max timestamp over all nodes and links (``graphTimestamp``,
+    NetSpider/Snapshot.hs:40-50). Returns int epoch-ms or None."""
+    ts = (
+        nodes.select(F.col("node_ts").alias("ts"))
+        .unionByName(links.select(F.col("link_ts").alias("ts")))
+        .agg(F.max("ts").alias("ts"))
+        .collect()[0]["ts"]
+    )
+    return ts
