@@ -1,0 +1,91 @@
+"""Canonical derivation of a findings table from the synthetic `events`
+table (TESTDATA.md / FIXTURES.md §5).
+
+Each event becomes one finding: ``subject_node = user_id``,
+``found_at = epoch-ms of ts``, and one deterministic neighbor link
+(``target = (user_id*7 + event_id) % 50``, state cycling through the
+four LinkStates by ``event_id % 4``). The same derivation is mirrored
+as ANSI SQL in ``__spark_entry__.oracle_sql`` so every engine operator
+can be checked against a DuckDB oracle.
+
+The events parquet stores ``ts`` as INT64 TIMESTAMP(NANOS); Spark
+needs ``spark.sql.legacy.parquet.nanosAsLong=true`` (runtime-settable)
+and then reads it as LongType nanoseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Number of synthetic nodes the link targets are folded onto.
+N_TARGET_NODES = 50
+
+LINK_STATE_CASE = (
+    "CASE CAST(event_id % 4 AS INT) WHEN 0 THEN 'to_target' WHEN 1 THEN 'to_subject' "
+    "WHEN 2 THEN 'bidirectional' ELSE 'unused' END"
+)
+
+# The identical derivation as a SQL fragment (DuckDB oracle side lives in
+# __spark_entry__; keep the two in sync).
+FINDINGS_SQL_DUCKDB = f"""
+    SELECT event_id AS finding_id,
+           CAST(user_id AS VARCHAR) AS subject_node,
+           epoch_ms(ts) AS found_at,
+           CAST((user_id * 7 + event_id) % {N_TARGET_NODES} AS VARCHAR) AS target_node,
+           {LINK_STATE_CASE} AS link_state
+    FROM events
+"""
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Session settings the engine depends on; idempotent and safe to
+    call on a session we don't own (the external driver's)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    configure(spark)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def events_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> nested findings DataFrame (model.FINDINGS_SCHEMA)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("finding_id"),
+        F.col("user_id").cast("string").alias("subject_node"),
+        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("found_at"),
+        F.lit(None).cast("int").alias("tz_offset_min"),
+        F.lit(None).cast("boolean").alias("tz_summer_only"),
+        F.lit(None).cast("string").alias("tz_name"),
+        F.create_map(F.lit("event_type"), F.col("event_type")).alias("node_attrs"),
+        F.array(
+            F.struct(
+                ((F.col("user_id") * 7 + F.col("event_id")) % N_TARGET_NODES)
+                .cast("string")
+                .alias("target_node"),
+                F.expr(LINK_STATE_CASE).alias("link_state"),
+                F.create_map(
+                    F.lit("v"), F.col("value").cast("string")
+                ).alias("link_attrs"),
+            )
+        ).alias("neighbor_links"),
+    )
+
+
+def events_link_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat link-sample view of the same derivation (skips the nested
+    struct round-trip; same rows as explode(events_findings))."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        F.col("event_id").alias("finding_id"),
+        F.col("user_id").cast("string").alias("subject_node"),
+        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("found_at"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % N_TARGET_NODES)
+        .cast("string")
+        .alias("target_node"),
+        F.expr(LINK_STATE_CASE).alias("link_state"),
+    )

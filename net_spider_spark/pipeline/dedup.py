@@ -1,0 +1,181 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+Scale design notes (the whole point of these):
+
+* **exact**: hash-groupBy on md5(text) — one shuffle keyed by digest,
+  map-side combinable; at 100 TB, digest first so the shuffle carries
+  32-byte keys instead of documents.
+* **minhash LSH**: shingle -> per-band min-hash -> equi-join on
+  (band, signature). Candidate generation is |bands| hash aggregates
+  plus one self-equi-join on a tiny key — never an O(n^2) compare.
+* **simhash**: bitwise near-dup signature; bucket on the signature (or
+  bands of it) for candidates.
+* **n-gram Jaccard**: exact verification for candidate pairs — the
+  expensive step, run only after LSH narrowed the space.
+
+Everything is built-in expressions (md5, higher-order array functions,
+joins) — no Python UDFs, so candidate generation stays in whole-stage
+codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from net_spider_spark.pipeline.text import tokens_col
+
+
+def exact_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: (digest, keeper id, group size). Keeper is
+    the min id; rows with n_dups > 1 are the removable mass."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def shingles_col(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of the lowercased text (array<string>).
+
+    Guarded for short docs: Spark's ``sequence(1, 0)`` counts *down*,
+    so the sequence is only built when size(tokens) >= n.
+    """
+    toks = tokens_col(F.lower(text))
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """One row per (doc, distinct shingle)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(shingles_col(F.col(text_col), n))).alias("shingle"),
+    )
+
+
+def minhash_signatures(
+    shingled: DataFrame, n_hashes: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-(doc, band) MinHash: the lexicographic min of
+    ``md5(band || '|' || shingle)`` over the doc's shingles. md5 hex is
+    uniform, so the lexicographic min is a valid min-hash; using the
+    digest string avoids engine-specific integer hashing (the DuckDB
+    oracle computes the identical value).
+
+    Returns (doc_id, band, sig) — long-format signatures, one hash per
+    band (classic banding with r=1).
+    """
+    bands = F.explode(F.sequence(F.lit(1), F.lit(n_hashes))).alias("band")
+    per_band = shingled.select(F.col(id_col), bands, F.col("shingle"))
+    return per_band.groupBy(id_col, "band").agg(
+        F.min(
+            F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
+        ).alias("sig")
+    )
+
+
+def minhash_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Candidate near-dup pairs: docs agreeing on any band's signature.
+    Self-equi-join on (band, sig) — Catalyst picks the join strategy;
+    the key space is tiny relative to the corpus."""
+    a = signatures.select(
+        F.col(id_col).alias("doc_a"), F.col("band"), F.col("sig")
+    )
+    b = signatures.select(
+        F.col(id_col).alias("doc_b"), F.col("band"), F.col("sig")
+    )
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    shingled: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard similarity for every pair sharing >= 1 shingle.
+
+    shared / (|A| + |B| - shared) computed from one self-join on the
+    shingle — use AFTER an LSH pass at scale (this joins the full
+    shingle inverted index). Returns (doc_a, doc_b, jaccard >= threshold).
+    """
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        shared.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("shared")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _hex16(col: Column) -> Column:
+    """First 16 bits of md5 as a long (cross-engine-stable hash)."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long")
+
+
+def simhash16(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash over the distinct token set.
+
+    Bit i of the signature is 1 iff, over all tokens, the count of
+    tokens whose 16-bit token-hash has bit i set exceeds half the
+    token count (majority vote). Near-dup docs differ in few bits
+    (compare via Hamming distance, or bucket by signature bands).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(tokens_col(F.lower(F.col(text_col))))
+        ).alias("tok"),
+    )
+    hashed = toks.select(id_col, _hex16(F.col("tok")).alias("h"))
+    bit_cols = [
+        F.sum(F.shiftright(F.col("h"), i) % 2).alias(f"b{i}") for i in range(16)
+    ]
+    agg = hashed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tok"), *bit_cols
+    )
+    sig = None
+    for i in range(16):
+        bit = (F.col(f"b{i}") * 2 > F.col("n_tok")).cast("long") * (1 << i)
+        sig = bit if sig is None else sig + bit
+    return agg.select(F.col(id_col), sig.alias("simhash"))

@@ -1,0 +1,112 @@
+"""Text analysis over a document corpus: tokenization stats, quality
+scoring, language-ID heuristic, fingerprinting.
+
+All pure Catalyst expressions (split / higher-order array functions /
+md5) — these run inside whole-stage codegen with zero Python per row,
+so they scale linearly with executors at 100 TB. Each operator has a
+DuckDB-SQL twin in ``__spark_entry__.oracle_sql`` for the correctness
+gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language-ID heuristic. Deliberately small and fixed so the oracle SQL
+# can mirror them verbatim.
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "to"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "es": ["el", "los", "las", "y", "que"],
+}
+
+STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization; empty strings filtered (BPE-ish regex
+    variants belong in a follow-up pass)."""
+    return F.filter(F.split(text, r"\s+"), lambda t: t != "")
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document token counting: n_tokens, n_distinct tokens,
+    avg token length."""
+    toks = tokens_col(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        (
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t))
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality signals: length, punctuation ratio, stopword
+    ratio, alpha ratio. (The C4/Gopher-style filters are thresholds over
+    exactly these columns.)"""
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[,.!?;:]", ""))
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t))))
+    n_tokens = F.greatest(F.size(toks), F.lit(1))
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (n_alpha / F.greatest(n_chars, F.lit(1))).alias("alpha_ratio"),
+        (n_stop / n_tokens).alias("stopword_ratio"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Stopword-marker language ID. Ties resolve in fixed priority
+    order (en > de > fr > es > unknown) so results are deterministic
+    and oracle-mirrorable."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+
+    def contains(arr):
+        # Closure factory: a 2-arg lambda would be read by PySpark as
+        # an (element, index) higher-order-function signature.
+        return lambda t: F.array_contains(arr, t)
+
+    counts = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(w) for w in markers])
+        counts[lang] = F.size(F.filter(toks, contains(arr)))
+    pred = (
+        F.when(
+            (counts["en"] >= counts["de"])
+            & (counts["en"] >= counts["fr"])
+            & (counts["en"] >= counts["es"])
+            & (counts["en"] > 0),
+            F.lit("en"),
+        )
+        .when((counts["de"] >= counts["fr"]) & (counts["de"] >= counts["es"]) & (counts["de"] > 0), F.lit("de"))
+        .when((counts["fr"] >= counts["es"]) & (counts["fr"] > 0), F.lit("fr"))
+        .when(counts["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("unknown"))
+    )
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set —
+    invariant to token order/repetition, the cheap "same bag of words"
+    signature."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias(
+            "fingerprint"
+        ),
+    )
