@@ -63,10 +63,30 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 def doc_shingles(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """One row per (doc, distinct shingle)."""
-    return df.select(
+    """One row per (doc, distinct shingle).
+
+    The input is repartitioned to the session's default parallelism
+    first: document corpora often arrive as few large files, and the
+    shingling expression is compute-bound — without the repartition the
+    whole corpus shingles on as many tasks as input splits. The token
+    array is materialized in its own projection so Catalyst doesn't
+    inline (and re-evaluate) the tokenization per element access.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = tokens_col(F.lower(F.col(text_col)))
+    with_toks = df.repartition(par).select(F.col(id_col), toks.alias("_toks"))
+    t = F.col("_toks")
+    idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
+    shingles = F.when(
+        F.size(t) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return with_toks.select(
         F.col(id_col),
-        F.explode(F.array_distinct(shingles_col(F.col(text_col), n))).alias("shingle"),
+        F.explode(F.array_distinct(shingles)).alias("shingle"),
     )
 
 
@@ -81,14 +101,22 @@ def minhash_signatures(
 
     Returns (doc_id, band, sig) — long-format signatures, one hash per
     band (classic banding with r=1).
+
+    All band-mins are computed as columns of ONE hash aggregate over the
+    shingle table (map-side combinable), then unpivoted with ``stack`` —
+    this avoids exploding the shingle table x n_hashes, which at corpus
+    scale multiplies the dominant shuffle.
     """
-    bands = F.explode(F.sequence(F.lit(1), F.lit(n_hashes))).alias("band")
-    per_band = shingled.select(F.col(id_col), bands, F.col("shingle"))
-    return per_band.groupBy(id_col, "band").agg(
-        F.min(
-            F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
-        ).alias("sig")
-    )
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"_sig{b}")
+        for b in range(1, n_hashes + 1)
+    ]
+    wide = shingled.groupBy(id_col).agg(*mins)
+    stack_args = ", ".join(f"{b}, _sig{b}" for b in range(1, n_hashes + 1))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({n_hashes}, {stack_args}) AS (band, sig)"),
+    ).select(id_col, F.col("band").cast("int").alias("band"), "sig")
 
 
 def minhash_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -119,7 +119,15 @@ def get_snapshot(
     elif query.found_node_policy != POLICY_APPEND:
         raise ValueError(f"unknown found_node_policy: {query.found_node_policy}")
 
-    samples = explode_link_samples(kept)
+    # `kept` fans out to the node states, the link samples, and (in
+    # whole-graph mode) the visited set — persist so the policy aggregate
+    # runs once, not once per consumer. MEMORY_AND_DISK: the policy-kept
+    # findings are bounded by node count x policy, far smaller than the
+    # raw history at any scale. (Left cached; Spark LRU-evicts.)
+    from pyspark import StorageLevel
+
+    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    samples = explode_link_samples(kept).persist(StorageLevel.MEMORY_AND_DISK)
 
     if query.starts_from is not None:
         # The traversal can only begin at nodes that exist in the history

@@ -32,10 +32,19 @@ from pyspark.sql import functions as F
 _BROADCAST_FRONTIER_MAX = 1_000_000
 
 
+# Edge sets at or below this size take the driver-local fast path: one
+# collect, zero iterative jobs. An N-level BFS otherwise costs N Spark
+# jobs of pure scheduling overhead when the (deduplicated, two-column)
+# edge projection is tiny — the common case for snapshot queries whose
+# *history* is huge but whose *graph* is not.
+_LOCAL_BFS_MAX_EDGES = 2_000_000
+
+
 def reachable_nodes(
     edges: DataFrame,
     starts: DataFrame,
     max_hops: Optional[int] = None,
+    local_threshold: int = _LOCAL_BFS_MAX_EDGES,
 ) -> DataFrame:
     """All nodes reachable from ``starts`` over directed ``edges``.
 
@@ -50,18 +59,26 @@ def reachable_nodes(
         edges.select(F.col("src"), F.col("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .repartition("src")
         .persist()
     )
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        try:
+            return _local_bfs(edges, starts, max_hops)
+        finally:
+            edges.unpersist()
+    # One job per level: the new frontier is lazily local-checkpointed and
+    # its count() both materializes it (truncating lineage) and drives the
+    # termination test. The visited set stays a lazy union of checkpointed
+    # levels (each is small and cached); it is re-checkpointed only every
+    # few levels to bound plan growth.
     visited = starts.select("node_id").distinct().localCheckpoint(eager=True)
     frontier = visited
+    n_frontier = frontier.count()
     hops = 0
     try:
-        while True:
+        while n_frontier > 0:
             if max_hops is not None and hops >= max_hops:
-                break
-            n_frontier = frontier.count()
-            if n_frontier == 0:
                 break
             f = (
                 F.broadcast(frontier)
@@ -73,13 +90,42 @@ def reachable_nodes(
                 .select(F.col("dst").alias("node_id"))
                 .distinct()
                 .join(visited, "node_id", "left_anti")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
-            if nxt.isEmpty():
+            n_frontier = nxt.count()
+            if n_frontier == 0:
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            visited = visited.unionByName(nxt)
+            if hops % 8 == 7:
+                visited = visited.localCheckpoint(eager=True)
             frontier = nxt
             hops += 1
     finally:
         edges.unpersist()
     return visited
+
+
+def _local_bfs(
+    edges: DataFrame, starts: DataFrame, max_hops: Optional[int]
+) -> DataFrame:
+    """Driver-local BFS over a collected adjacency list (fast path)."""
+    adj: dict[str, list[str]] = {}
+    for row in edges.collect():
+        adj.setdefault(row["src"], []).append(row["dst"])
+    visited = {r["node_id"] for r in starts.select("node_id").distinct().collect()}
+    frontier = set(visited)
+    hops = 0
+    while frontier and (max_hops is None or hops < max_hops):
+        nxt = {
+            dst
+            for src in frontier
+            for dst in adj.get(src, ())
+            if dst not in visited
+        }
+        visited |= nxt
+        frontier = nxt
+        hops += 1
+    spark = edges.sparkSession
+    if not visited:
+        return spark.createDataFrame([], "node_id string")
+    return spark.createDataFrame([(n,) for n in sorted(visited)], "node_id string")

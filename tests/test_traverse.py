@@ -1,0 +1,48 @@
+"""BFS reachability: local fast path vs distributed loop parity."""
+
+from net_spider_spark.traverse import reachable_nodes
+
+
+EDGES = [
+    ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # cycle
+    ("b", "e"),
+    ("x", "y"),  # disconnected component
+]
+
+
+def _run(spark, starts, max_hops=None, threshold=None):
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    starts_df = spark.createDataFrame([(s,) for s in starts], "node_id string")
+    kw = {"max_hops": max_hops}
+    if threshold is not None:
+        kw["local_threshold"] = threshold
+    return sorted(
+        r["node_id"] for r in reachable_nodes(edges, starts_df, **kw).collect()
+    )
+
+
+def test_local_and_distributed_agree(spark):
+    for starts in (["a"], ["x"], ["a", "x"], ["e"]):
+        local = _run(spark, starts)
+        dist = _run(spark, starts, threshold=0)
+        assert local == dist, f"starts={starts}"
+
+
+def test_reachability_cycle(spark):
+    assert _run(spark, ["a"]) == ["a", "b", "c", "d", "e"]
+
+
+def test_disconnected(spark):
+    assert _run(spark, ["x"]) == ["x", "y"]
+
+
+def test_max_hops(spark):
+    assert _run(spark, ["a"], max_hops=1) == ["a", "b"]
+    assert _run(spark, ["a"], max_hops=1, threshold=0) == ["a", "b"]
+    assert _run(spark, ["a"], max_hops=2) == ["a", "b", "c", "e"]
+    assert _run(spark, ["a"], max_hops=2, threshold=0) == ["a", "b", "c", "e"]
+
+
+def test_isolated_start(spark):
+    # start with no outgoing edges: still returned
+    assert _run(spark, ["e"]) == ["e"]

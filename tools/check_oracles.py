@@ -31,8 +31,10 @@ def normalize(rows, cols):
         if isinstance(v, bool):
             return v
         if isinstance(v, float):
+            # pandas renders DuckDB's NULL-in-BIGINT as NaN in a float64
+            # column; normalize back to None to match Spark's None.
             if math.isnan(v):
-                return "NaN"
+                return None
             return round(v, 9)
         return v
 
