@@ -3,7 +3,15 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_DIR = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_DIR)
+
+# Worker subprocesses need the same import path to unpickle functions
+# defined in test modules (applyInPandas / pandas_udf closures).
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in [_REPO_DIR, _TESTS_DIR, os.environ.get("PYTHONPATH")] if p
+)
 
 from pyspark.sql import SparkSession
 
