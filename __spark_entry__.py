@@ -360,6 +360,53 @@ def q_sim_topk(spark, sf_dir):
     return S.brute_force_topk(queries_df, corpus, k=3)
 
 
+def q_sim_lsh_topk(spark, sf_dir):
+    # Approximate variant (sign-LSH buckets); no SQL oracle — the
+    # driver's rows-only check applies. Exactness is pinned separately
+    # by tests/test_pipeline_ops.py recall assertions vs brute force.
+    emb = demo.read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return S.lsh_bucket_topk(queries_df, corpus, dim=64, k=3, n_planes=2)
+
+
+def q_snapshot_links_append_interval(spark, sf_dir):
+    # policy x interval interplay (ServerTest/Snapshot.hs:244-265):
+    # append over the lower half of the observed time range.
+    findings = demo.events_findings(spark, sf_dir)
+    lo, hi = findings.agg(F.min("found_at"), F.max("found_at")).collect()[0]
+    iv = Interval.until(lo + (hi - lo) // 2, inclusive=True)
+    _, links = get_snapshot(
+        findings, Query(found_node_policy="append", time_interval=iv)
+    )
+    return links.select("source_node", "dest_node", "is_directed", "link_ts")
+
+
+def q_u2_union_links(spark, sf_dir):
+    # U2 combineLinks: concat two link families with a discriminator.
+    ls = demo.events_link_samples(spark, sf_dir)
+    dio = ls.where(F.col("finding_id") % 2 == 0).withColumn(
+        "link_type", F.lit("dio")
+    )
+    dao = ls.where(F.col("finding_id") % 2 == 1).withColumn(
+        "link_type", F.lit("dao")
+    )
+    return dio.unionByName(dao).select(
+        "finding_id", "subject_node", "target_node", "link_type"
+    )
+
+
+def q_c1_timestamp_format(spark, sf_dir):
+    # C1 showTimestamp: epoch-ms -> ISO-8601 text (UTC).
+    ls = demo.events_link_samples(spark, sf_dir)
+    return ls.select(
+        "finding_id",
+        F.date_format(
+            F.timestamp_millis(F.col("found_at")), "yyyy-MM-dd'T'HH:mm:ss"
+        ).alias("iso_ts"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -395,6 +442,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "sim_topk": q_sim_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "snapshot_links_append_interval": q_snapshot_links_append_interval,
+        "u2_union_links": q_u2_union_links,
+        "c1_timestamp_format": q_c1_timestamp_format,
     }
 
 
@@ -624,5 +675,58 @@ SELECT query_id, neighbor_id, rank FROM (
                             ORDER BY cos DESC, neighbor_id ASC) AS rank
   FROM scored) t
 WHERE rank <= 3
+""",
+        # sim_lsh_topk: intentionally no oracle (approximate operator;
+        # rows-only check) — recall vs brute force is pinned in tests.
+        "snapshot_links_append_interval": f"""
+WITH {SQL_F},
+b AS (SELECT min(found_at) + (max(found_at) - min(found_at)) // 2 AS mid FROM f),
+bounded AS (SELECT f.* FROM f, b WHERE f.found_at <= b.mid),
+node_ts AS (
+  SELECT subject_node AS node_id, max(found_at) AS node_ts FROM bounded GROUP BY 1
+),
+samples AS (
+  SELECT bounded.*, least(subject_node, target_node) AS p1,
+         greatest(subject_node, target_node) AS p2
+  FROM bounded
+),
+winners AS (
+  SELECT * FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY p1, p2 ORDER BY found_at DESC, finding_id DESC) AS rn2
+    FROM samples s) t WHERE rn2 = 1
+),
+surviving AS (
+  SELECT w.* FROM winners w
+  LEFT JOIN node_ts t1 ON t1.node_id = w.p1
+  LEFT JOIN node_ts t2 ON t2.node_id = w.p2
+  WHERE NOT (t1.node_ts IS NOT NULL AND w.found_at < t1.node_ts
+             AND w.subject_node <> w.p1)
+    AND NOT (t2.node_ts IS NOT NULL AND w.found_at < t2.node_ts
+             AND w.subject_node <> w.p2)
+)
+SELECT
+  CASE WHEN link_state = 'to_subject' THEN target_node ELSE subject_node END
+    AS source_node,
+  CASE WHEN link_state = 'to_subject' THEN subject_node ELSE target_node END
+    AS dest_node,
+  link_state <> 'bidirectional' AS is_directed,
+  found_at AS link_ts
+FROM surviving
+WHERE link_state <> 'unused'
+""",
+        "u2_union_links": f"""
+WITH {SQL_F}
+SELECT finding_id, subject_node, target_node, 'dio' AS link_type
+FROM f WHERE finding_id % 2 = 0
+UNION ALL
+SELECT finding_id, subject_node, target_node, 'dao' AS link_type
+FROM f WHERE finding_id % 2 = 1
+""",
+        "c1_timestamp_format": f"""
+WITH {SQL_F}
+SELECT finding_id,
+       strftime(make_timestamp(found_at * 1000), '%Y-%m-%dT%H:%M:%S') AS iso_ts
+FROM f
 """,
     }

@@ -1,0 +1,172 @@
+"""Command-line interface: clear / input / snapshot / cis.
+
+Parity target: ``net-spider-rpl-cli/src/NetSpider/RPL/CLI.hs`` (the
+reference application, SURVEY §3 entry 3) and the option grammar of
+``net-spider-cli/src/NetSpider/CLI/Snapshot.hs:88-145``:
+
+* ``clear``    — truncate the history table (S4).
+* ``input``    — parse Contiki-NG logs into findings and append (S5);
+  ``--filter latest`` keeps only each node's newest finding (F5).
+* ``snapshot`` — snapshot query over the history: ``-s`` start nodes
+  (repeatable), ``--time-from/--time-to`` with ``i``/``x``
+  inclusivity prefixes and ``+-inf`` (Interval.hs:77-136),
+  ``--duration`` seconds (``secUpTo``), DIO+DAO queries combined to
+  one GraphML document on stdout (``combineGraphs`` + writeGraphML).
+* ``cis``      — clear + input + snapshot in one run (CLI.hs:66-138).
+
+Usage: ``python -m net_spider_spark.cli --db /path/history <cmd> ...``
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import Optional, Sequence
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from net_spider_spark.graphml import write_graphml
+from net_spider_spark.ingest import clear_all, read_findings, write_findings
+from net_spider_spark.interval import NEG_INF, POS_INF, Interval
+from net_spider_spark.rpl.combined import combine_graphs
+from net_spider_spark.snapshot import Query, get_snapshot, latest_findings_per_node
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="net-spider-spark")
+    p.add_argument("--db", required=True, help="history table path (parquet)")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    sub.add_parser("clear", help="drop all findings")
+
+    p_in = sub.add_parser("input", help="parse logs and append findings")
+    _input_args(p_in)
+
+    p_snap = sub.add_parser("snapshot", help="snapshot query -> GraphML")
+    _snapshot_args(p_snap)
+
+    p_cis = sub.add_parser("cis", help="clear + input + snapshot")
+    _input_args(p_cis)
+    _snapshot_args(p_cis)
+    return p
+
+
+def _input_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("logs", nargs="+", help="log files/globs")
+    p.add_argument("--format", choices=["syslog", "cooja"], default="syslog")
+    p.add_argument("--year", type=int, default=None, help="syslog year")
+    p.add_argument(
+        "--filter", choices=["none", "latest"], default="none",
+        help="pre-ingest filter (latest = newest finding per node)",
+    )
+
+
+def _snapshot_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("-s", "--starts-from", action="append", default=None)
+    p.add_argument("--time-from", default=None,
+                   help="interval start; i/x prefix for incl/excl, -inf")
+    p.add_argument("--time-to", default=None,
+                   help="interval end; i/x prefix for incl/excl, +inf")
+    p.add_argument("--duration", type=float, default=None,
+                   help="seconds before --time-to (secUpTo)")
+    p.add_argument("--policy", choices=["overwrite", "append"],
+                   default="overwrite")
+    p.add_argument("-o", "--output", default="-", help="GraphML path or -")
+
+
+def _interval(args) -> Interval:
+    lower, lower_inc = NEG_INF, True
+    upper, upper_inc = POS_INF, True
+    if args.time_to:
+        upper, upper_inc = Interval.parse_end(args.time_to)
+    if args.time_from:
+        lower, lower_inc = Interval.parse_end(args.time_from)
+    elif args.duration is not None and args.time_to:
+        from net_spider_spark.timestamp import to_epoch_ms
+
+        lower = to_epoch_ms(upper) - int(args.duration * 1000)
+    return Interval(lower, upper, lower_inc, upper_inc)
+
+
+def _do_input(spark: SparkSession, args) -> int:
+    from net_spider_spark.rpl.contiki import parse_contiki_logs
+
+    dio, dao = parse_contiki_logs(
+        spark, list(args.logs), head=args.format, year=args.year
+    )
+    findings = dio.unionByName(dao)
+    if args.filter == "latest":
+        findings = latest_findings_per_node(findings)
+    n = findings.count()
+    write_findings(findings, args.db)
+    print(f"ingested {n} findings", file=sys.stderr)
+    return 0
+
+
+def _do_snapshot(spark: SparkSession, args) -> int:
+    findings = read_findings(spark, args.db)
+    iv = _interval(args)
+    starts = args.starts_from
+
+    def run(prefix: str):
+        subset = findings.filter(
+            F.col("subject_node").startswith(f"{prefix}://")
+        )
+        q = Query(
+            starts_from=[s for s in starts if s.startswith(f"{prefix}://")]
+            if starts else None,
+            time_interval=iv,
+            found_node_policy=args.policy,
+        )
+        return get_snapshot(subset, q)
+
+    combined_nodes, combined_links = combine_graphs(run("dio"), run("dao"))
+    xml = write_graphml(combined_nodes, combined_links)
+    if args.output == "-":
+        sys.stdout.write(xml)
+    else:
+        with open(args.output, "w") as f:
+            f.write(xml)
+    return 0
+
+
+def main(argv: Optional[Sequence[str]] = None,
+         spark: Optional[SparkSession] = None) -> int:
+    args = build_parser().parse_args(argv)
+    own_session = spark is None
+    if spark is None:
+        import os
+
+        cpus = os.cpu_count() or 8
+        spark = (
+            SparkSession.builder.master("local[*]")
+            .appName("net_spider_spark_cli")
+            .config("spark.sql.session.timeZone", "UTC")
+            # size shuffles to the machine, not the 200 default
+            .config("spark.sql.shuffle.partitions", str(cpus))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        spark.sparkContext.setLogLevel("WARN")
+    try:
+        if args.command == "clear":
+            clear_all(spark, args.db)
+            return 0
+        if args.command == "input":
+            return _do_input(spark, args)
+        if args.command == "snapshot":
+            return _do_snapshot(spark, args)
+        if args.command == "cis":
+            clear_all(spark, args.db)
+            rc = _do_input(spark, args)
+            return rc or _do_snapshot(spark, args)
+        raise AssertionError(args.command)
+    finally:
+        if own_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

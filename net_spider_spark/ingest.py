@@ -1,0 +1,88 @@
+"""History-table storage layout: partitioned, pruning-friendly writes.
+
+The reference ingests row-at-a-time over a WebSocket and warns about
+bulk loads (CLI.hs:86-88); here ingest is one vectorized append. The
+layout choices are the 100 TB levers:
+
+* **Partition by observation day** (``found_day`` derived from
+  ``found_at``): snapshot queries carry a time-interval predicate
+  (F1), so partition pruning turns "scan the history" into "scan the
+  interval" — the same effect as the reference pushing its timestamp
+  filter into the Gremlin traversal, but at the storage layer.
+* **Bucket-ish layout by subject**: within a partition, sorting by
+  ``subject_node`` clusters each node's findings for the
+  policy-dedup aggregate and gives parquet column statistics that
+  prune point lookups (the reference's @node_id composite index,
+  janusgraph-conf/net-spider-index.groovy:18-34).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_findings(
+    findings: DataFrame,
+    path: str,
+    mode: str = "append",
+    partition_by_day: bool = True,
+) -> None:
+    """Vectorized batch append of findings (S2 ``addFoundNode`` x N)."""
+    df = findings
+    writer = None
+    if partition_by_day:
+        df = df.withColumn(
+            "found_day",
+            F.date_format(
+                F.timestamp_millis(F.col("found_at")), "yyyy-MM-dd"
+            ),
+        )
+        df = df.sortWithinPartitions("subject_node")
+        writer = df.write.partitionBy("found_day")
+    else:
+        writer = df.sortWithinPartitions("subject_node").write
+    writer.mode(mode).parquet(path)
+
+
+def read_findings(
+    spark: SparkSession, path: str, interval=None
+) -> DataFrame:
+    """Read the history table; optionally prune partitions by a query
+    interval BEFORE dropping the layout column.
+
+    Spark cannot infer ``found_day`` bounds from a ``found_at``
+    predicate on its own (the dependency is ours, not the planner's),
+    so the interval is translated into an explicit partition filter
+    here — this is the step that turns a 100 TB history scan into a
+    per-interval scan.
+    """
+    df = spark.read.parquet(path)
+    if "found_day" not in df.columns:
+        return df
+    if interval is not None:
+        from datetime import datetime, timezone
+
+        from net_spider_spark.interval import _NegInf, _PosInf
+        from net_spider_spark.timestamp import to_epoch_ms
+
+        def day_of(bound) -> str:
+            ms = to_epoch_ms(bound)
+            return datetime.fromtimestamp(ms / 1000.0, timezone.utc).strftime(
+                "%Y-%m-%d"
+            )
+
+        pred = F.lit(True)
+        if not isinstance(interval.lower, _NegInf):
+            pred = pred & (F.col("found_day") >= day_of(interval.lower))
+        if not isinstance(interval.upper, _PosInf):
+            pred = pred & (F.col("found_day") <= day_of(interval.upper))
+        df = df.filter(pred)
+    return df.drop("found_day")
+
+
+def clear_all(spark: SparkSession, path: str) -> None:
+    """S4 ``clearAll``: truncate the history (overwrite with empty)."""
+    from net_spider_spark.model import FINDINGS_SCHEMA
+
+    spark.createDataFrame([], FINDINGS_SCHEMA).write.mode("overwrite").parquet(path)

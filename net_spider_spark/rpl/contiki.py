@@ -103,10 +103,12 @@ def _resolve_neighbor_addr(subject: pd.Series, neighbor: pd.Series) -> pd.Series
     )
 
 
-def read_log_lines(spark: SparkSession, path: str) -> DataFrame:
+def read_log_lines(spark: SparkSession, path) -> DataFrame:
     """Log files -> (file, line_no, line). ``wholetext`` keeps per-file
-    line order without a global zipWithIndex."""
-    raw = spark.read.text(path, wholetext=True).select(
+    line order without a global zipWithIndex. ``path``: glob string or
+    list of paths."""
+    paths = path if isinstance(path, list) else [path]
+    raw = spark.read.text(*paths, wholetext=True).select(
         F.input_file_name().alias("file"), F.col("value")
     )
     return raw.select(
@@ -245,7 +247,7 @@ def _finding_shape(df: DataFrame) -> DataFrame:
 
 def parse_contiki_logs(
     spark: SparkSession,
-    path: str,
+    path,
     head: str = "syslog",
     year: Optional[int] = None,
     tz_offset_min: Optional[int] = None,

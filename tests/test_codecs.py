@@ -1,0 +1,106 @@
+"""Timestamp parsing/formatting, JSON codecs, GraphML writer details
+(FoundSpec / SnapshotSpec / GraphML WriterSpec / Timestamp doctests)."""
+
+import json
+
+import pytest
+
+from net_spider_spark.findings import (
+    FoundLink,
+    FoundNode,
+    findings_to_df,
+    found_node_from_json,
+    found_node_to_json,
+)
+from net_spider_spark.graphml import write_graphml
+from net_spider_spark.interval import Interval
+from net_spider_spark.snapshot import Query, get_snapshot
+from net_spider_spark.timestamp import (
+    Timestamp,
+    add_sec,
+    format_timestamp,
+    parse_timestamp,
+)
+
+
+def test_timestamp_parse_variants():
+    # relaxed separators (Timestamp.hs:247-321 doctest cases)
+    assert parse_timestamp("2018-12-01T10:00").epoch_ms == 1543658400000
+    assert parse_timestamp("2018/12/01 10:00").epoch_ms == 1543658400000
+    assert parse_timestamp("2018.12.01").epoch_ms == 1543622400000
+    t = parse_timestamp("2018-12-01T10:00:30.123+09:00")
+    assert t.tz_offset_min == 540
+    assert t.epoch_ms == 1543658400000 - 9 * 3600000 + 30123
+    z = parse_timestamp("2018-12-01T10:00Z")
+    assert z.tz_offset_min == 0
+    with pytest.raises(ValueError):
+        parse_timestamp("not a time")
+
+
+def test_timestamp_format_roundtrip():
+    t = parse_timestamp("2018-12-01T10:00:30.123+09:00")
+    assert format_timestamp(t) == "2018-12-01T10:00:30.123+09:00"
+    assert format_timestamp(Timestamp(1543658400000)) == "2018-12-01T10:00:00"
+    assert add_sec(Timestamp(1000), 2.5).epoch_ms == 3500
+
+
+def test_interval_text_ends():
+    v, inc = Interval.parse_end("i2018-12-01T10:00")
+    assert inc is True and v == 1543658400000
+    v, inc = Interval.parse_end("x+inf")
+    assert inc is False
+    iv = Interval.sec_up_to("2018-12-01T10:00", 60)
+    assert iv.upper - iv.lower == 60000
+    assert iv.contains("2018-12-01T09:59:30")
+    assert not iv.contains("2018-12-01T10:00:01")
+
+
+def test_found_node_json_roundtrip():
+    fn = FoundNode(
+        "foobar",
+        Timestamp(99200),
+        [FoundLink("quux", "to_subject", {"a": "1"})],
+        {"text": "hoge"},
+    )
+    doc = json.loads(found_node_to_json(fn))
+    # snake_case wire format (FIXTURES.md §4)
+    assert doc["subject_node"] == "foobar"
+    assert doc["found_at"] == {"epoch_time": 99200}
+    assert doc["neighbor_links"][0]["link_state"] == "to_subject"
+    back = found_node_from_json(found_node_to_json(fn))
+    assert back.subject_node == fn.subject_node
+    assert back.epoch_ms == 99200
+    assert back.neighbor_links[0].target_node == "quux"
+    assert dict(back.neighbor_links[0].link_attrs) == {"a": "1"}
+
+
+def test_graphml_escaping_and_types(spark):
+    findings = [
+        FoundNode(
+            'n<&>"1', 1000,
+            [FoundLink("n'2", "to_target", {"w": "1.5", "ok": "true"})],
+            {"label": "a<b&c>\nd"},
+        ),
+    ]
+    nodes, links = get_snapshot(findings_to_df(spark, findings), Query())
+    xml = write_graphml(nodes, links)
+    # XML escaping (Writer.hs:354-366)
+    assert 'id="n&lt;&amp;&gt;&quot;1"' in xml
+    assert "&apos;2" in xml
+    assert "a&lt;b&amp;c&gt;&#x0a;d" in xml
+    # typed key decls: double + boolean inferred, @timestamp long forced
+    assert 'attr.name="w" attr.type="double"' in xml
+    assert 'attr.name="ok" attr.type="boolean"' in xml
+    assert 'attr.name="@timestamp" attr.type="long"' in xml
+    # per-edge directed attribute
+    assert 'directed="true"' in xml
+
+
+def test_graphml_edgedefault_option(spark):
+    findings = [FoundNode("a", 1, [FoundLink("b", "bidirectional")])]
+    nodes, links = get_snapshot(findings_to_df(spark, findings), Query())
+    assert 'edgedefault="directed"' in write_graphml(nodes, links)
+    assert 'edgedefault="undirected"' in write_graphml(
+        nodes, links, default_directed=False
+    )
+    assert 'directed="false"' in write_graphml(nodes, links)

@@ -1,0 +1,66 @@
+"""Multimodal plumbing + partitioned ingest layout tests."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from net_spider_spark.findings import FoundLink, FoundNode, findings_to_df
+from net_spider_spark.ingest import clear_all, read_findings, write_findings
+from net_spider_spark.pipeline.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    frame_sample_plan,
+    media_stats,
+)
+
+
+def _media(spark):
+    rows = [
+        (1, "image/png", b"\x89PNG fakebytes", {"width": "64", "height": "64"}),
+        (2, "audio/wav", b"RIFF fakebytes", {"sample_rate": "16000"}),
+        (3, "video/mp4", b"\x00mp4 fakebytes", {"duration_ms": "3500"}),
+        (4, "image/png", None, {}),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_with_error_channel(spark):
+    out = {r["media_id"]: r.asDict() for r in extract_features(_media(spark)).collect()}
+    assert len(out[1]["feature"]) == 8
+    assert out[1]["error"] is None
+    assert out[1]["digest"] is not None and out[1]["n_bytes"] == 14
+    # None payload -> error channel, not a task failure
+    assert out[4]["feature"] is None
+    assert "ValueError" in out[4]["error"]
+
+
+def test_media_stats_and_frame_plan(spark):
+    stats = {r["mime"]: r["n_items"] for r in media_stats(_media(spark)).collect()}
+    assert stats == {"image/png": 2, "audio/wav": 1, "video/mp4": 1}
+    frames = frame_sample_plan(_media(spark), every_n_ms=1000).collect()
+    assert [(r["media_id"], r["frame_ts_ms"]) for r in frames] == [
+        (3, 0), (3, 1000), (3, 2000), (3, 3000)
+    ]
+
+
+def test_partitioned_ingest_roundtrip(spark, tmp_path):
+    findings = [
+        FoundNode("a", 1_700_000_000_000, [FoundLink("b")]),   # 2023-11-14
+        FoundNode("b", 1_700_100_000_000, []),                 # 2023-11-16
+    ]
+    path = str(tmp_path / "history")
+    write_findings(findings_to_df(spark, findings), path)
+    # layout: one dir per observation day
+    days = sorted(p.split("found_day=")[1] for p in glob.glob(f"{path}/found_day=*"))
+    assert days == ["2023-11-14", "2023-11-16"]
+    back = read_findings(spark, path)
+    assert back.count() == 2 and "found_day" not in back.columns
+    # interval-driven partition pruning: only the matching day is read
+    from net_spider_spark.interval import Interval
+
+    pruned = read_findings(spark, path, Interval.since(1_700_050_000_000))
+    assert pruned.count() == 1
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "2023-11-14" not in plan  # pruned partition absent from scan
+    clear_all(spark, path)
+    assert read_findings(spark, path).count() == 0

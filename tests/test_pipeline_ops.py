@@ -1,0 +1,93 @@
+"""LLM-pipeline operator behavior tests: planted duplicates must be
+found; the approximate path must agree with the exact path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from net_spider_spark.pipeline import dedup as D
+from net_spider_spark.pipeline import similarity as S
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill near the garden gate"
+    )
+    near = base.replace("lazy", "sleepy")  # near-duplicate
+    other = (
+        "completely different text about spark query engines and "
+        "distributed shuffle partitioning strategies at large scale"
+    )
+    rows = [(1, base), (2, base), (3, near), (4, other)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_finds_planted_dup(docs):
+    groups = {r["keeper_id"]: r["n_dups"] for r in D.exact_duplicates(docs).collect()}
+    assert groups[1] == 2  # docs 1 and 2 identical
+    assert groups[3] == 1 and groups[4] == 1
+
+
+def test_minhash_candidates_find_near_dup(docs):
+    sh = D.doc_shingles(docs)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_candidates(D.minhash_signatures(sh)).collect()
+    }
+    assert (1, 2) in pairs           # identical pair always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup shares most shingles
+    assert (1, 4) not in pairs and (3, 4) not in pairs
+
+
+def test_jaccard_scores(docs):
+    sh = D.doc_shingles(docs)
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(sh, threshold=0.1).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert 0.5 < got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_simhash_near_dup_hamming(docs):
+    sig = {r["doc_id"]: r["simhash"] for r in D.simhash16(docs).collect()}
+    assert sig[1] == sig[2]
+    ham_near = bin(sig[1] ^ sig[3]).count("1")
+    ham_far = bin(sig[1] ^ sig[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_lsh_topk_recall_vs_bruteforce(spark):
+    import random
+
+    rng = random.Random(7)
+    dim = 16
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(dim)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.brute_force_topk(queries, corpus, k=3).collect()
+    }
+    # 1 plane => 2 buckets => high recall (scale path trades this off)
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_bucket_topk(
+            queries, corpus, dim=dim, k=3, n_planes=1
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5
+    # with 0 planes the bucket join degenerates to brute force exactly
+    all_bucket = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_bucket_topk(
+            queries, corpus, dim=dim, k=3, n_planes=0
+        ).collect()
+    }
+    assert all_bucket == exact

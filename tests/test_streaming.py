@@ -1,0 +1,110 @@
+"""Structured Streaming ingest tests: JSON findings stream -> history
+table; incremental latest-per-node state; streaming log parse."""
+
+import json
+import os
+
+from net_spider_spark.streaming.ingest import (
+    append_to_history,
+    parse_logs_streaming,
+    stream_findings_json,
+    stream_latest_per_node,
+)
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _write_jsonl(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+def _finding(subject, ts, targets=(), attrs=None):
+    return {
+        "subject_node": subject,
+        "found_at": {"epoch_time": ts},
+        "node_attrs": attrs or {},
+        "neighbor_links": [
+            {"target_node": t, "link_state": "to_target", "link_attrs": {}}
+            for t in targets
+        ],
+    }
+
+
+def test_stream_append_and_snapshot(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "batch1.jsonl", [
+        _finding("a", 1000, ["b"]),
+        _finding("b", 2000, ["a"], {"k": "v"}),
+    ])
+    table = str(tmp_path / "history")
+    q = append_to_history(
+        stream_findings_json(spark, str(src)),
+        table, str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(60)
+
+    from net_spider_spark.snapshot import Query, get_snapshot
+
+    findings = spark.read.parquet(table)
+    assert findings.count() == 2
+    nodes, links = get_snapshot(findings, Query())
+    assert nodes.count() == 2 and links.count() == 1
+
+    # Second batch arrives late with an OLD timestamp: must not displace
+    # the newer state on replay (the reference's late-data story).
+    _write_jsonl(src / "batch2.jsonl", [_finding("b", 500, [], {"k": "old"})])
+    q2 = append_to_history(
+        stream_findings_json(spark, str(src)),
+        table, str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(60)
+    findings = spark.read.parquet(table)
+    assert findings.count() == 3
+    nodes, _ = get_snapshot(findings, Query())
+    b = [r for r in nodes.collect() if r["node_id"] == "b"][0]
+    assert b["node_ts"] == 2000 and b["node_attrs"] == {"k": "v"}
+
+
+def test_stream_latest_per_node(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b1.jsonl", [
+        _finding("x", 100, [], {"s": "old"}),
+        _finding("x", 300, [], {"s": "new"}),
+        _finding("y", 200, [], {"s": "only"}),
+    ])
+    out = []
+    q = (
+        stream_latest_per_node(stream_findings_json(spark, str(src)))
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: out.extend(
+            r.asDict(recursive=True) for r in df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["subject_node"]: (r["found_at"], r["node_attrs"]) for r in out}
+    assert got == {"x": (300, {"s": "new"}), "y": (200, {"s": "only"})}
+
+
+def test_parse_logs_streaming(spark, tmp_path):
+    logdir = tmp_path / "logs"
+    logdir.mkdir()
+    import shutil
+
+    shutil.copy(f"{DATA}/syslog_sample.log", logdir / "one.log")
+    results = []
+
+    def sink(dio, dao, batch_id):
+        results.append((dio.count(), dao.count()))
+
+    q = parse_logs_streaming(
+        spark, str(logdir), sink, head="syslog", year=2021,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    assert results == [(1, 2)]
