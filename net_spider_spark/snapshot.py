@@ -76,29 +76,51 @@ _SAMPLE_COLS = [
 ]
 
 
-def latest_findings_per_node(findings: DataFrame) -> DataFrame:
-    """policyOverwrite (A1): keep only each subject's latest finding.
+def keep_argmax(
+    df: DataFrame, group_cols: list[str], order_cols: list[str]
+) -> DataFrame:
+    """Keep each group's row(s) maximal under the lexicographic order
+    of ``order_cols`` — the engine's scalable argmax.
 
-    Expressed as ``max_by(struct(*), (found_at, finding_id))`` — a hash
-    aggregate with map-side partial combine, which scales better than a
-    window sort over the same partition key (no per-partition full sort,
-    and AQE can handle skewed subjects).
+    Shape: per order column, a scalar-``max`` hash aggregate over
+    (group key, long) followed by a semi-join of the full rows. Scalar
+    longs keep the aggregate a map-side-combinable HashAggregate;
+    ``max_by(struct(...))``/``max(struct)``/window-``row_number`` all
+    degrade to sort-based plans because struct buffers and wide rows
+    aren't hash-aggregation buffer types — sorting the full history by
+    key is exactly what must not happen at 100 TB. The winner-key table
+    is one row per group (node/pair count << row count), so the
+    semi-joins broadcast under AQE at typical scales.
     """
-    cols = findings.columns
-    ordering = F.struct(F.col("found_at"), F.col("finding_id"))
-    agg = findings.groupBy("subject_node").agg(
-        F.max_by(F.struct(*[F.col(c) for c in cols]), ordering).alias("_latest")
-    )
-    return agg.select([F.col(f"_latest.{c}").alias(c) for c in cols])
+    out = df
+    for oc in order_cols:
+        keys = out.groupBy(*group_cols).agg(F.max(F.col(oc)).alias(oc))
+        out = out.join(keys, on=group_cols + [oc], how="left_semi")
+    return out
+
+
+def latest_findings_per_node(findings: DataFrame) -> DataFrame:
+    """policyOverwrite (A1): keep only each subject's latest finding
+    (ties broken by ingest order = finding_id, Weaver.hs:84-88)."""
+    return keep_argmax(findings, ["subject_node"], ["found_at", "finding_id"])
 
 
 def _node_states(kept: DataFrame) -> DataFrame:
     """Per-node latest timestamp + attributes over the kept findings
-    (makeSnapshotNode, Weaver.hs:136-151)."""
-    ordering = F.struct(F.col("found_at"), F.col("finding_id"))
-    return kept.groupBy("subject_node").agg(
-        F.max("found_at").alias("node_ts"),
-        F.max_by(F.col("node_attrs"), ordering).alias("node_attrs"),
+    (makeSnapshotNode, Weaver.hs:136-151).
+
+    Same keep_argmax shape as the policy dedup: ``max_by(map)`` would
+    force SortAggregate.
+    """
+    latest = keep_argmax(
+        kept.select("subject_node", "found_at", "finding_id", "node_attrs"),
+        ["subject_node"],
+        ["found_at", "finding_id"],
+    )
+    return latest.select(
+        "subject_node",
+        F.col("found_at").alias("node_ts"),
+        F.col("node_attrs"),
     )
 
 
@@ -216,9 +238,15 @@ def _unify_links(
             .applyInPandas(conf.merge_samples, schema=conf.merge_output_schema)
         )
     else:
-        # Default merge = latestLinkSample over both endpoints' samples:
-        # single hash aggregate, deterministic tie-break on
-        # (found_at, finding_id, link_pos).
+        # Default merge = latestLinkSample over both endpoints' samples,
+        # deterministic tie-break on (found_at, finding_id, link_pos).
+        # Samples are NARROW rows (no nested arrays) and groups are tiny
+        # (a handful of observations per physical link), so a single
+        # max_by aggregate — sort-based because of the attrs map, but
+        # one shuffle, no join rounds — beats keep_argmax here; the
+        # argmax-join shape is reserved for the wide nested findings
+        # (latest_findings_per_node), where sorting full rows is the
+        # 100 TB hazard.
         ordering = F.struct(
             F.col("found_at"), F.col("finding_id"), F.col("link_pos")
         )
@@ -230,9 +258,7 @@ def _unify_links(
                 ).alias("_w")
             )
             .select(
-                "p1",
-                "p2",
-                *[F.col(f"_w.{c}").alias(c) for c in _SAMPLE_COLS],
+                "p1", "p2", *[F.col(f"_w.{c}").alias(c) for c in _SAMPLE_COLS]
             )
         )
 
