@@ -407,6 +407,40 @@ def q_c1_timestamp_format(spark, sf_dir):
     )
 
 
+def q_text_bpe_tokens(spark, sf_dir):
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return TX.bpe_token_stats(docs)
+
+
+def q_text_quality_filter(spark, sf_dir):
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return TX.quality_filter(
+        docs, min_chars=100, max_punct_ratio=0.2, min_alpha_ratio=0.5
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_graph_components(spark, sf_dir):
+    from net_spider_spark.graph.components import connected_components
+
+    findings = demo.events_findings(spark, sf_dir)
+    kept = latest_findings_per_node(findings)
+    from net_spider_spark.findings import explode_link_samples
+
+    edges = explode_link_samples(kept).select(
+        F.col("subject_node").alias("src"), F.col("target_node").alias("dst")
+    )
+    return connected_components(edges)
+
+
+def q_sim_ivf_topk(spark, sf_dir):
+    # IVF ANN (KMeans cells + probe search); rows-only driver check —
+    # recall vs brute force is pinned in tests/test_pipeline_ops.py.
+    emb = demo.read_table(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5)
+    corpus = emb.where(F.col("vec_id") >= 5)
+    return S.ivf_topk(queries_df, corpus, k=3, n_centroids=8, n_probe=8)
+
+
 # ---------------------------------------------------------------------------
 # Contract functions
 # ---------------------------------------------------------------------------
@@ -443,9 +477,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "snapshot_links_append_interval": q_snapshot_links_append_interval,
         "u2_union_links": q_u2_union_links,
         "c1_timestamp_format": q_c1_timestamp_format,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_quality_filter": q_text_quality_filter,
+        "graph_components": q_graph_components,
     }
 
 
@@ -728,5 +766,72 @@ WITH {SQL_F}
 SELECT finding_id,
        strftime(make_timestamp(found_at * 1000), '%Y-%m-%dT%H:%M:%S') AS iso_ts
 FROM f
+""",
+        # IVF probing every cell is exact -> same oracle as brute force.
+        "sim_ivf_topk": """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
+el AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         unnest(q.embedding) AS qe, unnest(c.embedding) AS ce
+  FROM q CROSS JOIN c
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         sum(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE))
+           / (sqrt(sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)))
+              * sqrt(sum(CAST(ce AS DOUBLE) * CAST(ce AS DOUBLE)))) AS cos
+  FROM el GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 3
+""",
+        "text_bpe_tokens": f"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(text,
+           '''(?:s|d|m|t|ll|ve|re)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+')
+           AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(list_distinct(list_transform(toks, t -> trim(t)))) AS BIGINT)
+         AS n_distinct_bpe_tokens
+FROM tok
+""",
+        "text_quality_filter": f"""
+WITH tok AS (SELECT doc_id, text, lang, n_chars AS n_chars_col,
+                    {SQL_TOKS_RAW} AS toks FROM documents),
+sc AS (
+  SELECT doc_id, lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         (length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g')))
+           / greatest(length(text), 1) AS punct_ratio,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+           / greatest(length(text), 1) AS alpha_ratio
+  FROM tok
+)
+SELECT doc_id, lang, n_chars FROM sc
+WHERE n_chars >= 100 AND punct_ratio <= 0.2 AND alpha_ratio >= 0.5
+""",
+        "graph_components": f"""
+WITH RECURSIVE {SQL_F},
+{SQL_KEPT_OVERWRITE},
+und AS (
+  SELECT subject_node AS src, target_node AS dst FROM kept
+  UNION
+  SELECT target_node AS src, subject_node AS dst FROM kept
+),
+reach(a, b) AS (
+  SELECT src AS a, src AS b FROM und
+  UNION
+  SELECT r.a, u.dst FROM reach r JOIN und u ON u.src = r.b
+)
+SELECT a AS node_id, min(b) AS component FROM reach GROUP BY a
 """,
     }

@@ -99,6 +99,56 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return df.select(F.col(id_col), pred.alias("pred_lang"))
 
 
+# GPT-2-style pretokenizer pattern: contractions, letter runs, digit
+# runs, punctuation runs, whitespace. Both Spark (java.util.regex) and
+# DuckDB (RE2) support \p{L}/\p{N}, so the oracle mirrors it verbatim.
+BPE_ISH_PATTERN = r"'(?:s|d|m|t|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-style pretokenization via regexp_extract_all — the token
+    counting that approximates an LLM tokenizer's unit count far better
+    than whitespace splitting (punctuation and number runs separate)."""
+    return F.regexp_extract_all(text, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    toks = bpe_ish_tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_bpe_tokens"),
+        # NOTE: `F.transform(toks, F.trim)` silently misbehaves — trim's
+        # optional 2nd param makes it look like an (element, index)
+        # lambda, so the index arrives as the trim character set.
+        F.size(F.array_distinct(F.transform(toks, lambda t: F.trim(t))))
+        .cast("long")
+        .alias("n_distinct_bpe_tokens"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    min_chars: int = 50,
+    max_punct_ratio: float = 0.2,
+    min_alpha_ratio: float = 0.5,
+    min_stopword_ratio: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher/C4-style quality gate: thresholds over quality_scores.
+    Returns the surviving rows of ``df`` (all columns)."""
+    scores = quality_scores(df, text_col=text_col, id_col=id_col)
+    keep = scores.where(
+        (F.col("n_chars") >= min_chars)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+        & (F.col("stopword_ratio") >= min_stopword_ratio)
+    ).select(id_col)
+    return df.join(keep, id_col, "left_semi")
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set —
     invariant to token order/repetition, the cheap "same bag of words"

@@ -1,0 +1,82 @@
+"""Pangraph export, IVF ANN, connected components, BPE tokens, quality
+filter."""
+
+import random
+
+from pyspark.sql import functions as F
+
+from net_spider_spark.findings import FoundLink, FoundNode, findings_to_df
+from net_spider_spark.graph.components import connected_components
+from net_spider_spark.pangraph import make_edges, make_vertices, write_pangraph
+from net_spider_spark.pipeline import similarity as S
+from net_spider_spark.pipeline.text import bpe_token_stats, quality_filter
+from net_spider_spark.snapshot import Query, get_snapshot
+
+
+def test_pangraph_export(spark):
+    findings = [
+        FoundNode("a", 1500, [FoundLink("b", "to_target", {"w": "3"})]),
+    ]
+    nodes, links = get_snapshot(findings_to_df(spark, findings), Query())
+    verts = {r["vertex_id"]: r["attributes"] for r in make_vertices(nodes).collect()}
+    assert verts["a"]["@timestamp"] == "1500"
+    assert "@timestamp" not in verts["b"]  # never observed
+    edges = make_edges(links).collect()
+    assert edges[0]["attributes"] == {"@timestamp": "1500", "w": "3"}
+    xml = write_pangraph(nodes, links)
+    assert 'attr.type="string"' in xml and "<edge source=\"a\"" in xml
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")],
+        "src string, dst string",
+    )
+    got = {
+        r["node_id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x", "z": "z"}
+
+
+def test_ivf_topk_exact_when_probing_all(spark):
+    rng = random.Random(3)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 3)
+    c = emb.where(F.col("vec_id") >= 3)
+    exact = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.brute_force_topk(q, c, k=3).collect()
+    }
+    ivf_all = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in S.ivf_topk(q, c, k=3, n_centroids=4, n_probe=4).collect()
+    }
+    assert ivf_all == exact
+    # fewer probes: still returns k per query, recall may drop
+    ivf_1 = S.ivf_topk(q, c, k=3, n_centroids=4, n_probe=1).collect()
+    assert len(ivf_1) <= 9
+    recall = len({(r["query_id"], r["neighbor_id"]) for r in ivf_1}
+                 & {(a, b) for a, b, _ in exact}) / len(exact)
+    assert recall > 0
+
+
+def test_bpe_tokens_and_quality_filter(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello world, it's 2024! The quick brown fox of the and a to."),
+            (2, "x" * 30),      # too short for min_chars=50
+            (3, "the " * 40),   # long, clean
+        ],
+        "doc_id long, text string",
+    )
+    stats = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_stats(docs).collect()}
+    # "it's" splits into " it" + "'s"; numbers and punctuation separate
+    assert stats[1] >= 16
+    kept = sorted(
+        r["doc_id"]
+        for r in quality_filter(docs, min_chars=50, max_punct_ratio=0.2,
+                                min_alpha_ratio=0.5).collect()
+    )
+    assert kept == [1, 3]
