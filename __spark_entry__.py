@@ -161,6 +161,15 @@ def q_f1_interval_filter(spark, sf_dir):
     )
 
 
+def q_f2_node_lookup(spark, sf_dir):
+    # F2 gHasNodeID: point lookup of one node's history (equality
+    # predicate pushed to the scan; pairs with subject-clustered layout).
+    ls = demo.events_link_samples(spark, sf_dir)
+    return ls.where(F.col("subject_node") == "7").select(
+        "finding_id", "subject_node", "target_node", "link_state", "found_at"
+    )
+
+
 def q_j5_reachability(spark, sf_dir):
     findings = demo.events_findings(spark, sf_dir)
     kept = latest_findings_per_node(
@@ -457,6 +466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_nodes_overwrite": q_snapshot_nodes_overwrite,
         "a1_latest_finding_per_node": q_a1_latest_finding_per_node,
         "f1_interval_filter": q_f1_interval_filter,
+        "f2_node_lookup": q_f2_node_lookup,
         "j5_reachability": q_j5_reachability,
         "j6_boundary_nodes": q_j6_boundary_nodes,
         "a4_pair_group_stats": q_a4_pair_group_stats,
@@ -515,6 +525,11 @@ WITH {SQL_F},
 b AS (SELECT min(found_at) + (max(found_at) - min(found_at)) // 2 AS mid FROM f)
 SELECT finding_id, subject_node, target_node, link_state, found_at
 FROM f, b WHERE found_at <= b.mid
+""",
+        "f2_node_lookup": f"""
+WITH {SQL_F}
+SELECT finding_id, subject_node, target_node, link_state, found_at
+FROM f WHERE subject_node = '7'
 """,
         "j5_reachability": f"""
 WITH RECURSIVE {SQL_F},

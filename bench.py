@@ -36,7 +36,12 @@ HEADLINE = [
     "dedup_simhash",
     "text_token_stats",
     "text_quality",
+    "text_lang_id",
+    "dedup_jaccard",
+    "graph_components",
     "sim_topk",
+    "sim_ivf_topk",
+    "tpch_q3_topk",
 ]
 
 

@@ -18,8 +18,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Same rationale as traverse._LOCAL_BFS_MAX_EDGES: below this size the
+# iterative rounds are pure scheduling overhead.
+_LOCAL_CC_MAX_EDGES = 2_000_000
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 50
+    edges: DataFrame, max_iter: int = 50, local_threshold: int = _LOCAL_CC_MAX_EDGES
 ) -> DataFrame:
     """DataFrame(src, dst) -> DataFrame(node_id, component) where
     component = min node ID in the (undirected) component."""
@@ -32,6 +37,12 @@ def connected_components(
         .distinct()
         .persist()
     )
+    n_edges = und.count()
+    if n_edges <= local_threshold:
+        try:
+            return _local_components(und)
+        finally:
+            und.unpersist()
     labels = (
         und.select(F.col("src").alias("node_id"))
         .distinct()
@@ -73,3 +84,31 @@ def connected_components(
     finally:
         und.unpersist()
     return labels
+
+
+def _local_components(und: DataFrame) -> DataFrame:
+    """Driver-local union-find over a collected edge list (fast path)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in und.collect():
+        a, b = row["src"], row["dst"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min label so the representative is the min ID
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    rows = sorted((n, find(n)) for n in parent)
+    spark = und.sparkSession
+    if not rows:
+        return spark.createDataFrame([], "node_id string, component string")
+    return spark.createDataFrame(rows, "node_id string, component string")

@@ -128,10 +128,18 @@ def write_graphml(
 
     def node_data(row) -> list[tuple[str, str]]:
         data = []
+        fields = row.__fields__
         if row["node_ts"] is not None:
             data.append(("@timestamp", str(row["node_ts"])))
-            if "tz_offset_min" in row.__fields__ and row["tz_offset_min"] is not None:
+            # tz meta-properties ride with the timestamp
+            # (GraphML/Writer.hs:252-259 / Graph/Internal.hs:84-98)
+            if "tz_offset_min" in fields and row["tz_offset_min"] is not None:
                 data.append(("@tz_offset_min", str(row["tz_offset_min"])))
+                data.append(
+                    ("@tz_summer_only", _bool_str(bool(row["tz_summer_only"])))
+                )
+                if "tz_name" in fields and row["tz_name"] is not None:
+                    data.append(("@tz_name", row["tz_name"]))
         data.append(("@is_on_boundary", _bool_str(row["is_on_boundary"])))
         for k in sorted((row["node_attrs"] or {}).keys()):
             data.append((k, row["node_attrs"][k]))

@@ -79,6 +79,11 @@ SNAPSHOT_NODE_SCHEMA = T.StructType(
         T.StructField("is_on_boundary", T.BooleanType(), False),
         T.StructField("node_ts", T.LongType(), True),
         T.StructField("node_attrs", ATTRS_TYPE, True),
+        # Display timezone of the winning observation (optional; the
+        # reference preserves tz meta-properties end to end).
+        T.StructField("tz_offset_min", T.IntegerType(), True),
+        T.StructField("tz_summer_only", T.BooleanType(), True),
+        T.StructField("tz_name", T.StringType(), True),
     ]
 )
 

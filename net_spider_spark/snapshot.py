@@ -110,10 +110,16 @@ def _node_states(kept: DataFrame) -> DataFrame:
     (makeSnapshotNode, Weaver.hs:136-151).
 
     Same keep_argmax shape as the policy dedup: ``max_by(map)`` would
-    force SortAggregate.
+    force SortAggregate. The winner's display timezone travels with the
+    timestamp (the reference round-trips tz meta-properties through the
+    history graph into GraphML, Graph/Internal.hs:84-98 /
+    GraphML/Writer.hs:252-259).
     """
     latest = keep_argmax(
-        kept.select("subject_node", "found_at", "finding_id", "node_attrs"),
+        kept.select(
+            "subject_node", "found_at", "finding_id", "node_attrs",
+            "tz_offset_min", "tz_summer_only", "tz_name",
+        ),
         ["subject_node"],
         ["found_at", "finding_id"],
     )
@@ -121,6 +127,9 @@ def _node_states(kept: DataFrame) -> DataFrame:
         "subject_node",
         F.col("found_at").alias("node_ts"),
         F.col("node_attrs"),
+        "tz_offset_min",
+        "tz_summer_only",
+        "tz_name",
     )
 
 
@@ -207,7 +216,10 @@ def get_snapshot(
             node_states.withColumnRenamed("subject_node", "node_id"),
             "node_id",
             "left",
-        ).select("node_id", "is_on_boundary", "node_ts", "node_attrs")
+        ).select(
+            "node_id", "is_on_boundary", "node_ts", "node_attrs",
+            "tz_offset_min", "tz_summer_only", "tz_name",
+        )
     )
 
     # --- unify ----------------------------------------------------------

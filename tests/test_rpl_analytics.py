@@ -17,7 +17,8 @@ from net_spider_spark.rpl.combined import combine_graphs
 
 def nodes_df(spark, rows):
     return spark.createDataFrame(
-        [(n, False, ts, attrs) for (n, ts, attrs) in rows], SNAPSHOT_NODE_SCHEMA
+        [(n, False, ts, attrs, None, None, None) for (n, ts, attrs) in rows],
+        SNAPSHOT_NODE_SCHEMA,
     )
 
 

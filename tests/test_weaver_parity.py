@@ -1,0 +1,47 @@
+"""Weaver-class behavior (WeaverSpec.hs:40-165) + timezone threading."""
+
+from net_spider_spark.findings import FoundLink, FoundNode, findings_to_df
+from net_spider_spark.graphml import write_graphml
+from net_spider_spark.snapshot import BOUNDARY_MARK, Query, get_snapshot
+from net_spider_spark.timestamp import Timestamp, parse_timestamp
+from net_spider_spark.weaver import Weaver
+
+
+def test_weaver_accumulate_and_boundary(spark):
+    w = Weaver(spark, policy="overwrite")
+    w.add_found_node(
+        FoundNode("n1", 2000, [FoundLink("n2", "to_target")])
+    )
+    w.add_found_node(FoundNode("n1", 1000, [FoundLink("n3", "to_target")]))
+    # overwrite policy applies at query time: only n1@2000's targets count
+    assert w.get_boundary_nodes() == ["n2"]
+    assert w.is_visited("n1") and not w.is_visited("n2")
+    nodes, links = w.get_snapshot()
+    got = sorted((r["node_id"], r["is_on_boundary"]) for r in nodes.collect())
+    assert got == [("n1", False), ("n2", False)]  # visit mode default
+
+
+def test_weaver_mark_as_visited(spark):
+    w = Weaver(spark, policy="append")
+    w.add_found_node(FoundNode("a", 100, [FoundLink("b", "to_target")]))
+    w.mark_as_visited("isolated")
+    nodes, _ = w.get_snapshot(boundary_mode=BOUNDARY_MARK)
+    got = {r["node_id"]: r["is_on_boundary"] for r in nodes.collect()}
+    # marked node appears visited with no observation; b is boundary
+    assert got == {"a": False, "b": True, "isolated": False}
+
+
+def test_timezone_threading_to_graphml(spark):
+    ts = parse_timestamp("2020-06-01T12:00+09:00")
+    assert ts.tz_offset_min == 540
+    findings = [
+        FoundNode("tokyo", ts, [FoundLink("osaka", "to_target")]),
+        FoundNode("utc", Timestamp(ts.epoch_ms + 1000), []),
+    ]
+    nodes, links = get_snapshot(findings_to_df(spark, findings), Query())
+    row = {r["node_id"]: r for r in nodes.collect()}
+    assert row["tokyo"]["tz_offset_min"] == 540
+    assert row["utc"]["tz_offset_min"] is None
+    xml = write_graphml(nodes, links)
+    assert '@tz_offset_min" attr.type="int"' in xml
+    assert ">540</data>" in xml
