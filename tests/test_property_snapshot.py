@@ -1,0 +1,112 @@
+"""Property-based engine-vs-specification testing.
+
+Hypothesis generates random findings tables; the distributed pipeline
+(snapshot.get_snapshot) must agree exactly with the pure-Python
+executable spec (pyweaver.snapshot) — the two-implementation strategy
+the reference applies between Weaver and the live Gremlin server,
+extended with randomized inputs the reference never had.
+"""
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from net_spider_spark.findings import FoundLink, FoundNode, findings_to_df
+from net_spider_spark.interval import Interval
+from net_spider_spark.pyweaver import PyFinding, PyLink, snapshot as py_snapshot
+from net_spider_spark.snapshot import Query, get_snapshot
+
+NODE_IDS = ["a", "b", "c", "d", "e"]
+STATES = ["unused", "to_target", "to_subject", "bidirectional"]
+
+link_st = st.builds(
+    PyLink,
+    target=st.sampled_from(NODE_IDS),
+    state=st.sampled_from(STATES),
+)
+
+finding_st = st.builds(
+    lambda subject, found_at, links: (subject, found_at, links),
+    subject=st.sampled_from(NODE_IDS),
+    found_at=st.integers(min_value=0, max_value=20),
+    links=st.lists(link_st, max_size=3),
+)
+
+findings_st = st.lists(finding_st, min_size=0, max_size=8).map(
+    lambda fs: [
+        PyFinding(i, s, ts, tuple(ls)) for i, (s, ts, ls) in enumerate(fs)
+    ]
+)
+
+
+def run_engine(spark, pyfindings, **query_kw):
+    fns = [
+        FoundNode(
+            f.subject,
+            f.found_at,
+            [FoundLink(l.target, l.state) for l in f.links],
+        )
+        for f in pyfindings
+    ]
+    df = findings_to_df(spark, fns)
+    nodes_df, links_df = get_snapshot(df, Query(**query_kw))
+    nodes = {
+        r["node_id"]: (r["is_on_boundary"], r["node_ts"])
+        for r in nodes_df.collect()
+    }
+    links = {
+        (r["source_node"], r["dest_node"], r["is_directed"], r["link_ts"])
+        for r in links_df.collect()
+    }
+    return nodes, links
+
+
+def check(spark, pyfindings, policy, interval=None, starts_from=None):
+    exp_nodes, exp_links = py_snapshot(
+        pyfindings, policy=policy, interval=interval, starts_from=starts_from
+    )
+    got_nodes, got_links = run_engine(
+        spark,
+        pyfindings,
+        found_node_policy=policy,
+        time_interval=interval or Interval.always(),
+        starts_from=starts_from,
+    )
+    assert got_nodes == {
+        n: (b, ts) for n, (b, ts, _) in exp_nodes.items()
+    }, f"nodes differ for {pyfindings}"
+    assert got_links == exp_links, f"links differ for {pyfindings}"
+
+
+# A modest number of examples: each runs several Spark jobs. deadline
+# disabled (Spark latency), shrinking still works on failure.
+_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(fs=findings_st, policy=st.sampled_from(["overwrite", "append"]))
+@_settings
+def test_whole_graph_matches_spec(spark, fs, policy):
+    check(spark, fs, policy)
+
+
+@given(
+    fs=findings_st,
+    policy=st.sampled_from(["overwrite", "append"]),
+    lo=st.integers(min_value=0, max_value=20),
+    width=st.integers(min_value=0, max_value=15),
+)
+@_settings
+def test_interval_matches_spec(spark, fs, policy, lo, width):
+    check(spark, fs, policy, interval=Interval(lo, lo + width))
+
+
+@given(
+    fs=findings_st,
+    starts=st.lists(st.sampled_from(NODE_IDS + ["zz"]), min_size=1, max_size=2),
+)
+@_settings
+def test_traversal_matches_spec(spark, fs, starts):
+    check(spark, fs, "overwrite", starts_from=starts)
