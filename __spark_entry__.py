@@ -441,6 +441,14 @@ def q_graph_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_snapshot_links_multilink(spark, sf_dir):
+    # Multi-link findings (one observation = whole neighbor set, the
+    # reference's natural shape) through the full default pipeline.
+    findings = demo.events_findings_multilink(spark, sf_dir)
+    _, links = get_snapshot(findings, Query(found_node_policy="overwrite"))
+    return links.select("source_node", "dest_node", "is_directed", "link_ts")
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     # IVF ANN (KMeans cells + probe search); rows-only driver check —
     # recall vs brute force is pinned in tests/test_pipeline_ops.py.
@@ -488,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_topk": q_sim_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
+        "snapshot_links_multilink": q_snapshot_links_multilink,
         "snapshot_links_append_interval": q_snapshot_links_append_interval,
         "u2_union_links": q_u2_union_links,
         "c1_timestamp_format": q_c1_timestamp_format,
@@ -781,6 +790,65 @@ WITH {SQL_F}
 SELECT finding_id,
        strftime(make_timestamp(found_at * 1000), '%Y-%m-%dT%H:%M:%S') AS iso_ts
 FROM f
+""",
+        "snapshot_links_multilink": f"""
+WITH fm AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+         epoch_ms(ts) // 3600000 AS hour_idx,
+         CAST((user_id * 7 + event_id) % {demo.N_TARGET_NODES} AS VARCHAR)
+           AS target_node,
+         {demo.LINK_STATE_CASE} AS link_state
+  FROM events
+),
+b AS (
+  SELECT user_id, hour_idx, user_id * 1000000 + hour_idx AS finding_id,
+         max(ts_ms) AS found_at
+  FROM fm GROUP BY 1, 2
+),
+kept_b AS (
+  SELECT * FROM (
+    SELECT b.*, row_number() OVER (
+      PARTITION BY user_id ORDER BY found_at DESC, finding_id DESC) AS rn
+    FROM b) t WHERE rn = 1
+),
+node_ts AS (
+  SELECT CAST(user_id AS VARCHAR) AS node_id, found_at AS node_ts FROM kept_b
+),
+samples AS (
+  SELECT kb.finding_id, CAST(kb.user_id AS VARCHAR) AS subject_node,
+         kb.found_at, fm.target_node, fm.link_state,
+         row_number() OVER (PARTITION BY kb.user_id, kb.hour_idx
+                            ORDER BY fm.event_id) - 1 AS link_pos,
+         least(CAST(kb.user_id AS VARCHAR), fm.target_node) AS p1,
+         greatest(CAST(kb.user_id AS VARCHAR), fm.target_node) AS p2
+  FROM kept_b kb JOIN fm
+    ON fm.user_id = kb.user_id AND fm.hour_idx = kb.hour_idx
+),
+winners AS (
+  SELECT * FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY p1, p2
+      ORDER BY found_at DESC, finding_id DESC, link_pos DESC) AS rn2
+    FROM samples s) t WHERE rn2 = 1
+),
+surviving AS (
+  SELECT w.* FROM winners w
+  LEFT JOIN node_ts t1 ON t1.node_id = w.p1
+  LEFT JOIN node_ts t2 ON t2.node_id = w.p2
+  WHERE NOT (t1.node_ts IS NOT NULL AND w.found_at < t1.node_ts
+             AND w.subject_node <> w.p1)
+    AND NOT (t2.node_ts IS NOT NULL AND w.found_at < t2.node_ts
+             AND w.subject_node <> w.p2)
+)
+SELECT
+  CASE WHEN link_state = 'to_subject' THEN target_node ELSE subject_node END
+    AS source_node,
+  CASE WHEN link_state = 'to_subject' THEN subject_node ELSE target_node END
+    AS dest_node,
+  link_state <> 'bidirectional' AS is_directed,
+  found_at AS link_ts
+FROM surviving
+WHERE link_state <> 'unused'
 """,
         # IVF probing every cell is exact -> same oracle as brute force.
         "sim_ivf_topk": """

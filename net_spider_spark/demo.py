@@ -76,6 +76,61 @@ def events_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_findings_multilink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternative derivation: one finding per (user, hour) with ALL of
+    that hour's links collected — exercises nested collect_list ingest
+    and multi-link explode (the reference's normal shape: one
+    observation reports a whole neighbor set).
+
+    finding_id = user_id * 1e6 + hour-index (deterministic); found_at =
+    max event time in the bucket; links ordered by event_id.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("user_id"),
+        F.col("event_id"),
+        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"),
+        F.expr("CAST(ts DIV 3600000000000 AS BIGINT)").alias("hour_idx"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % N_TARGET_NODES)
+        .cast("string")
+        .alias("target_node"),
+        F.expr(LINK_STATE_CASE).alias("link_state"),
+    )
+    return (
+        base.groupBy("user_id", "hour_idx")
+        .agg(
+            F.max("ts_ms").alias("found_at"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct("event_id", "target_node", "link_state")
+                )
+            ).alias("_ls"),
+        )
+        .select(
+            (F.col("user_id") * 1_000_000 + F.col("hour_idx")).alias("finding_id"),
+            F.col("user_id").cast("string").alias("subject_node"),
+            "found_at",
+            F.lit(None).cast("int").alias("tz_offset_min"),
+            F.lit(None).cast("boolean").alias("tz_summer_only"),
+            F.lit(None).cast("string").alias("tz_name"),
+            F.create_map(F.lit("n_events"), F.size("_ls").cast("string")).alias(
+                "node_attrs"
+            ),
+            F.transform(
+                F.col("_ls"),
+                lambda e: F.struct(
+                    e["target_node"].alias("target_node"),
+                    e["link_state"].alias("link_state"),
+                    F.map_from_arrays(
+                        F.array().cast("array<string>"),
+                        F.array().cast("array<string>"),
+                    ).alias("link_attrs"),
+                ),
+            ).alias("neighbor_links"),
+        )
+    )
+
+
 def events_link_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat link-sample view of the same derivation (skips the nested
     struct round-trip; same rows as explode(events_findings))."""

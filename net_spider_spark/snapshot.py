@@ -309,6 +309,47 @@ def _unify_links(
     return resolved
 
 
+def get_snapshot_simple(
+    findings: DataFrame, starts_from: Sequence[str]
+) -> tuple[DataFrame, DataFrame]:
+    """``getSnapshotSimple`` (Spider.hs:161-173): defaults everywhere,
+    just start nodes. The reference warns it is for small graphs only —
+    here it is the same scalable pipeline as the full query."""
+    return get_snapshot(findings, Query(starts_from=list(starts_from)))
+
+
+def snapshot_to_json(nodes: DataFrame, links: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """JSON documents per element, snake_case wire format
+    (SnapshotElement ToJSON, Snapshot/Internal.hs:88-137): one column
+    ``json`` per DataFrame. JVM-side to_json — exportable at any scale
+    via a normal distributed write."""
+    node_json = nodes.select(
+        F.to_json(
+            F.struct(
+                F.col("node_id"),
+                F.col("is_on_boundary"),
+                F.when(
+                    F.col("node_ts").isNotNull(),
+                    F.struct(F.col("node_ts").alias("epoch_time")),
+                ).alias("timestamp"),
+                F.col("node_attrs"),
+            )
+        ).alias("json")
+    )
+    link_json = links.select(
+        F.to_json(
+            F.struct(
+                F.col("source_node"),
+                F.col("dest_node"),
+                F.col("is_directed"),
+                F.struct(F.col("link_ts").alias("epoch_time")).alias("timestamp"),
+                F.col("link_attrs"),
+            )
+        ).alias("json")
+    )
+    return node_json, link_json
+
+
 def graph_timestamp(nodes: DataFrame, links: DataFrame):
     """Max timestamp over all nodes and links (``graphTimestamp``,
     NetSpider/Snapshot.hs:40-50). Returns int epoch-ms or None."""

@@ -104,3 +104,23 @@ def test_graphml_edgedefault_option(spark):
         nodes, links, default_directed=False
     )
     assert 'directed="false"' in write_graphml(nodes, links)
+
+
+def test_snapshot_to_json_and_simple(spark):
+    from net_spider_spark.snapshot import get_snapshot_simple, snapshot_to_json
+    import json as J
+
+    findings = [
+        FoundNode("a", 1000, [FoundLink("b", "to_target", {"k": "v"})]),
+    ]
+    df = findings_to_df(spark, findings)
+    nodes, links = get_snapshot_simple(df, ["a"])
+    nj, lj = snapshot_to_json(nodes, links)
+    ndocs = {J.loads(r["json"])["node_id"]: J.loads(r["json"]) for r in nj.collect()}
+    assert ndocs["a"]["timestamp"] == {"epoch_time": 1000}
+    assert "timestamp" not in ndocs["b"]  # never observed
+    ldoc = J.loads(lj.collect()[0]["json"])
+    assert ldoc == {
+        "source_node": "a", "dest_node": "b", "is_directed": True,
+        "timestamp": {"epoch_time": 1000}, "link_attrs": {"k": "v"},
+    }
