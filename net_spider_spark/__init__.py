@@ -30,9 +30,22 @@ from net_spider_spark.timestamp import Timestamp, parse_timestamp, format_timest
 from net_spider_spark.interval import Interval, NEG_INF, POS_INF
 from net_spider_spark.findings import FoundNode, FoundLink, findings_to_df
 from net_spider_spark.unify import UnifyConfig, unify_to_one, unify_to_many
-from net_spider_spark.snapshot import Query, get_snapshot
+from net_spider_spark.snapshot import (
+    Query,
+    get_snapshot,
+    get_snapshot_simple,
+    graph_timestamp,
+    snapshot_to_json,
+)
 from net_spider_spark.weaver import Weaver
 from net_spider_spark.graphml import write_graphml
+from net_spider_spark.pangraph import write_pangraph
+from net_spider_spark.ingest import (
+    clear_all,
+    read_findings,
+    write_findings,
+    write_findings_bucketed,
+)
 
 __all__ = [
     "LinkState",
@@ -54,8 +67,16 @@ __all__ = [
     "unify_to_many",
     "Query",
     "get_snapshot",
+    "get_snapshot_simple",
+    "graph_timestamp",
+    "snapshot_to_json",
     "Weaver",
     "write_graphml",
+    "write_pangraph",
+    "clear_all",
+    "read_findings",
+    "write_findings",
+    "write_findings_bucketed",
 ]
 
 __version__ = "0.1.0"

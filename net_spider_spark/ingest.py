@@ -81,6 +81,31 @@ def read_findings(
     return df.drop("found_day")
 
 
+def write_findings_bucketed(
+    findings: DataFrame,
+    table_name: str,
+    n_buckets: int = 64,
+    mode: str = "append",
+) -> None:
+    """Bucketed history table: hash-bucket + sort by ``subject_node``.
+
+    The bucketing lever: every per-subject operation downstream — the
+    policy-dedup aggregate, point lookups (F2), subject-keyed joins —
+    reads pre-partitioned data and skips its shuffle entirely (the
+    relational analogue of the reference's @node_id composite index,
+    but it also co-locates *joins*, which an index cannot).
+    Catalog-table based (``saveAsTable``); read back with
+    ``spark.table(table_name)``.
+    """
+    (
+        findings.write.bucketBy(n_buckets, "subject_node")
+        .sortBy("subject_node", "found_at")
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def clear_all(spark: SparkSession, path: str) -> None:
     """S4 ``clearAll``: truncate the history (overwrite with empty)."""
     from net_spider_spark.model import FINDINGS_SCHEMA

@@ -68,6 +68,18 @@ class Interval:
         return Interval(NEG_INF, upper, True, inclusive)
 
     @staticmethod
+    def sec_since(lower, seconds: float) -> "Interval":
+        """``secSince``: interval of given length starting (inclusive)
+        at lower (Interval.hs:151-160)."""
+        lo = to_epoch_ms(lower)
+        return Interval(lo, lo + int(seconds * 1000), True, True)
+
+    @staticmethod
+    def sec_until(upper, seconds: float) -> "Interval":
+        """``secUntil``: alias of sec_up_to (Interval.hs:162-171)."""
+        return Interval.sec_up_to(upper, seconds)
+
+    @staticmethod
     def parse_end(text: str):
         """Parse one interval end: optional ``i``/``x`` inclusivity prefix +
         (timestamp | ``+inf`` | ``-inf``)  (``parseIntervalEnd``,

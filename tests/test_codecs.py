@@ -124,3 +124,9 @@ def test_snapshot_to_json_and_simple(spark):
         "source_node": "a", "dest_node": "b", "is_directed": True,
         "timestamp": {"epoch_time": 1000}, "link_attrs": {"k": "v"},
     }
+
+
+def test_interval_sec_builders():
+    iv = Interval.sec_since("2020-01-01T00:00", 120)
+    assert iv.upper - iv.lower == 120_000 and iv.lower_inclusive
+    assert Interval.sec_until("2020-01-01T00:02", 120).lower == iv.lower

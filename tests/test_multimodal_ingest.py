@@ -64,3 +64,24 @@ def test_partitioned_ingest_roundtrip(spark, tmp_path):
     assert "2023-11-14" not in plan  # pruned partition absent from scan
     clear_all(spark, path)
     assert read_findings(spark, path).count() == 0
+
+
+def test_bucketed_table_skips_shuffle(spark, tmp_path):
+    from net_spider_spark.ingest import write_findings_bucketed
+    from net_spider_spark.snapshot import latest_findings_per_node
+
+    findings = findings_to_df(
+        spark,
+        [FoundNode(f"n{i % 7}", 1000 + i, [FoundLink("x")]) for i in range(50)],
+    )
+    spark.sql("DROP TABLE IF EXISTS findings_bucketed")
+    write_findings_bucketed(findings, "findings_bucketed", n_buckets=4)
+    table = spark.table("findings_bucketed")
+    assert table.count() == 50
+    # the per-subject aggregate over the bucketed table plans NO shuffle
+    agg = table.groupBy("subject_node").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # and the policy dedup still computes correctly from it
+    assert latest_findings_per_node(table).count() == 7
+    spark.sql("DROP TABLE findings_bucketed")
