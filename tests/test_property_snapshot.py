@@ -110,3 +110,28 @@ def test_interval_matches_spec(spark, fs, policy, lo, width):
 @_settings
 def test_traversal_matches_spec(spark, fs, starts):
     check(spark, fs, "overwrite", starts_from=starts)
+
+
+def test_hub_skew_shape(spark):
+    """A mega-hub (every node observes the same target) must neither
+    break correctness nor stall: the pair groups stay per-counterpart,
+    so a popular node does not create one giant group."""
+    from net_spider_spark.findings import FoundLink, FoundNode, findings_to_df
+    from net_spider_spark.snapshot import Query, get_snapshot
+
+    fns = [
+        FoundNode(f"s{i}", 1000 + i, [FoundLink("hub", "to_target")])
+        for i in range(500)
+    ]
+    fns.append(FoundNode("hub", 5000, []))  # hub reports no links
+    nodes, links = get_snapshot(findings_to_df(spark, fns), Query())
+    assert nodes.count() == 501
+    # hub's newer empty observation negates every spoke link
+    assert links.count() == 0
+    # negation disabled -> all 500 spoke links survive
+    from net_spider_spark.unify import UnifyConfig, no_negation
+
+    _, links2 = get_snapshot(
+        findings_to_df(spark, fns), Query(unify=UnifyConfig(negates=no_negation))
+    )
+    assert links2.count() == 500
