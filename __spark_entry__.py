@@ -449,6 +449,13 @@ def q_snapshot_links_multilink(spark, sf_dir):
     return links.select("source_node", "dest_node", "is_directed", "link_ts")
 
 
+def q_dedup_embedding(spark, sf_dir):
+    # Embedding-cosine near-dup groups (exact all-pairs; threshold low
+    # enough to form groups on the synthetic vectors).
+    emb = demo.read_table(spark, sf_dir, "embeddings")
+    return D.embedding_near_dup_groups(emb, threshold=0.5)
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     # IVF ANN (KMeans cells + probe search); rows-only driver check —
     # recall vs brute force is pinned in tests/test_pipeline_ops.py.
@@ -489,6 +496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_jaccard": q_dedup_jaccard,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_lang_id": q_text_lang_id,
@@ -849,6 +857,36 @@ SELECT
   found_at AS link_ts
 FROM surviving
 WHERE link_state <> 'unused'
+""",
+        "dedup_embedding": """
+WITH RECURSIVE el AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         unnest(a.embedding) AS ea, unnest(b.embedding) AS eb
+  FROM embeddings a CROSS JOIN embeddings b
+  WHERE a.vec_id < b.vec_id
+),
+scored AS (
+  SELECT ida, idb,
+         sum(CAST(ea AS DOUBLE) * CAST(eb AS DOUBLE))
+           / (sqrt(sum(CAST(ea AS DOUBLE) * CAST(ea AS DOUBLE)))
+              * sqrt(sum(CAST(eb AS DOUBLE) * CAST(eb AS DOUBLE)))) AS cos
+  FROM el GROUP BY 1, 2
+),
+edges AS (SELECT ida, idb FROM scored WHERE cos >= 0.5),
+und AS (
+  SELECT ida AS src, idb AS dst FROM edges
+  UNION SELECT idb AS src, ida AS dst FROM edges
+),
+reach(a, b) AS (
+  SELECT src AS a, src AS b FROM und
+  UNION
+  SELECT r.a, u.dst FROM reach r JOIN und u ON u.src = r.b
+),
+comp AS (SELECT a AS vec_id, min(b) AS group_id FROM reach GROUP BY a)
+SELECT e.vec_id,
+       coalesce(c.group_id, e.vec_id) AS group_id,
+       e.vec_id = coalesce(c.group_id, e.vec_id) AS is_keeper
+FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
 """,
         # IVF probing every cell is exact -> same oracle as brute force.
         "sim_ivf_topk": """

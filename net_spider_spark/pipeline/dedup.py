@@ -174,6 +174,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def embedding_near_dup_groups(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    n_planes: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate groups.
+
+    Pairs with cosine >= threshold become edges; connected components
+    merge chains of near-dups into groups; the keeper is each group's
+    min ID. Exact by default (all-pairs — the verification path); set
+    ``use_lsh`` for the sign-LSH candidate pass at corpus scale.
+
+    Returns (vec_id, group_id, is_keeper).
+    """
+    from net_spider_spark.graph.components import connected_components
+    from net_spider_spark.pipeline.similarity import cosine, lsh_signature, hyperplanes
+
+    a = embeddings.select(
+        F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
+    )
+    b = embeddings.select(
+        F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
+    )
+    if use_lsh:
+        dim = len(embeddings.select(vec_col).first()[0])
+        planes = hyperplanes(dim, n_planes)
+        a = a.withColumn("_bk", lsh_signature(F.col("_va"), planes))
+        b = b.withColumn("_bk", lsh_signature(F.col("_vb"), planes))
+        pairs = a.join(b, "_bk")
+    else:
+        pairs = a.crossJoin(b)
+    # Zero-pad IDs: component representatives are lexicographic-min
+    # strings, padding makes that the numeric min.
+    def pad(c):
+        return F.lpad(c.cast("string"), 12, "0")
+
+    edges = (
+        pairs.where(F.col("_ida") < F.col("_idb"))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(pad(F.col("_ida")).alias("src"), pad(F.col("_idb")).alias("dst"))
+    )
+    comps = connected_components(edges)
+    all_ids = embeddings.select(pad(F.col(id_col)).alias("node_id"))
+    groups = (
+        all_ids.join(comps, "node_id", "left")
+        .select(
+            F.col("node_id").cast("long").alias(id_col),
+            F.coalesce(F.col("component"), F.col("node_id"))
+            .cast("long")
+            .alias("group_id"),
+        )
+    )
+    return groups.withColumn(
+        "is_keeper", F.col(id_col) == F.col("group_id")
+    )
+
+
 def _hex16(col: Column) -> Column:
     """First 16 bits of md5 as a long (cross-engine-stable hash)."""
     return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("long")

@@ -80,3 +80,36 @@ def test_bpe_tokens_and_quality_filter(spark):
                                 min_alpha_ratio=0.5).collect()
     )
     assert kept == [1, 3]
+
+
+def test_null_neighbor_links_tolerated(spark):
+    """A finding row with NULL neighbor_links (vs empty array) must
+    behave like a no-neighbor observation, not crash the explode."""
+    from net_spider_spark.model import FINDINGS_SCHEMA
+
+    rows = [
+        (0, "a", 1000, None, None, None, {}, None),
+        (1, "b", 2000, None, None, None, {}, [("a", "to_target", {})]),
+    ]
+    df = spark.createDataFrame(rows, FINDINGS_SCHEMA)
+    nodes, links = get_snapshot(df, Query())
+    got = {r["node_id"]: r["node_ts"] for r in nodes.collect()}
+    assert got == {"a": 1000, "b": 2000}
+    assert [(r["source_node"], r["dest_node"]) for r in links.collect()] == [("b", "a")]
+
+
+def test_embedding_near_dup_groups(spark):
+    from net_spider_spark.pipeline.dedup import embedding_near_dup_groups
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.05, 0.0]),   # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),     # orthogonal
+        (4, [0.98, 0.08, 0.01]),  # near-dup of 1 and 2 (chained group)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["group_id"], r["is_keeper"])
+        for r in embedding_near_dup_groups(emb, threshold=0.95).collect()
+    }
+    assert got == {1: (1, True), 2: (1, False), 3: (3, True), 4: (1, False)}
