@@ -72,6 +72,9 @@ def _snapshot_args(p: argparse.ArgumentParser) -> None:
                    help="seconds before --time-to (secUpTo)")
     p.add_argument("--policy", choices=["overwrite", "append"],
                    default="overwrite")
+    p.add_argument("--max-hops", type=int, default=None,
+                   help="bound the traversal depth (the reference's "
+                        "unimplemented TODO, Spider.hs:254)")
     p.add_argument("-o", "--output", default="-", help="GraphML path or -")
 
 
@@ -118,6 +121,7 @@ def _do_snapshot(spark: SparkSession, args) -> int:
             if starts else None,
             time_interval=iv,
             found_node_policy=args.policy,
+            max_hops=args.max_hops,
         )
         return get_snapshot(subset, q)
 

@@ -192,7 +192,16 @@ def get_snapshot(
             "subject_node",
             "left_semi",
         )
-        node_ids = visited.withColumn("is_on_boundary", F.lit(False))
+        # With an unbounded traversal every link target is itself
+        # visited; under max_hops, targets past the bound are boundary
+        # nodes (observed but not visited, Weaver.hs:120-129) — they
+        # must still appear so the output graph is closed over its
+        # links.
+        targets = samples.select(F.col("target_node").alias("node_id")).distinct()
+        boundary = targets.join(visited, "node_id", "left_anti")
+        node_ids = visited.withColumn("is_on_boundary", F.lit(False)).unionByName(
+            boundary.withColumn("is_on_boundary", F.lit(True))
+        )
     else:
         # Whole-graph (Weaver) mode: visited = subjects (+ explicit marks),
         # boundary = link targets never visited (Weaver.hs:120-129).
