@@ -113,6 +113,28 @@ SQL_HEX16 = (
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
 
 
+def _lsh_sig_sql(n_bands: int = 4, n_planes: int = 4, dim: int = 64,
+                 seed: int = 42, vec: str = "v") -> list[str]:
+    """DuckDB twins of pipeline.similarity.lsh_signature, one expression
+    per band, over the SAME deterministic seed-42 hyperplanes the Spark
+    path draws — so candidate buckets match bit-for-bit (testdata
+    embeddings are dim=64)."""
+    planes = S.hyperplanes(dim, n_bands * n_planes, seed)
+    exprs = []
+    for b in range(n_bands):
+        bits = [
+            f"(CASE WHEN list_dot_product({vec}, "
+            f"[{', '.join(repr(w) for w in planes[b * n_planes + j])}]"
+            f") >= 0 THEN {1 << j} ELSE 0 END)"
+            for j in range(n_planes)
+        ]
+        exprs.append("(" + " + ".join(bits) + ")")
+    return exprs
+
+
+_EMB_SIG_SQL = _lsh_sig_sql()
+
+
 def _marker_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in TX.LANG_MARKERS[lang]) + "]"
 
@@ -332,9 +354,13 @@ def q_dedup_minhash(spark, sf_dir):
 
 
 def q_dedup_jaccard(spark, sf_dir):
+    # The scale path: MinHash-banded candidates, then exact Jaccard
+    # verification restricted to those pairs (never the full
+    # inverted-index self-join).
     docs = demo.read_table(spark, sf_dir, "documents")
     sh = D.doc_shingles(docs)
-    return D.ngram_jaccard_pairs(sh, threshold=0.2)
+    cand = D.minhash_candidates(D.minhash_signatures(sh))
+    return D.jaccard_verify_candidates(cand, sh, threshold=0.2)
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -450,8 +476,9 @@ def q_snapshot_links_multilink(spark, sf_dir):
 
 
 def q_dedup_embedding(spark, sf_dir):
-    # Embedding-cosine near-dup groups (exact all-pairs; threshold low
-    # enough to form groups on the synthetic vectors).
+    # Embedding-cosine near-dup groups via the scale path: banded
+    # sign-LSH candidates (seed=42, mirrored exactly by the oracle)
+    # + exact cosine verify — no all-pairs join.
     emb = demo.read_table(spark, sf_dir, "embeddings")
     return D.embedding_near_dup_groups(emb, threshold=0.5)
 
@@ -649,10 +676,21 @@ FROM mh a JOIN mh c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
         "dedup_jaccard": f"""
 WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest({SQL_SHINGLES}) AS shingle FROM tok),
+mh AS (
+  SELECT doc_id, b.band, min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS sig
+  FROM sh CROSS JOIN (VALUES (1), (2), (3), (4)) b(band)
+  GROUP BY doc_id, b.band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM mh a JOIN mh c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
 shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  SELECT cd.doc_a, cd.doc_b, count(*) AS shared
+  FROM cand cd
+  JOIN sh a ON a.doc_id = cd.doc_a
+  JOIN sh b ON b.doc_id = cd.doc_b AND b.shingle = a.shingle
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
@@ -858,18 +896,31 @@ SELECT
 FROM surviving
 WHERE link_state <> 'unused'
 """,
-        "dedup_embedding": """
-WITH RECURSIVE el AS (
-  SELECT a.vec_id AS ida, b.vec_id AS idb,
-         unnest(a.embedding) AS ea, unnest(b.embedding) AS eb
-  FROM embeddings a CROSS JOIN embeddings b
+        "dedup_embedding": f"""
+WITH RECURSIVE emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sigs AS (
+  SELECT vec_id,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([{", ".join(_EMB_SIG_SQL)}]) AS sig
+  FROM emb
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS ida, b.vec_id AS idb
+  FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
   WHERE a.vec_id < b.vec_id
+),
+el AS (
+  SELECT c.ida, c.idb, unnest(a.v) AS ea, unnest(b.v) AS eb
+  FROM cand c
+  JOIN emb a ON a.vec_id = c.ida
+  JOIN emb b ON b.vec_id = c.idb
 ),
 scored AS (
   SELECT ida, idb,
-         sum(CAST(ea AS DOUBLE) * CAST(eb AS DOUBLE))
-           / (sqrt(sum(CAST(ea AS DOUBLE) * CAST(ea AS DOUBLE)))
-              * sqrt(sum(CAST(eb AS DOUBLE) * CAST(eb AS DOUBLE)))) AS cos
+         sum(ea * eb)
+           / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))) AS cos
   FROM el GROUP BY 1, 2
 ),
 edges AS (SELECT ida, idb FROM scored WHERE cos >= 0.5),

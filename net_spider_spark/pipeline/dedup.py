@@ -137,26 +137,10 @@ def minhash_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFra
     )
 
 
-def ngram_jaccard_pairs(
-    shingled: DataFrame,
-    threshold: float = 0.5,
-    id_col: str = "doc_id",
+def _jaccard_tail(
+    shared: DataFrame, sizes: DataFrame, threshold: float, id_col: str
 ) -> DataFrame:
-    """Exact Jaccard similarity for every pair sharing >= 1 shingle.
-
-    shared / (|A| + |B| - shared) computed from one self-join on the
-    shingle — use AFTER an LSH pass at scale (this joins the full
-    shingle inverted index). Returns (doc_a, doc_b, jaccard >= threshold).
-    """
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    a = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
-    shared = (
-        a.join(b, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-    )
+    """shared-count pairs + per-doc sizes -> (doc_a, doc_b, jaccard)."""
     na = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("nb"))
     return (
@@ -174,25 +158,133 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    shingled: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard similarity for EVERY pair sharing >= 1 shingle.
+
+    shared / (|A| + |B| - shared) computed from one self-join on the
+    full shingle inverted index — the exhaustive verifier, for small
+    corpora or spot-checks only. At scale use ``minhash_candidates``
+    followed by :func:`jaccard_verify_candidates`, which bounds the
+    join by the candidate set instead of the hot-shingle blowup here.
+    """
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return _jaccard_tail(shared, sizes, threshold, id_col)
+
+
+def jaccard_verify_candidates(
+    candidates: DataFrame,
+    shingled: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard restricted to candidate pairs — the scale
+    path (LSH-candidates-then-verify).
+
+    ``candidates`` is (doc_a, doc_b) from :func:`minhash_candidates`
+    (or any other candidate generator). The shared-shingle count
+    explodes each candidate pair by doc_a's shingles, then inner-joins
+    doc_b's shingles on (doc_b, shingle): total work is
+    O(|candidates| x shingles-per-doc), independent of how hot any
+    single shingle is — the inverted-index self-join in
+    :func:`ngram_jaccard_pairs` is never built. Returns
+    (doc_a, doc_b, jaccard) for pairs at/above ``threshold``.
+    """
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
+    shared = (
+        candidates.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return _jaccard_tail(shared, sizes, threshold, id_col)
+
+
+def embedding_lsh_candidates(
+    embeddings: DataFrame,
+    n_bands: int = 4,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Banded sign-LSH candidate pairs over an embedding column.
+
+    ``n_bands`` independent signatures of ``n_planes`` sign-bits each
+    (planes drawn once, deterministically, from ``seed``); a pair is a
+    candidate iff it agrees on ANY band — classic OR-of-ANDs banding,
+    so recall for true near-dups rises with bands while per-band
+    buckets stay small enough to join. All bands' signatures come out
+    of ONE narrow projection (codegen) and are unpivoted with
+    ``stack``; candidates are a self-equi-join on (band, sig) — the
+    corpus is never cross-joined. Returns distinct (doc_a, doc_b) with
+    doc_a < doc_b.
+    """
+    from net_spider_spark.pipeline.similarity import hyperplanes, lsh_signature
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_bands * n_planes, seed)
+    sig_cols = [
+        lsh_signature(
+            F.col(vec_col), planes[b * n_planes : (b + 1) * n_planes]
+        ).alias(f"_sig{b}")
+        for b in range(n_bands)
+    ]
+    wide = embeddings.select(F.col(id_col), *sig_cols)
+    stack_args = ", ".join(f"{b}, _sig{b}" for b in range(n_bands))
+    sigs = wide.select(
+        F.col(id_col),
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)"),
+    )
+    a = sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def embedding_near_dup_groups(
     embeddings: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    use_lsh: bool = False,
+    exact: bool = False,
+    n_bands: int = 4,
     n_planes: int = 4,
+    seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate groups.
 
-    Pairs with cosine >= threshold become edges; connected components
-    merge chains of near-dups into groups; the keeper is each group's
-    min ID. Exact by default (all-pairs — the verification path); set
-    ``use_lsh`` for the sign-LSH candidate pass at corpus scale.
+    Candidate pairs come from banded sign-LSH by default
+    (:func:`embedding_lsh_candidates`) and are verified with the EXACT
+    cosine before becoming edges — the scale path: no all-pairs join
+    ever materializes. ``exact=True`` switches to the exhaustive
+    all-pairs verifier (small corpora / recall audits only — O(n^2)).
 
-    Returns (vec_id, group_id, is_keeper).
+    Verified pairs with cosine >= threshold become edges; connected
+    components merge chains of near-dups into groups; the keeper is
+    each group's min ID. Returns (vec_id, group_id, is_keeper).
     """
     from net_spider_spark.graph.components import connected_components
-    from net_spider_spark.pipeline.similarity import cosine, lsh_signature, hyperplanes
+    from net_spider_spark.pipeline.similarity import cosine
 
     a = embeddings.select(
         F.col(id_col).alias("_ida"), F.col(vec_col).alias("_va")
@@ -200,22 +292,29 @@ def embedding_near_dup_groups(
     b = embeddings.select(
         F.col(id_col).alias("_idb"), F.col(vec_col).alias("_vb")
     )
-    if use_lsh:
-        dim = len(embeddings.select(vec_col).first()[0])
-        planes = hyperplanes(dim, n_planes)
-        a = a.withColumn("_bk", lsh_signature(F.col("_va"), planes))
-        b = b.withColumn("_bk", lsh_signature(F.col("_vb"), planes))
-        pairs = a.join(b, "_bk")
+    if exact:
+        pairs = a.crossJoin(b).where(F.col("_ida") < F.col("_idb"))
     else:
-        pairs = a.crossJoin(b)
+        cand = embedding_lsh_candidates(
+            embeddings,
+            n_bands=n_bands,
+            n_planes=n_planes,
+            id_col=id_col,
+            vec_col=vec_col,
+            seed=seed,
+        )
+        pairs = (
+            cand.join(a, cand.doc_a == F.col("_ida"))
+            .join(b, cand.doc_b == F.col("_idb"))
+            .select("_ida", "_va", "_idb", "_vb")
+        )
     # Zero-pad IDs: component representatives are lexicographic-min
     # strings, padding makes that the numeric min.
     def pad(c):
         return F.lpad(c.cast("string"), 12, "0")
 
     edges = (
-        pairs.where(F.col("_ida") < F.col("_idb"))
-        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        pairs.where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
         .select(pad(F.col("_ida")).alias("src"), pad(F.col("_idb")).alias("dst"))
     )
     comps = connected_components(edges)

@@ -91,3 +91,56 @@ def test_lsh_topk_recall_vs_bruteforce(spark):
         ).collect()
     }
     assert all_bucket == exact
+
+
+def test_jaccard_verify_candidates_matches_full_on_candidates(docs):
+    # The scale path (candidates -> verify) must score candidate pairs
+    # identically to the exhaustive inverted-index join, and must never
+    # emit a pair outside the candidate set.
+    sh = D.doc_shingles(docs)
+    cand = D.minhash_candidates(D.minhash_signatures(sh))
+    cand_set = {(r["doc_a"], r["doc_b"]) for r in cand.collect()}
+    full = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.ngram_jaccard_pairs(sh, threshold=0.1).collect()
+    }
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_verify_candidates(cand, sh, threshold=0.1).collect()
+    }
+    assert set(verified) <= cand_set
+    for pair, j in verified.items():
+        assert full[pair] == j
+    # Planted dups are candidates, so the scale path keeps them.
+    assert verified[(1, 2)] == 1.0
+    assert 0.5 < verified[(1, 3)] < 1.0
+
+
+def test_embedding_lsh_default_matches_exact_groups(spark):
+    # Banded sign-LSH candidates + exact verify (the default) must
+    # produce the same near-dup groups as the all-pairs verifier on a
+    # corpus with clearly-separated clusters.
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for cluster in range(5):
+        center = [rng.gauss(0, 1) for _ in range(16)]
+        for j in range(4):
+            vec = [c + rng.gauss(0, 0.001) for c in center]
+            rows.append((cluster * 10 + j, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    lsh = {
+        (r["vec_id"], r["group_id"], r["is_keeper"])
+        for r in D.embedding_near_dup_groups(emb, threshold=0.999).collect()
+    }
+    exact = {
+        (r["vec_id"], r["group_id"], r["is_keeper"])
+        for r in D.embedding_near_dup_groups(
+            emb, threshold=0.999, exact=True
+        ).collect()
+    }
+    assert lsh == exact
+    # and the groups are the planted clusters
+    keepers = {g for (_, g, k) in exact if k}
+    assert len(keepers) == 5
