@@ -784,8 +784,36 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM scored) t
 WHERE rank <= 3
 """,
-        # sim_lsh_topk: intentionally no oracle (approximate operator;
-        # rows-only check) — recall vs brute force is pinned in tests.
+        # sim_lsh_topk: the hyperplanes are deterministic (seed=42), so
+        # the approximate operator HAS an exact oracle — same planes ->
+        # same buckets -> exact top-k within matching buckets.
+        "sim_lsh_topk": f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, {_lsh_sig_sql(n_bands=1, n_planes=2)[0]} AS bucket
+  FROM emb
+),
+q AS (SELECT vec_id, v, bucket FROM bucketed WHERE vec_id < 5),
+c AS (SELECT vec_id, v, bucket FROM bucketed WHERE vec_id >= 5),
+el AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         unnest(q.v) AS qe, unnest(c.v) AS ce
+  FROM q JOIN c ON q.bucket = c.bucket
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce))) AS cos
+  FROM el GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank
+  FROM scored) t
+WHERE rank <= 3
+""",
         "snapshot_links_append_interval": f"""
 WITH {SQL_F},
 b AS (SELECT min(found_at) + (max(found_at) - min(found_at)) // 2 AS mid FROM f),
