@@ -475,6 +475,36 @@ def q_snapshot_links_multilink(spark, sf_dir):
     return links.select("source_node", "dest_node", "is_directed", "link_ts")
 
 
+def q_rpl_dio_merged(spark, sf_dir):
+    # The shipped DIO unifier (rpl/dio.py, DIO.hs:254-288) end-to-end:
+    # custom applyInPandas merge_samples producing MergedDIOLink-style
+    # source_/dest_ prefixed attrs — closes the A6 oracle gap. Attr
+    # values come out as typed columns so the oracle compares scalars.
+    from net_spider_spark.rpl.dio import dio_def_query
+
+    findings = demo.events_findings_dio(spark, sf_dir)
+    _, links = get_snapshot(findings, dio_def_query())
+    a = F.col("link_attrs")
+
+    def attr(k):
+        # absent Maybe fields -> '' so every output column is a
+        # non-null scalar (stable cross-engine sort/hash)
+        return F.coalesce(a.getItem(k), F.lit("")).alias(k)
+
+    return links.select(
+        "source_node",
+        "dest_node",
+        "is_directed",
+        "link_ts",
+        attr("source_neighbor_type"),
+        attr("source_neighbor_rank"),
+        attr("source_metric"),
+        attr("dest_neighbor_type"),
+        attr("dest_neighbor_rank"),
+        attr("dest_metric"),
+    )
+
+
 def q_dedup_embedding(spark, sf_dir):
     # Embedding-cosine near-dup groups via the scale path: banded
     # sign-LSH candidates (seed=42, mirrored exactly by the oracle)
@@ -532,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_lsh_topk": q_sim_lsh_topk,
         "sim_ivf_topk": q_sim_ivf_topk,
         "snapshot_links_multilink": q_snapshot_links_multilink,
+        "rpl_dio_merged": q_rpl_dio_merged,
         "snapshot_links_append_interval": q_snapshot_links_append_interval,
         "u2_union_links": q_u2_union_links,
         "c1_timestamp_format": q_c1_timestamp_format,
@@ -923,6 +954,77 @@ SELECT
   found_at AS link_ts
 FROM surviving
 WHERE link_state <> 'unused'
+""",
+        # Full dioUnifierConf pipeline in SQL: kept findings (overwrite)
+        # -> pair groups -> per-side latest -> neighbor-type precedence
+        # pick (left endpoint breaks ties) -> source_/dest_ attr split
+        # -> drop unused. Mirrors demo.events_findings_dio + rpl/dio.py.
+        "rpl_dio_merged": """
+WITH f AS (
+  SELECT event_id AS finding_id,
+         CAST(user_id % 50 AS VARCHAR) AS subject_node,
+         CAST(CASE WHEN user_id % 50 < 30
+              THEN CASE WHEN user_id % 50 % 2 = 0
+                   THEN user_id % 50 + 1 ELSE user_id % 50 - 1 END
+              ELSE (user_id % 50 + 1 + (event_id * 7) % 49) % 50
+              END AS VARCHAR) AS target_node,
+         epoch_ms(ts) AS found_at,
+         CASE (user_id + event_id) % 3
+           WHEN 0 THEN 'preferred_parent'
+           WHEN 1 THEN 'parent_candidate'
+           ELSE 'other_neighbor' END AS neighbor_type,
+         CAST((user_id + 2 * event_id) % 1024 AS VARCHAR) AS neighbor_rank,
+         CASE WHEN event_id % 3 <> 0 THEN CAST(event_id % 100 AS VARCHAR) END AS metric
+  FROM events
+),
+kept AS (
+  SELECT * FROM (
+    SELECT f.*, row_number() OVER (
+      PARTITION BY subject_node ORDER BY found_at DESC, finding_id DESC) AS rn
+    FROM f) q
+  WHERE rn = 1
+),
+s AS (
+  SELECT *,
+         CASE WHEN neighbor_type = 'preferred_parent'
+              THEN 'to_target' ELSE 'unused' END AS link_state,
+         least(subject_node, target_node) AS p1,
+         greatest(subject_node, target_node) AS p2
+  FROM kept
+),
+latest AS (
+  SELECT * FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY p1, p2, subject_node
+      ORDER BY found_at DESC, finding_id DESC) AS side_rn
+    FROM s) q
+  WHERE side_rn = 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY p1, p2
+    ORDER BY CASE neighbor_type
+               WHEN 'preferred_parent' THEN 0
+               WHEN 'parent_candidate' THEN 1
+               ELSE 2 END ASC,
+             CASE WHEN subject_node = p1 THEN 0 ELSE 1 END ASC
+  ) AS mrank
+  FROM latest
+)
+SELECT m.subject_node AS source_node,
+       m.target_node AS dest_node,
+       true AS is_directed,
+       m.found_at AS link_ts,
+       m.neighbor_type AS source_neighbor_type,
+       m.neighbor_rank AS source_neighbor_rank,
+       coalesce(m.metric, '') AS source_metric,
+       coalesce(d.neighbor_type, '') AS dest_neighbor_type,
+       coalesce(d.neighbor_rank, '') AS dest_neighbor_rank,
+       coalesce(d.metric, '') AS dest_metric
+FROM (SELECT * FROM ranked WHERE mrank = 1) m
+LEFT JOIN (SELECT * FROM ranked WHERE mrank = 2) d
+  ON d.p1 = m.p1 AND d.p2 = m.p2
+WHERE m.link_state = 'to_target'
 """,
         "dedup_embedding": f"""
 WITH RECURSIVE emb AS (

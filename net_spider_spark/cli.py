@@ -112,6 +112,15 @@ def _do_snapshot(spark: SparkSession, args) -> int:
     iv = _interval(args)
     starts = args.starts_from
 
+    # The reference's snapshot uses dioDefQuery/daoDefQuery (RPL/CLI
+    # Main.hs via DIO.hs:246, DAO.hs:130), not the default unifier:
+    # DIO links get the two-endpoint MergedDIOLink merge, DAO links
+    # the no-negation latest merge.
+    from net_spider_spark.rpl.dao import dao_unifier_conf
+    from net_spider_spark.rpl.dio import dio_unifier_conf
+
+    unifiers = {"dio": dio_unifier_conf, "dao": dao_unifier_conf}
+
     def run(prefix: str):
         subset = findings.filter(
             F.col("subject_node").startswith(f"{prefix}://")
@@ -122,6 +131,7 @@ def _do_snapshot(spark: SparkSession, args) -> int:
             time_interval=iv,
             found_node_policy=args.policy,
             max_hops=args.max_hops,
+            unify=unifiers[prefix](),
         )
         return get_snapshot(subset, q)
 

@@ -131,6 +131,66 @@ def events_findings_multilink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_findings_dio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIO-shaped findings from events: a dense 50-node RPL-like graph
+    where each observation carries ``neighbor_type`` / ``neighbor_rank``
+    / optional ``metric`` link attrs and ``dioLinkState`` semantics
+    (``to_target`` iff preferred parent, else ``unused``). Deterministic
+    functions of (user_id, event_id) so a SQL oracle can mirror every
+    column; subjects are folded mod 50 so both endpoints of many pairs
+    actually observe each other (the MergedDIOLink case)."""
+    ev = read_table(spark, sf_dir, "events")
+    subject = F.col("user_id") % 50
+    # Subjects < 30 pair up mutually (0<->1, 2<->3, ...) so both
+    # endpoints observe the same physical link — the MergedDIOLink
+    # two-sided case; the rest scatter pseudo-randomly (one-sided).
+    partner = F.when(subject % 2 == 0, subject + 1).otherwise(subject - 1)
+    target = F.when(subject < 30, partner).otherwise(
+        (subject + 1 + (F.col("event_id") * 7 % 49)) % 50
+    )
+    nt = (
+        F.when((F.col("user_id") + F.col("event_id")) % 3 == 0, "preferred_parent")
+        .when((F.col("user_id") + F.col("event_id")) % 3 == 1, "parent_candidate")
+        .otherwise("other_neighbor")
+    )
+    metric = F.when(
+        F.col("event_id") % 3 != 0, (F.col("event_id") % 100).cast("string")
+    )
+    attrs = F.map_filter(
+        F.map_from_arrays(
+            F.array(
+                F.lit("neighbor_type"), F.lit("neighbor_rank"), F.lit("metric")
+            ),
+            F.array(
+                nt,
+                ((F.col("user_id") + 2 * F.col("event_id")) % 1024).cast("string"),
+                metric,
+            ),
+        ),
+        lambda k, v: v.isNotNull(),
+    )
+    return ev.select(
+        F.col("event_id").alias("finding_id"),
+        subject.cast("string").alias("subject_node"),
+        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("found_at"),
+        F.lit(None).cast("int").alias("tz_offset_min"),
+        F.lit(None).cast("boolean").alias("tz_summer_only"),
+        F.lit(None).cast("string").alias("tz_name"),
+        F.create_map(
+            F.lit("rank"), (F.col("user_id") % 1024).cast("string")
+        ).alias("node_attrs"),
+        F.array(
+            F.struct(
+                target.cast("string").alias("target_node"),
+                F.when(nt == "preferred_parent", "to_target")
+                .otherwise("unused")
+                .alias("link_state"),
+                attrs.alias("link_attrs"),
+            )
+        ).alias("neighbor_links"),
+    )
+
+
 def events_link_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat link-sample view of the same derivation (skips the nested
     struct round-trip; same rows as explode(events_findings))."""

@@ -1,0 +1,139 @@
+"""Shipped RPL unifier configs: the DIO two-endpoint MergedDIOLink
+merge (net-spider-rpl/src/NetSpider/RPL/DIO.hs:254-288) and the DAO
+no-negation default merge (DAO.hs:139-140), driven through the full
+snapshot pipeline. The merged-attribute expectations mirror the
+MergedDIOLink example in test/NetSpider/RPL/DIOSpec.hs:36-44."""
+
+from net_spider_spark.findings import FoundLink, FoundNode, findings_to_df
+from net_spider_spark.rpl.dao import dao_def_query, dao_unifier_conf
+from net_spider_spark.rpl.dio import dio_def_query, dio_link_state, dio_unifier_conf
+from net_spider_spark.snapshot import Query, get_snapshot
+
+
+def _dio_link(target, nt, rank, metric=None, ts_state=None):
+    attrs = {"neighbor_type": nt, "neighbor_rank": str(rank)}
+    if metric is not None:
+        attrs["metric"] = str(metric)
+    return FoundLink(target, ts_state or dio_link_state(nt), attrs)
+
+
+def _links(spark, findings, query):
+    _, links = get_snapshot(findings_to_df(spark, findings), query)
+    return [r.asDict(recursive=True) for r in links.collect()]
+
+
+def test_dio_merge_both_endpoints(spark):
+    # DIOSpec.hs:36-44 golden shape: preferred_parent side wins, its
+    # attrs become source_*, the other endpoint's become dest_*; the
+    # absent Maybe metric is omitted, not empty.
+    findings = [
+        FoundNode("a", 2000, [_dio_link("b", "preferred_parent", 590, 132)]),
+        FoundNode("b", 1000, [_dio_link("a", "other_neighbor", 722)]),
+    ]
+    rows = _links(spark, findings, dio_def_query())
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_node"], r["dest_node"], r["is_directed"]) == ("a", "b", True)
+    assert r["link_ts"] == 2000
+    assert r["link_attrs"] == {
+        "source_neighbor_type": "preferred_parent",
+        "source_neighbor_rank": "590",
+        "source_metric": "132",
+        "dest_neighbor_type": "other_neighbor",
+        "dest_neighbor_rank": "722",
+    }
+
+
+def test_dio_merge_more_parentish_side_wins(spark):
+    # The base sample comes from whichever endpoint reports the more
+    # parent-ish neighbor type (DIO.hs:270-276) — even when the OTHER
+    # side's observation is newer. Negation is off, so the newer
+    # "unused" observation by `a` does not kill the link either.
+    findings = [
+        FoundNode("a", 2000, [_dio_link("b", "other_neighbor", 900)]),
+        FoundNode("b", 1000, [_dio_link("a", "preferred_parent", 300, 7)]),
+    ]
+    rows = _links(spark, findings, dio_def_query())
+    assert len(rows) == 1
+    r = rows[0]
+    # winner = b's sample (to_target): link b -> a, at b's timestamp
+    assert (r["source_node"], r["dest_node"]) == ("b", "a")
+    assert r["link_ts"] == 1000
+    assert r["link_attrs"]["source_neighbor_type"] == "preferred_parent"
+    assert r["link_attrs"]["source_metric"] == "7"
+    assert r["link_attrs"]["dest_neighbor_type"] == "other_neighbor"
+    assert "dest_metric" not in r["link_attrs"]
+
+
+def test_dio_one_sided_has_no_dest_attrs(spark):
+    findings = [
+        FoundNode("a", 1500, [_dio_link("b", "preferred_parent", 256)]),
+    ]
+    rows = _links(spark, findings, dio_def_query())
+    assert len(rows) == 1
+    attrs = rows[0]["link_attrs"]
+    assert attrs["source_neighbor_type"] == "preferred_parent"
+    assert not any(k.startswith("dest_") for k in attrs)
+
+
+def test_dio_both_non_preferred_dropped(spark):
+    # dioLinkState: no preferred parent on either side -> both samples
+    # are 'unused' -> the merged link is dropped from the snapshot.
+    findings = [
+        FoundNode("a", 2000, [_dio_link("b", "parent_candidate", 10)]),
+        FoundNode("b", 1000, [_dio_link("a", "other_neighbor", 20)]),
+    ]
+    assert _links(spark, findings, dio_def_query()) == []
+
+
+def test_dio_latest_sample_per_side(spark):
+    # Each endpoint contributes its LATEST sample to the merge; stale
+    # observations (a@1000 parent_candidate) are ignored.
+    findings = [
+        FoundNode("a", 1000, [_dio_link("b", "parent_candidate", 11)]),
+        FoundNode("a", 3000, [_dio_link("b", "preferred_parent", 12)]),
+        FoundNode("b", 2000, [_dio_link("a", "other_neighbor", 13)]),
+    ]
+    rows = _links(spark, findings, dio_def_query(found_node_policy="append"))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["link_ts"] == 3000
+    assert r["link_attrs"]["source_neighbor_rank"] == "12"
+    assert r["link_attrs"]["dest_neighbor_rank"] == "13"
+
+
+def test_dio_tie_keeps_lesser_endpoint(spark):
+    # Equal neighbor types: main = the pair's lesser node ID (the
+    # left operand of mergeSamples), per `neighborType main <= sub`.
+    findings = [
+        FoundNode("b", 2000, [_dio_link("a", "preferred_parent", 2)]),
+        FoundNode("a", 1000, [_dio_link("b", "preferred_parent", 1)]),
+    ]
+    rows = _links(spark, findings, dio_def_query())
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["source_node"], r["dest_node"]) == ("a", "b")
+    assert r["link_ts"] == 1000
+    assert r["link_attrs"]["source_neighbor_rank"] == "1"
+    assert r["link_attrs"]["dest_neighbor_rank"] == "2"
+
+
+def test_dao_unifier_disables_negation(spark):
+    # defNegatesLinkSample would kill this link (b has a newer node
+    # timestamp and no link back); daoUnifierConf must keep it.
+    findings = [
+        FoundNode("a", 1000, [FoundLink("b", "to_target", {"path_lifetime_sec": "2560"})]),
+        FoundNode("b", 2000, []),
+    ]
+    default_rows = _links(spark, findings, Query())
+    dao_rows = _links(spark, findings, dao_def_query())
+    assert default_rows == []
+    assert len(dao_rows) == 1
+    assert dao_rows[0]["link_attrs"] == {"path_lifetime_sec": "2560"}
+
+
+def test_unifier_conf_shapes():
+    dio = dio_unifier_conf()
+    assert dio.merge_samples is not None and dio.merge_output_schema is not None
+    dao = dao_unifier_conf()
+    assert dao.merge_samples is None  # stays on the pure-Catalyst path
