@@ -69,18 +69,27 @@ def find_root(nodes: DataFrame, links: DataFrame, root_type: str) -> str:
         if root_type == ROOT_SOURCE
         else ("out_degree", "in_degree")
     )
-    candidates = (
-        deg.where(F.col(parent_col) == 0)
-        .orderBy(F.desc(child_col), F.asc("node_id"))
-        .select("node_id", F.col(child_col).alias("child_num"))
-        .collect()
+    # Aggregate the sanity rules instead of collecting the candidate
+    # list: a hub-skewed graph can have millions of zero-parent nodes
+    # (all orphans) and the old collect() was a driver OOM at scale.
+    # The rules only need (candidate count, count with children, head).
+    candidates = deg.where(F.col(parent_col) == 0).select(
+        "node_id", F.col(child_col).alias("child_num")
     )
-    if not candidates:
+    stats = candidates.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("child_num") > 0).cast("long")).alias("n_with_children"),
+    ).collect()[0]
+    if stats["n"] == 0:
         raise AnalyzeError("The graph has no node that has no parent.")
-    if len(candidates) == 1:
-        return candidates[0]["node_id"]
-    head, rest = candidates[0], candidates[1:]
-    if head["child_num"] > 0 and all(c["child_num"] == 0 for c in rest):
+    head = (
+        candidates.orderBy(F.desc("child_num"), F.asc("node_id"))
+        .limit(1)
+        .collect()[0]
+    )
+    if stats["n"] == 1:
+        return head["node_id"]
+    if head["child_num"] > 0 and stats["n_with_children"] == 1:
         return head["node_id"]
     if head["child_num"] == 0:
         raise AnalyzeError("The graph contains orphan nodes only.")
@@ -88,7 +97,15 @@ def find_root(nodes: DataFrame, links: DataFrame, root_type: str) -> str:
 
 
 def tree_depth(links: DataFrame, root: str, root_type: str) -> int:
-    """Max BFS level from the root, edges oriented away from it."""
+    """Max BFS level from the root, edges oriented away from it.
+
+    Delegates to ``traverse.reachable_with_levels``, which takes a
+    driver-local fast path for small deduplicated edge projections and
+    a one-job-per-level distributed BFS above the threshold — no
+    unguarded edge collect (the reference's FGL spTree is inherently
+    single-node; this isn't)."""
+    from net_spider_spark.traverse import reachable_with_levels
+
     spark = links.sparkSession
     if root_type == ROOT_SOURCE:
         edges = links.select(
@@ -98,23 +115,9 @@ def tree_depth(links: DataFrame, root: str, root_type: str) -> int:
         edges = links.select(
             F.col("dest_node").alias("src"), F.col("source_node").alias("dst")
         )
-    adj: dict[str, list[str]] = {}
-    for row in edges.collect():
-        adj.setdefault(row["src"], []).append(row["dst"])
-    # Snapshot graphs are query *results* (bounded); a driver-side BFS
-    # mirrors the reference's FGL spTree. For bulk depth over huge edge
-    # sets, use traverse.reachable_nodes level tracking instead.
-    depth = 0
-    visited = {root}
-    frontier = {root}
-    while frontier:
-        nxt = {d for s in frontier for d in adj.get(s, ()) if d not in visited}
-        if not nxt:
-            break
-        visited |= nxt
-        frontier = nxt
-        depth += 1
-    return depth
+    starts = spark.createDataFrame([(root,)], "node_id string")
+    levels = reachable_with_levels(edges, starts)
+    return levels.agg(F.max("level")).collect()[0][0] or 0
 
 
 def analyze_dodag(

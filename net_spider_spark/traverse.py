@@ -105,6 +105,99 @@ def reachable_nodes(
     return visited
 
 
+def reachable_with_levels(
+    edges: DataFrame,
+    starts: DataFrame,
+    max_hops: Optional[int] = None,
+    local_threshold: int = _LOCAL_BFS_MAX_EDGES,
+) -> DataFrame:
+    """BFS like :func:`reachable_nodes` but returning
+    DataFrame(node_id string, level long) — the hop distance from the
+    nearest start node (starts are level 0).
+
+    Same scale structure as ``reachable_nodes``: driver-local fast path
+    for small deduplicated edge projections, else one broadcast-join
+    job per level with anti-join dedup and periodic lineage
+    truncation. This is the scale path for depth analytics
+    (``analyze.tree_depth``) — no unguarded edge collect.
+    """
+    spark = edges.sparkSession
+    edges = (
+        edges.select(F.col("src"), F.col("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    n_edges = edges.count()
+    if n_edges <= local_threshold:
+        try:
+            adj: dict[str, list[str]] = {}
+            for row in edges.collect():
+                adj.setdefault(row["src"], []).append(row["dst"])
+        finally:
+            edges.unpersist()
+        levels = {
+            r["node_id"]: 0
+            for r in starts.select("node_id").distinct().collect()
+        }
+        frontier = set(levels)
+        hops = 0
+        while frontier and (max_hops is None or hops < max_hops):
+            hops += 1
+            nxt = {
+                dst
+                for src in frontier
+                for dst in adj.get(src, ())
+                if dst not in levels
+            }
+            for n in nxt:
+                levels[n] = hops
+            frontier = nxt
+        if not levels:
+            return spark.createDataFrame([], "node_id string, level long")
+        return spark.createDataFrame(
+            sorted(levels.items()), "node_id string, level long"
+        )
+
+    visited = (
+        starts.select("node_id")
+        .distinct()
+        .withColumn("level", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited.select("node_id")
+    n_frontier = frontier.count()
+    hops = 0
+    try:
+        while n_frontier > 0:
+            if max_hops is not None and hops >= max_hops:
+                break
+            hops += 1
+            f = (
+                F.broadcast(frontier)
+                if n_frontier <= _BROADCAST_FRONTIER_MAX
+                else frontier
+            )
+            nxt = (
+                edges.join(f, edges.src == f.node_id, "inner")
+                .select(F.col("dst").alias("node_id"))
+                .distinct()
+                .join(visited.select("node_id"), "node_id", "left_anti")
+                .withColumn("level", F.lit(hops).cast("long"))
+                .localCheckpoint(eager=False)
+            )
+            n_frontier = nxt.count()
+            if n_frontier == 0:
+                break
+            visited = visited.unionByName(nxt)
+            if hops % 8 == 7:
+                visited = visited.localCheckpoint(eager=True)
+            frontier = nxt.select("node_id")
+    finally:
+        edges.unpersist()
+    return visited
+
+
 def _local_bfs(
     edges: DataFrame, starts: DataFrame, max_hops: Optional[int]
 ) -> DataFrame:

@@ -101,3 +101,42 @@ def test_combine_graphs(spark):
         ("fd00::1", "fd00::2", "dao"),
         ("fd00::2", "fd00::1", "dio"),
     ]
+
+
+def test_find_root_hub_skew_aggregated(spark):
+    # Many orphan zero-parent candidates beside one real root: the
+    # sanity rules must resolve via aggregates (no unbounded collect
+    # of the candidate list on the driver).
+    from net_spider_spark.graph.analyze import ROOT_SOURCE, find_root
+
+    links = spark.createDataFrame(
+        [("root", f"c{i}") for i in range(50)],
+        "source_node string, dest_node string",
+    )
+    orphans = spark.createDataFrame(
+        [(f"orphan{i}",) for i in range(5000)] + [("root",)]
+        + [(f"c{i}",) for i in range(50)],
+        "node_id string",
+    )
+    assert find_root(orphans, links, ROOT_SOURCE) == "root"
+
+
+def test_tree_depth_distributed_path(spark):
+    # Depth through the distributed BFS (threshold forced to 0 via a
+    # chain) must match the known chain depth.
+    from net_spider_spark.graph.analyze import ROOT_SOURCE, tree_depth
+    from net_spider_spark.traverse import reachable_with_levels
+    import pyspark.sql.functions as F
+
+    links = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(6)],
+        "source_node string, dest_node string",
+    )
+    assert tree_depth(links, "n0", ROOT_SOURCE) == 6
+    # distributed variant agrees
+    edges = links.select(
+        F.col("source_node").alias("src"), F.col("dest_node").alias("dst")
+    )
+    starts = spark.createDataFrame([("n0",)], "node_id string")
+    lv = reachable_with_levels(edges, starts, local_threshold=0)
+    assert lv.agg(F.max("level")).collect()[0][0] == 6

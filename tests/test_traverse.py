@@ -46,3 +46,35 @@ def test_max_hops(spark):
 def test_isolated_start(spark):
     # start with no outgoing edges: still returned
     assert _run(spark, ["e"]) == ["e"]
+
+
+def _run_levels(spark, starts, max_hops=None, threshold=None):
+    from net_spider_spark.traverse import reachable_with_levels
+
+    edges = spark.createDataFrame(EDGES, "src string, dst string")
+    starts_df = spark.createDataFrame([(s,) for s in starts], "node_id string")
+    kw = {"max_hops": max_hops}
+    if threshold is not None:
+        kw["local_threshold"] = threshold
+    return {
+        r["node_id"]: r["level"]
+        for r in reachable_with_levels(edges, starts_df, **kw).collect()
+    }
+
+
+def test_levels_from_a(spark):
+    expect = {"a": 0, "b": 1, "c": 2, "e": 2, "d": 3}
+    assert _run_levels(spark, ["a"]) == expect
+    assert _run_levels(spark, ["a"], threshold=0) == expect
+
+
+def test_levels_multi_start_takes_nearest(spark):
+    got = _run_levels(spark, ["a", "c"])
+    assert got["c"] == 0 and got["d"] == 1 and got["b"] == 1
+    assert _run_levels(spark, ["a", "c"], threshold=0) == got
+
+
+def test_levels_max_hops(spark):
+    expect = {"a": 0, "b": 1}
+    assert _run_levels(spark, ["a"], max_hops=1) == expect
+    assert _run_levels(spark, ["a"], max_hops=1, threshold=0) == expect
