@@ -119,13 +119,13 @@ def explode_link_samples(findings_df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _timestamp_to_json(epoch_ms: int, tz_offset_min=None, tz_summer_only=None, tz_name=None):
+    # Reference wire format (Timestamp.hs:89-100): FLAT
+    # tz_offset_min/tz_summer_only/tz_name fields beside epoch_time.
     out: dict = {"epoch_time": epoch_ms}
     if tz_offset_min is not None:
-        out["time_zone"] = {
-            "offset_min": tz_offset_min,
-            "summer_only": bool(tz_summer_only),
-            "name": tz_name or "",
-        }
+        out["tz_offset_min"] = tz_offset_min
+        out["tz_summer_only"] = bool(tz_summer_only)
+        out["tz_name"] = tz_name or ""
     return out
 
 
@@ -156,13 +156,21 @@ def found_node_from_json(text: str) -> FoundNode:
     doc = json.loads(text)
     fa = doc["found_at"]
     if isinstance(fa, dict):
-        tzo = (fa.get("time_zone") or {}).get("offset_min")
+        # Flat tz fields (Timestamp.hs:80-85); the pre-0.2 nested
+        # {"time_zone": {...}} form is still accepted for old files.
+        legacy = fa.get("time_zone") or {}
         ts = Timestamp(
             int(fa["epoch_time"]),
-            tzo,
-            (fa.get("time_zone") or {}).get("summer_only"),
-            (fa.get("time_zone") or {}).get("name"),
+            fa.get("tz_offset_min", legacy.get("offset_min")),
+            fa.get("tz_summer_only", legacy.get("summer_only")),
+            fa.get("tz_name", legacy.get("name")),
         )
+    elif isinstance(fa, str):
+        # The reference FromJSON also parses ISO-8601 strings
+        # (Timestamp.hs:74-79 via parseTimestamp).
+        from net_spider_spark.timestamp import parse_timestamp
+
+        ts = parse_timestamp(fa)
     else:
         ts = Timestamp(int(fa))
     return FoundNode(
@@ -187,7 +195,12 @@ def findings_df_to_json(findings_df: DataFrame) -> DataFrame:
         F.to_json(
             F.struct(
                 F.col("subject_node"),
-                F.struct(F.col("found_at").alias("epoch_time")).alias("found_at"),
+                F.struct(
+                    F.col("found_at").alias("epoch_time"),
+                    F.col("tz_offset_min"),
+                    F.col("tz_summer_only"),
+                    F.col("tz_name"),
+                ).alias("found_at"),
                 F.col("node_attrs"),
                 F.col("neighbor_links"),
             )

@@ -44,29 +44,32 @@ def _escape(text: str) -> str:
 
 
 def _infer_type(values: Iterable[str]) -> str:
-    t = "boolean"
+    """Narrowest GraphML attr.type valid for EVERY value: the running
+    set of types each value satisfies is intersected, so mixed inputs
+    like ["true", "5"] fall back to string instead of declaring a type
+    one of the data values violates."""
+    possible = {"boolean", "long", "double"}
     for v in values:
-        if v is None:
+        if v is None or not possible:
             continue
-        if t == "boolean":
-            if v in ("true", "false"):
-                continue
-            t = "long"
-        if t == "long":
-            try:
-                int(v)
-                continue
-            except ValueError:
-                t = "double"
-        if t == "double":
-            try:
-                float(v)
-                continue
-            except ValueError:
-                t = "string"
-        if t == "string":
-            break
-    return t
+        sat = set()
+        if v in ("true", "false"):
+            sat.add("boolean")
+        try:
+            int(v)
+            sat.add("long")
+        except ValueError:
+            pass
+        try:
+            float(v)
+            sat.add("double")
+        except ValueError:
+            pass
+        possible &= sat
+    for t in ("boolean", "long", "double"):
+        if t in possible:
+            return t
+    return "string"
 
 
 class _KeyStore:

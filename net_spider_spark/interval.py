@@ -68,16 +68,33 @@ class Interval:
         return Interval(NEG_INF, upper, True, inclusive)
 
     @staticmethod
-    def sec_since(lower, seconds: float) -> "Interval":
-        """``secSince``: interval of given length starting (inclusive)
-        at lower (Interval.hs:151-160)."""
-        lo = to_epoch_ms(lower)
-        return Interval(lo, lo + int(seconds * 1000), True, True)
+    def empty() -> "Interval":
+        """Interval containing no timestamp (``Interval.empty`` — what
+        ``secSince``/``secUntil`` return for infinite anchors)."""
+        return Interval(0, 0, False, False)
 
     @staticmethod
-    def sec_until(upper, seconds: float) -> "Interval":
-        """``secUntil``: alias of sec_up_to (Interval.hs:162-171)."""
-        return Interval.sec_up_to(upper, seconds)
+    def sec_since(lower, seconds: float, inclusive: bool = True) -> "Interval":
+        """``secSince`` (Interval.hs:148-165): length-``seconds``
+        interval from ``lower``. The far end's inclusivity is the
+        NEGATION of the anchor's — an inclusive start yields
+        ``[lo, lo+s)`` so back-to-back windows tile without overlap.
+        Infinite anchors yield the empty interval."""
+        if isinstance(lower, (_NegInf, _PosInf)):
+            return Interval.empty()
+        lo = to_epoch_ms(lower)
+        return Interval(lo, lo + int(seconds * 1000), inclusive, not inclusive)
+
+    @staticmethod
+    def sec_until(upper, seconds: float, inclusive: bool = True) -> "Interval":
+        """``secUntil`` (Interval.hs:167-184): length-``seconds``
+        interval up to ``upper``; the start's inclusivity is the
+        negation of the anchor's (``(hi-s, hi]`` by default). NOT an
+        alias of ``sec_up_to``, which is inclusive on both ends."""
+        if isinstance(upper, (_NegInf, _PosInf)):
+            return Interval.empty()
+        hi = to_epoch_ms(upper)
+        return Interval(hi - int(seconds * 1000), hi, not inclusive, inclusive)
 
     @staticmethod
     def parse_end(text: str):

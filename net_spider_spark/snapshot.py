@@ -27,6 +27,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from net_spider_spark.findings import explode_link_samples
 from net_spider_spark.interval import Interval
@@ -332,7 +333,29 @@ def snapshot_to_json(nodes: DataFrame, links: DataFrame) -> tuple[DataFrame, Dat
     (SnapshotElement ToJSON, Snapshot/Internal.hs:88-137): one column
     ``json`` per DataFrame. JVM-side to_json — exportable at any scale
     via a normal distributed write."""
-    node_json = nodes.select(
+    # Aeson's generic encoding (no omitNothingFields) writes Nothing as
+    # an EXPLICIT null, while the Timestamp object itself omits tz
+    # fields when there is no timezone (Timestamp.hs:89-100). Two
+    # to_json shapes with ignoreNullFields=false reproduce both rules.
+    opts = {"ignoreNullFields": "false"}
+    tz_present = F.col("tz_offset_min").isNotNull()
+    node_with_tz = nodes.where(tz_present).select(
+        F.to_json(
+            F.struct(
+                F.col("node_id"),
+                F.col("is_on_boundary"),
+                F.struct(
+                    F.col("node_ts").alias("epoch_time"),
+                    F.col("tz_offset_min"),
+                    F.col("tz_summer_only"),
+                    F.col("tz_name"),
+                ).alias("timestamp"),
+                F.col("node_attrs"),
+            ),
+            opts,
+        ).alias("json")
+    )
+    node_no_tz = nodes.where(~tz_present).select(
         F.to_json(
             F.struct(
                 F.col("node_id"),
@@ -342,9 +365,11 @@ def snapshot_to_json(nodes: DataFrame, links: DataFrame) -> tuple[DataFrame, Dat
                     F.struct(F.col("node_ts").alias("epoch_time")),
                 ).alias("timestamp"),
                 F.col("node_attrs"),
-            )
+            ),
+            opts,
         ).alias("json")
     )
+    node_json = node_with_tz.unionByName(node_no_tz)
     link_json = links.select(
         F.to_json(
             F.struct(
@@ -353,10 +378,75 @@ def snapshot_to_json(nodes: DataFrame, links: DataFrame) -> tuple[DataFrame, Dat
                 F.col("is_directed"),
                 F.struct(F.col("link_ts").alias("epoch_time")).alias("timestamp"),
                 F.col("link_attrs"),
-            )
+            ),
+            opts,
         ).alias("json")
     )
     return node_json, link_json
+
+
+#: Wire schemas for snapshot elements (FromJSON SnapshotNode /
+#: SnapshotLink, Snapshot/Internal.hs:88-137 + Timestamp.hs:74-85).
+_TS_WIRE = T.StructType(
+    [
+        T.StructField("epoch_time", T.LongType()),
+        T.StructField("tz_offset_min", T.IntegerType()),
+        T.StructField("tz_summer_only", T.BooleanType()),
+        T.StructField("tz_name", T.StringType()),
+    ]
+)
+SNAPSHOT_NODE_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("node_id", T.StringType()),
+        T.StructField("is_on_boundary", T.BooleanType()),
+        T.StructField("timestamp", _TS_WIRE),
+        T.StructField("node_attrs", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+SNAPSHOT_LINK_WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("source_node", T.StringType()),
+        T.StructField("dest_node", T.StringType()),
+        T.StructField("is_directed", T.BooleanType()),
+        T.StructField("timestamp", _TS_WIRE),
+        T.StructField("link_attrs", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+def snapshot_from_json(
+    node_json: DataFrame, link_json: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """Parse-back of :func:`snapshot_to_json` (FromJSON for snapshot
+    elements, Snapshot/Internal.hs:88-137): ``json`` string columns ->
+    (nodes, links) in the engine's snapshot schema. from_json is
+    JVM-side; a malformed document yields null required fields and is
+    dropped."""
+    n = node_json.select(
+        F.from_json(F.col("json"), SNAPSHOT_NODE_WIRE_SCHEMA).alias("d")
+    ).where(F.col("d.node_id").isNotNull())
+    nodes = n.select(
+        F.col("d.node_id").alias("node_id"),
+        F.coalesce(F.col("d.is_on_boundary"), F.lit(False)).alias("is_on_boundary"),
+        F.col("d.timestamp.epoch_time").alias("node_ts"),
+        F.col("d.node_attrs").alias("node_attrs"),
+        F.col("d.timestamp.tz_offset_min").alias("tz_offset_min"),
+        F.col("d.timestamp.tz_summer_only").alias("tz_summer_only"),
+        F.col("d.timestamp.tz_name").alias("tz_name"),
+    )
+    l = link_json.select(
+        F.from_json(F.col("json"), SNAPSHOT_LINK_WIRE_SCHEMA).alias("d")
+    ).where(
+        F.col("d.source_node").isNotNull() & F.col("d.dest_node").isNotNull()
+    )
+    links = l.select(
+        F.col("d.source_node").alias("source_node"),
+        F.col("d.dest_node").alias("dest_node"),
+        F.coalesce(F.col("d.is_directed"), F.lit(True)).alias("is_directed"),
+        F.col("d.timestamp.epoch_time").alias("link_ts"),
+        F.col("d.link_attrs").alias("link_attrs"),
+    )
+    return nodes, links
 
 
 def graph_timestamp(nodes: DataFrame, links: DataFrame):

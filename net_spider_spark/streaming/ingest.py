@@ -40,7 +40,15 @@ FINDING_JSON_SCHEMA = T.StructType(
         T.StructField("subject_node", T.StringType()),
         T.StructField(
             "found_at",
-            T.StructType([T.StructField("epoch_time", T.LongType())]),
+            T.StructType(
+                [
+                    T.StructField("epoch_time", T.LongType()),
+                    # flat tz fields, Timestamp.hs:80-100
+                    T.StructField("tz_offset_min", T.IntegerType()),
+                    T.StructField("tz_summer_only", T.BooleanType()),
+                    T.StructField("tz_name", T.StringType()),
+                ]
+            ),
         ),
         T.StructField("node_attrs", T.MapType(T.StringType(), T.StringType())),
         T.StructField(
@@ -72,20 +80,23 @@ def stream_findings_json(spark: SparkSession, input_dir: str) -> DataFrame:
     # malformed lines (not a NULL struct) — filter on the required
     # fields, or garbage rows flow into the table and the stateful op.
     parsed = raw.select(
-        F.from_json(F.col("value"), FINDING_JSON_SCHEMA).alias("f")
+        F.col("value"), F.from_json(F.col("value"), FINDING_JSON_SCHEMA).alias("f")
     ).where(
         F.col("f.subject_node").isNotNull()
         & F.col("f.found_at.epoch_time").isNotNull()
     )
+    # finding_id hashes the WHOLE raw line: distinct findings with the
+    # same (subject, timestamp) must not collide, or the latest-per-node
+    # argmax keeps both tied rows and emits duplicate subjects. Streamed
+    # ties therefore break by content hash, not arrival order (the batch
+    # path's ingest-order tie-break has no stable analogue in a stream).
     return parsed.select(
-        F.xxhash64(F.col("f.subject_node"), F.col("f.found_at.epoch_time")).alias(
-            "finding_id"
-        ),
+        F.xxhash64(F.col("value")).alias("finding_id"),
         F.col("f.subject_node").alias("subject_node"),
         F.col("f.found_at.epoch_time").alias("found_at"),
-        F.lit(None).cast("int").alias("tz_offset_min"),
-        F.lit(None).cast("boolean").alias("tz_summer_only"),
-        F.lit(None).cast("string").alias("tz_name"),
+        F.col("f.found_at.tz_offset_min").alias("tz_offset_min"),
+        F.col("f.found_at.tz_summer_only").alias("tz_summer_only"),
+        F.col("f.found_at.tz_name").alias("tz_name"),
         F.col("f.node_attrs").alias("node_attrs"),
         F.col("f.neighbor_links").alias("neighbor_links"),
     )
@@ -127,11 +138,17 @@ def _update_latest(
     else:
         best_ts, best_payload = -1, None
     for pdf in pdf_iter:
-        for _, row in pdf.iterrows():
-            ts = int(row["found_at"])
-            if ts >= best_ts:
-                best_ts = ts
-                best_payload = json.dumps(dict(row["node_attrs"] or {}))
+        if not len(pdf):
+            continue
+        # vectorized per-batch argmax (idxmax) — a single row lookup
+        # replaces the per-row Python loop. In-batch ties keep the
+        # first max row (arrival order in a stream is arbitrary
+        # anyway); a tie with the stored state prefers the new batch.
+        i = pdf["found_at"].idxmax()
+        ts = int(pdf["found_at"].loc[i])
+        if ts >= best_ts:
+            best_ts = ts
+            best_payload = json.dumps(dict(pdf["node_attrs"].loc[i] or {}))
     state.update((best_ts, best_payload))
     yield pd.DataFrame(
         {

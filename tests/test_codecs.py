@@ -118,7 +118,10 @@ def test_snapshot_to_json_and_simple(spark):
     nj, lj = snapshot_to_json(nodes, links)
     ndocs = {J.loads(r["json"])["node_id"]: J.loads(r["json"]) for r in nj.collect()}
     assert ndocs["a"]["timestamp"] == {"epoch_time": 1000}
-    assert "timestamp" not in ndocs["b"]  # never observed
+    # Aeson generic encoding: Nothing -> EXPLICIT null (no
+    # omitNothingFields in aesonOpt, Snapshot/Internal.hs:71-75)
+    assert ndocs["b"]["timestamp"] is None  # never observed
+    assert ndocs["b"]["node_attrs"] is None
     ldoc = J.loads(lj.collect()[0]["json"])
     assert ldoc == {
         "source_node": "a", "dest_node": "b", "is_directed": True,
@@ -127,6 +130,105 @@ def test_snapshot_to_json_and_simple(spark):
 
 
 def test_interval_sec_builders():
+    # secSince flips the far end's inclusivity (Interval.hs doctests):
+    # inclusive start -> [lo, lo+s); exclusive start -> (lo, lo+s].
     iv = Interval.sec_since("2020-01-01T00:00", 120)
-    assert iv.upper - iv.lower == 120_000 and iv.lower_inclusive
-    assert Interval.sec_until("2020-01-01T00:02", 120).lower == iv.lower
+    assert iv.upper - iv.lower == 120_000
+    assert iv.lower_inclusive and not iv.upper_inclusive
+    ivx = Interval.sec_since("2020-01-01T00:00", 120, inclusive=False)
+    assert not ivx.lower_inclusive and ivx.upper_inclusive
+    # secUntil: (hi-s, hi] by default
+    ivu = Interval.sec_until("2020-01-01T00:02", 120)
+    assert ivu.lower == iv.lower
+    assert not ivu.lower_inclusive and ivu.upper_inclusive
+    # sec_up_to stays inclusive on both ends (secUpTo)
+    up = Interval.sec_up_to("2020-01-01T00:02", 120)
+    assert up.lower_inclusive and up.upper_inclusive
+    # infinite anchors -> empty interval
+    from net_spider_spark.interval import NEG_INF, POS_INF
+
+    for anchor in (NEG_INF, POS_INF):
+        e = Interval.sec_since(anchor, 60)
+        assert not e.lower_inclusive and not e.upper_inclusive
+        assert e.lower == e.upper
+
+
+def test_found_node_json_flat_tz_fields():
+    # Timestamp wire format (Timestamp.hs:80-100): FLAT tz fields
+    # beside epoch_time — reference-produced JSON keeps its timezone.
+    fn = FoundNode("n", Timestamp(5000, 540, False, "JST"), [], {})
+    doc = json.loads(found_node_to_json(fn))
+    assert doc["found_at"] == {
+        "epoch_time": 5000,
+        "tz_offset_min": 540,
+        "tz_summer_only": False,
+        "tz_name": "JST",
+    }
+    back = found_node_from_json(found_node_to_json(fn))
+    assert back.found_at.tz_offset_min == 540
+    assert back.found_at.tz_name == "JST"
+    # reference FromJSON also accepts an ISO string timestamp
+    iso = found_node_from_json(
+        '{"subject_node": "n", "found_at": "2018-10-11T11:23:05",'
+        ' "node_attrs": {}, "neighbor_links": []}'
+    )
+    assert iso.epoch_ms == 1539256985000
+    # legacy nested form still parses
+    legacy = found_node_from_json(
+        '{"subject_node": "n", "found_at": {"epoch_time": 1,'
+        ' "time_zone": {"offset_min": 60, "summer_only": false, "name": "CET"}},'
+        ' "node_attrs": {}, "neighbor_links": []}'
+    )
+    assert legacy.found_at.tz_offset_min == 60
+
+
+def test_snapshot_json_roundtrip(spark):
+    from net_spider_spark.snapshot import (
+        get_snapshot_simple,
+        snapshot_from_json,
+        snapshot_to_json,
+    )
+
+    findings = [
+        FoundNode(
+            "a",
+            Timestamp(1000, 540, False, "JST"),
+            [FoundLink("b", "to_target", {"k": "v"})],
+            {"m": "1"},
+        ),
+    ]
+    df = findings_to_df(spark, findings)
+    nodes, links = get_snapshot_simple(df, ["a"])
+    nj, lj = snapshot_to_json(nodes, links)
+    # tz rides inside the timestamp object on the wire
+    adoc = next(
+        json.loads(r["json"])
+        for r in nj.collect()
+        if json.loads(r["json"])["node_id"] == "a"
+    )
+    assert adoc["timestamp"]["tz_offset_min"] == 540
+    nodes2, links2 = snapshot_from_json(nj, lj)
+    n2 = {r["node_id"]: r.asDict() for r in nodes2.collect()}
+    assert n2["a"]["node_ts"] == 1000 and n2["a"]["tz_offset_min"] == 540
+    # b is reached by the traversal (visited, not boundary), never observed
+    assert not n2["b"]["is_on_boundary"] and n2["b"]["node_ts"] is None
+    l2 = [r.asDict(recursive=True) for r in links2.collect()]
+    assert l2 == [
+        {
+            "source_node": "a",
+            "dest_node": "b",
+            "is_directed": True,
+            "link_ts": 1000,
+            "link_attrs": {"k": "v"},
+        }
+    ]
+
+
+def test_graphml_infer_type_no_widening():
+    from net_spider_spark.graphml import _infer_type
+
+    assert _infer_type(["true", "5"]) == "string"  # no valid common type
+    assert _infer_type(["true", "false", None]) == "boolean"
+    assert _infer_type(["1", "2"]) == "long"
+    assert _infer_type(["1", "2.5"]) == "double"
+    assert _infer_type(["1", "x"]) == "string"

@@ -108,3 +108,63 @@ def test_parse_logs_streaming(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert results == [(1, 2)]
+
+
+def test_stream_distinct_content_same_subject_ts(spark, tmp_path):
+    # Two DIFFERENT findings with the same (subject, timestamp) must get
+    # distinct finding_ids (content hash) — a shared id would tie in the
+    # latest-per-node argmax and emit duplicate subject rows.
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b1.jsonl", [
+        _finding("x", 100, [], {"s": "one"}),
+        _finding("x", 100, [], {"s": "two"}),
+    ])
+    df = stream_findings_json(spark, str(src))
+    out = []
+    q = (
+        df.writeStream.outputMode("append")
+        .foreachBatch(lambda d, _id: out.extend(
+            r.asDict(recursive=True) for r in d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert len(out) == 2
+    assert len({r["finding_id"] for r in out}) == 2
+    # and the stateful latest-per-node op emits exactly one x
+    out2 = []
+    q2 = (
+        stream_latest_per_node(stream_findings_json(spark, str(src)))
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda d, _id: out2.extend(
+            r.asDict(recursive=True) for r in d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert len([r for r in out2 if r["subject_node"] == "x"]) == 1
+
+
+def test_stream_tz_fields_parsed(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    doc = _finding("z", 500)
+    doc["found_at"].update(
+        {"tz_offset_min": 540, "tz_summer_only": False, "tz_name": "JST"}
+    )
+    _write_jsonl(src / "b1.jsonl", [doc])
+    out = []
+    q = (
+        stream_findings_json(spark, str(src))
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda d, _id: out.extend(
+            r.asDict(recursive=True) for r in d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert out[0]["tz_offset_min"] == 540 and out[0]["tz_name"] == "JST"
