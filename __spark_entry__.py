@@ -475,6 +475,47 @@ def q_snapshot_links_multilink(spark, sf_dir):
     return links.select("source_node", "dest_node", "is_directed", "link_ts")
 
 
+def q_typed_attrs_links(spark, sf_dir):
+    # Struct-typed attribute columns (attributes.py) through the
+    # DEFAULT snapshot pipeline: native long/double/Maybe fields ride
+    # the same engine and come out typed — no string re-parsing.
+    ev = demo.read_table(spark, sf_dir, "events")
+    findings = ev.select(
+        F.col("event_id").alias("finding_id"),
+        F.col("user_id").cast("string").alias("subject_node"),
+        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("found_at"),
+        F.lit(None).cast("int").alias("tz_offset_min"),
+        F.lit(None).cast("boolean").alias("tz_summer_only"),
+        F.lit(None).cast("string").alias("tz_name"),
+        F.struct(
+            (F.col("user_id") % 100).cast("long").alias("rank")
+        ).alias("node_attrs"),
+        F.array(
+            F.struct(
+                ((F.col("user_id") * 7 + F.col("event_id")) % 50)
+                .cast("string")
+                .alias("target_node"),
+                F.expr(demo.LINK_STATE_CASE).alias("link_state"),
+                F.struct(
+                    F.col("value").cast("double").alias("weight"),
+                    F.when(
+                        F.col("event_id") % 4 != 0, F.col("event_id") % 50
+                    ).cast("long").alias("metric"),
+                ).alias("link_attrs"),
+            )
+        ).alias("neighbor_links"),
+    )
+    _, links = get_snapshot(findings, Query())
+    return links.select(
+        "source_node",
+        "dest_node",
+        "is_directed",
+        "link_ts",
+        F.col("link_attrs.weight").alias("weight"),
+        F.coalesce(F.col("link_attrs.metric"), F.lit(-1)).alias("metric"),
+    )
+
+
 def q_rpl_dio_merged(spark, sf_dir):
     # The shipped DIO unifier (rpl/dio.py, DIO.hs:254-288) end-to-end:
     # custom applyInPandas merge_samples producing MergedDIOLink-style
@@ -563,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivf_topk": q_sim_ivf_topk,
         "snapshot_links_multilink": q_snapshot_links_multilink,
         "rpl_dio_merged": q_rpl_dio_merged,
+        "typed_attrs_links": q_typed_attrs_links,
         "snapshot_links_append_interval": q_snapshot_links_append_interval,
         "u2_union_links": q_u2_union_links,
         "c1_timestamp_format": q_c1_timestamp_format,
@@ -952,6 +994,61 @@ SELECT
     AS dest_node,
   link_state <> 'bidirectional' AS is_directed,
   found_at AS link_ts
+FROM surviving
+WHERE link_state <> 'unused'
+""",
+        # The default-unifier link pipeline with typed attrs carried
+        # through: the winner's (weight, metric) survive unchanged.
+        "typed_attrs_links": f"""
+WITH f AS (
+  SELECT event_id AS finding_id,
+         CAST(user_id AS VARCHAR) AS subject_node,
+         epoch_ms(ts) AS found_at,
+         CAST((user_id * 7 + event_id) % 50 AS VARCHAR) AS target_node,
+         {demo.LINK_STATE_CASE} AS link_state,
+         value AS weight,
+         CASE WHEN event_id % 4 <> 0 THEN CAST(event_id % 50 AS BIGINT) END AS metric
+  FROM events
+),
+kept AS (
+  SELECT * FROM (
+    SELECT f.*, row_number() OVER (
+      PARTITION BY subject_node ORDER BY found_at DESC, finding_id DESC) AS rn
+    FROM f) t WHERE rn = 1
+),
+node_ts AS (
+  SELECT subject_node AS node_id, max(found_at) AS node_ts FROM kept GROUP BY 1
+),
+samples AS (
+  SELECT kept.*,
+         least(subject_node, target_node) AS p1,
+         greatest(subject_node, target_node) AS p2
+  FROM kept
+),
+winners AS (
+  SELECT * FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY p1, p2 ORDER BY found_at DESC, finding_id DESC) AS rn2
+    FROM samples s) t WHERE rn2 = 1
+),
+surviving AS (
+  SELECT w.* FROM winners w
+  LEFT JOIN node_ts t1 ON t1.node_id = w.p1
+  LEFT JOIN node_ts t2 ON t2.node_id = w.p2
+  WHERE NOT (t1.node_ts IS NOT NULL AND w.found_at < t1.node_ts
+             AND w.subject_node <> w.p1)
+    AND NOT (t2.node_ts IS NOT NULL AND w.found_at < t2.node_ts
+             AND w.subject_node <> w.p2)
+)
+SELECT
+  CASE WHEN link_state = 'to_subject' THEN target_node ELSE subject_node END
+    AS source_node,
+  CASE WHEN link_state = 'to_subject' THEN subject_node ELSE target_node END
+    AS dest_node,
+  link_state <> 'bidirectional' AS is_directed,
+  found_at AS link_ts,
+  weight,
+  coalesce(metric, -1) AS metric
 FROM surviving
 WHERE link_state <> 'unused'
 """,

@@ -30,11 +30,16 @@ from net_spider_spark.timestamp import Timestamp, parse_timestamp, format_timest
 from net_spider_spark.interval import Interval, NEG_INF, POS_INF
 from net_spider_spark.findings import FoundNode, FoundLink, findings_to_df
 from net_spider_spark.unify import UnifyConfig, unify_to_one, unify_to_many
+from net_spider_spark.attributes import (
+    typed_findings_schema,
+    typed_findings_to_df,
+)
 from net_spider_spark.snapshot import (
     Query,
     get_snapshot,
     get_snapshot_simple,
     graph_timestamp,
+    snapshot_from_json,
     snapshot_to_json,
 )
 from net_spider_spark.weaver import Weaver
@@ -65,10 +70,13 @@ __all__ = [
     "UnifyConfig",
     "unify_to_one",
     "unify_to_many",
+    "typed_findings_schema",
+    "typed_findings_to_df",
     "Query",
     "get_snapshot",
     "get_snapshot_simple",
     "graph_timestamp",
+    "snapshot_from_json",
     "snapshot_to_json",
     "Weaver",
     "write_graphml",

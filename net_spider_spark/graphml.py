@@ -91,11 +91,24 @@ class _KeyStore:
     def key_id(self, domain: str, name: str) -> str:
         return f"d{self._index[(domain, name)]}"
 
-    def declarations(self, forced_types: dict[str, str]) -> str:
+    def declarations(
+        self,
+        forced_types: dict[str, str],
+        schema_types: Optional[dict[tuple[str, str], str]] = None,
+    ) -> str:
+        """``forced_types``: engine meta-keys (both domains);
+        ``schema_types``: per-(domain, name) types read from struct
+        attr schemas — authoritative, no data inference needed."""
         out = []
         for domain, name in self._order:
-            atype = forced_types.get(name) or _infer_type(
-                str(v) for v in self._values[(domain, name)] if v is not None
+            atype = (
+                forced_types.get(name)
+                or (schema_types or {}).get((domain, name))
+                or _infer_type(
+                    str(v)
+                    for v in self._values[(domain, name)]
+                    if v is not None
+                )
             )
             out.append(
                 f'<key id="{self.key_id(domain, name)}" for="{domain}"'
@@ -117,13 +130,47 @@ def _bool_str(v) -> str:
     return "true" if v else "false"
 
 
+def _attr_items(value) -> list[tuple[str, str]]:
+    """Attr column cell -> sorted (key, formatted-string) pairs.
+    Accepts a map (dict) or a struct (Row); a None field in a struct is
+    ``Maybe`` Nothing — omitted, matching the reference's toAttributes
+    dropping Nothing fields (e.g. DIO.hs:215-222)."""
+    if value is None:
+        return []
+    d = value.asDict() if hasattr(value, "asDict") else dict(value)
+    out = []
+    for k in sorted(d):
+        v = d[k]
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            v = _bool_str(v)
+        out.append((k, str(v)))
+    return out
+
+
 def write_graphml(
     nodes: DataFrame,
     links: DataFrame,
     default_directed: bool = True,
 ) -> str:
     """Serialize (snapshot_nodes, snapshot_links) DataFrames to a GraphML
-    document string (``writeGraphMLWith``)."""
+    document string (``writeGraphMLWith``). Struct-typed attr columns
+    declare their ``attr.type`` straight from the schema (typed scalars,
+    GraphML/Attribute.hs:29-35); map attrs fall back to inference."""
+    from net_spider_spark.attributes import struct_attr_types
+
+    schema_types: dict[tuple[str, str], str] = {}
+    for domain, df, col in (
+        ("node", nodes, "node_attrs"),
+        ("edge", links, "link_attrs"),
+    ):
+        declared = struct_attr_types(df, col)
+        if declared:
+            schema_types.update(
+                {(domain, k): t for k, t in declared.items()}
+            )
+
     node_rows = nodes.collect()
     link_rows = links.collect()
 
@@ -144,14 +191,12 @@ def write_graphml(
                 if "tz_name" in fields and row["tz_name"] is not None:
                     data.append(("@tz_name", row["tz_name"]))
         data.append(("@is_on_boundary", _bool_str(row["is_on_boundary"])))
-        for k in sorted((row["node_attrs"] or {}).keys()):
-            data.append((k, row["node_attrs"][k]))
+        data.extend(_attr_items(row["node_attrs"]))
         return data
 
     def link_data(row) -> list[tuple[str, str]]:
         data = [("@timestamp", str(row["link_ts"]))]
-        for k in sorted((row["link_attrs"] or {}).keys()):
-            data.append((k, row["link_attrs"][k]))
+        data.extend(_attr_items(row["link_attrs"]))
         return data
 
     node_datas = [node_data(r) for r in node_rows]
@@ -169,7 +214,7 @@ def write_graphml(
         ' xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"\n',
         ' xsi:schemaLocation="http://graphml.graphdrawing.org/xmlns'
         ' http://graphml.graphdrawing.org/xmlns/1.0/graphml.xsd">\n',
-        store.declarations(_FORCED_TYPES),
+        store.declarations(_FORCED_TYPES, schema_types),
         f'<graph edgedefault="{"directed" if default_directed else "undirected"}">\n',
     ]
     for row, data in zip(node_rows, node_datas):
