@@ -30,6 +30,7 @@ from net_spider_spark.snapshot import (
     Query,
     get_snapshot,
     latest_findings_per_node,
+    snapshot_timeline,
 )
 from net_spider_spark.traverse import reachable_nodes
 
@@ -368,6 +369,23 @@ def q_dedup_simhash(spark, sf_dir):
     return D.simhash16(docs)
 
 
+def q_dedup_representatives(spark, sf_dir):
+    # End-to-end dedup as a training-data run executes it: candidates
+    # -> exact verify -> components -> keep min-ID doc per cluster.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return D.dedup_representatives(docs, threshold=0.2)
+
+
+def q_snapshot_timeline(spark, sf_dir):
+    # As-of snapshot evolution: latest-per-node at 4 evenly-spaced
+    # timeline points across the data's time range (computed, so the
+    # query is meaningful at every scale factor).
+    f = demo.events_findings(spark, sf_dir)
+    lo, hi = f.agg(F.min("found_at"), F.max("found_at")).collect()[0]
+    pts = [lo + (hi - lo) * i // 4 for i in range(1, 5)]
+    return snapshot_timeline(f, pts)
+
+
 def q_text_token_stats(spark, sf_dir):
     docs = demo.read_table(spark, sf_dir, "documents")
     return TX.token_stats(docs)
@@ -611,6 +629,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "text_quality_filter": q_text_quality_filter,
         "graph_components": q_graph_components,
+        "dedup_representatives": q_dedup_representatives,
+        "snapshot_timeline": q_snapshot_timeline,
     }
 
 
@@ -1232,5 +1252,68 @@ reach(a, b) AS (
   SELECT r.a, u.dst FROM reach r JOIN und u ON u.src = r.b
 )
 SELECT a AS node_id, min(b) AS component FROM reach GROUP BY a
+""",
+        "dedup_representatives": f"""
+WITH RECURSIVE tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({SQL_SHINGLES}) AS shingle FROM tok),
+mh AS (
+  SELECT doc_id, b.band, min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS sig
+  FROM sh CROSS JOIN (VALUES (1), (2), (3), (4)) b(band)
+  GROUP BY doc_id, b.band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM mh a JOIN mh c ON a.band = c.band AND a.sig = c.sig AND a.doc_id < c.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+shared AS (
+  SELECT cd.doc_a, cd.doc_b, count(*) AS shared
+  FROM cand cd
+  JOIN sh a ON a.doc_id = cd.doc_a
+  JOIN sh b ON b.doc_id = cd.doc_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+ver AS (
+  SELECT doc_a, doc_b
+  FROM shared
+  JOIN sizes na ON na.doc_id = doc_a
+  JOIN sizes nb ON nb.doc_id = doc_b
+  WHERE shared / (na.n + nb.n - shared) >= 0.2
+),
+und AS (
+  SELECT doc_a AS src, doc_b AS dst FROM ver
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM ver
+),
+reach(a, b) AS (
+  SELECT src AS a, src AS b FROM und
+  UNION
+  SELECT r.a, u.dst FROM reach r JOIN und u ON u.src = r.b
+),
+comp AS (SELECT a AS node_id, min(b) AS component FROM reach GROUP BY a),
+clusters AS (
+  SELECT component, count(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT d.doc_id,
+       CAST(coalesce(cl.cluster_size, 1) AS BIGINT) AS cluster_size
+FROM documents d
+LEFT JOIN clusters cl ON cl.component = d.doc_id
+WHERE d.doc_id NOT IN (SELECT node_id FROM comp WHERE node_id <> component)
+""",
+        "snapshot_timeline": f"""
+WITH {SQL_F},
+fd AS (SELECT DISTINCT finding_id, subject_node, found_at FROM f),
+b AS (SELECT min(found_at) AS lo, max(found_at) AS hi FROM fd),
+tl AS (
+  SELECT lo + (hi - lo) * v.i // 4 AS ts
+  FROM b CROSS JOIN (VALUES (1), (2), (3), (4)) v(i)
+)
+SELECT ts, subject_node AS node_id, found_at AS node_ts, finding_id
+FROM (
+  SELECT tl.ts, fd.*, row_number() OVER (
+    PARTITION BY tl.ts, fd.subject_node
+    ORDER BY fd.found_at DESC, fd.finding_id DESC) AS rn
+  FROM tl JOIN fd ON fd.found_at <= tl.ts) q
+WHERE rn = 1
 """,
     }

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 # Same rationale as traverse._LOCAL_BFS_MAX_EDGES: below this size the
@@ -109,6 +110,11 @@ def _local_components(und: DataFrame) -> DataFrame:
             parent[hi] = lo
     rows = sorted((n, find(n)) for n in parent)
     spark = und.sparkSession
-    if not rows:
-        return spark.createDataFrame([], "node_id string, component string")
-    return spark.createDataFrame(rows, "node_id string, component string")
+    # Node IDs keep the edge table's type (string node IDs, long doc
+    # IDs, ...) — min-label semantics then match a SQL min() over the
+    # same type, which matters for numeric IDs ("10" < "2" as strings).
+    id_type = und.schema["src"].dataType
+    schema = T.StructType(
+        [T.StructField("node_id", id_type), T.StructField("component", id_type)]
+    )
+    return spark.createDataFrame(rows, schema)

@@ -366,3 +366,64 @@ def simhash16(
         bit = (F.col(f"b{i}") * 2 > F.col("n_tok")).cast("long") * (1 << i)
         sig = bit if sig is None else sig + bit
     return agg.select(F.col(id_col), sig.alias("simhash"))
+
+
+def dedup_representatives(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    n_hashes: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """The full near-dup pipeline a training-data run actually executes:
+    MinHash-banded candidates -> exact Jaccard verify -> connected
+    components over the verified pairs -> keep the min-ID document of
+    every dup cluster (and every unclustered doc).
+
+    Returns the KEPT corpus as (doc_id, cluster_size): cluster_size is
+    how many documents the kept row represents (1 for non-duplicated
+    docs), so downstream sampling can reweight if desired.
+
+    Every stage is the scale path: banding is one hash aggregate,
+    verification touches candidate pairs only, components run
+    min-label-propagation with a driver fast path only under the edge
+    guard, and the final filter is a broadcastable anti-join of the
+    (small) loser set against the corpus. Nothing in the pipeline is
+    quadratic in corpus size.
+    """
+    from net_spider_spark.graph.components import connected_components
+
+    sh = doc_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    cand = minhash_candidates(
+        minhash_signatures(sh, n_hashes=n_hashes, id_col=id_col), id_col=id_col
+    )
+    verified = jaccard_verify_candidates(
+        cand, sh, threshold=threshold, id_col=id_col
+    )
+    edges = verified.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    comps = connected_components(edges)
+    reps = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    # component label IS the min node ID of the cluster, so the losers
+    # are exactly the members whose ID differs from their label.
+    losers = comps.where(F.col("node_id") != F.col("component")).select(
+        F.col("node_id").alias(id_col)
+    )
+    kept = df.select(id_col).join(losers, id_col, "left_anti")
+    return (
+        kept.join(
+            reps.select(
+                F.col("component").alias(id_col), "cluster_size"
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
+        )
+    )

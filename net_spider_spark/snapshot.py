@@ -102,8 +102,53 @@ def keep_argmax(
 
 def latest_findings_per_node(findings: DataFrame) -> DataFrame:
     """policyOverwrite (A1): keep only each subject's latest finding
-    (ties broken by ingest order = finding_id, Weaver.hs:84-88)."""
+    (ties broken by ingest order = finding_id, Weaver.hs:84-88).
+
+    Shape choice, measured at 6.4M findings / 1.5k subjects on
+    local[32] with FULL materialization (xxhash64(to_json) over every
+    column — a bare ``count()`` prunes the payload and flatters
+    ``max_by``): keep_argmax 10-18 s, ``max_by(struct)`` 8-21 s,
+    window ``row_number`` 17-20 s — a wash within this box's noise.
+    keep_argmax stays: its aggregates are map-side-combinable scalar
+    hash-aggs and its winner-key table is one row per *node*, which in
+    this domain (network nodes, not events) always broadcasts; the
+    ``max_by`` SortAggregate buffers full-width rows map-side, which
+    loses when findings carry large attr maps / many links.
+    """
     return keep_argmax(findings, ["subject_node"], ["found_at", "finding_id"])
+
+
+def snapshot_timeline(
+    findings: DataFrame, timestamps: Sequence[int]
+) -> DataFrame:
+    """Latest-per-node state as of each of K timeline points — the
+    reference's interval query with upper bound t (``Interval.hs``
+    upper-end semantics, ``Spider.hs`` timeInterval) evaluated at every
+    t at once, i.e. an as-of join of the node history against a
+    timeline. One call answers "how did the network evolve?" instead of
+    K full snapshot runs over the same history.
+
+    Returns (ts, node_id, node_ts, finding_id): for each timeline
+    timestamp and each node observed at or before it, the node's
+    then-latest finding.
+
+    Scale shape: the K timeline points broadcast into a nested-loop
+    theta-join (``found_at <= ts``), expanding the history by at most
+    K, then one :func:`keep_argmax` per (ts, node). K is small (a
+    report axis, not data); the history is never self-joined and never
+    sorted. For K in the thousands, bucket the points and range-join
+    instead.
+    """
+    spark = findings.sparkSession
+    tl = spark.createDataFrame([(int(t),) for t in timestamps], "ts bigint")
+    joined = findings.join(F.broadcast(tl), F.col("found_at") <= F.col("ts"))
+    kept = keep_argmax(joined, ["ts", "subject_node"], ["found_at", "finding_id"])
+    return kept.select(
+        "ts",
+        F.col("subject_node").alias("node_id"),
+        F.col("found_at").alias("node_ts"),
+        "finding_id",
+    )
 
 
 def _node_states(kept: DataFrame) -> DataFrame:

@@ -179,3 +179,28 @@ def test_policy_append_with_time_interval(spark):
         ("n4", "n3", 28),
     ]
     assert [n[0] for n in nodes] == ["n1", "n2", "n3", "n4"]
+
+
+def test_snapshot_timeline_asof_points(spark):
+    """snapshot_timeline = the interval query with upper bound t, run at
+    K points at once: each (ts, node) row is the node's then-latest
+    finding (found_at <= ts), absent before the node's first finding."""
+    from net_spider_spark.snapshot import snapshot_timeline
+
+    fns = [
+        node("a", "10", ["b"]),
+        node("a", "20", []),
+        node("b", "15", ["a"]),
+    ]
+    df = findings_to_df(spark, fns)
+    got = {
+        (r["ts"], r["node_id"]): r["node_ts"]
+        for r in snapshot_timeline(df, [ts("12"), ts("16"), ts("20")]).collect()
+    }
+    assert got == {
+        (ts("12"), "a"): ts("10"),
+        (ts("16"), "a"): ts("10"),
+        (ts("16"), "b"): ts("15"),
+        (ts("20"), "a"): ts("20"),
+        (ts("20"), "b"): ts("15"),
+    }

@@ -144,3 +144,24 @@ def test_embedding_lsh_default_matches_exact_groups(spark):
     # and the groups are the planted clusters
     keepers = {g for (_, g, k) in exact if k}
     assert len(keepers) == 5
+
+
+def test_dedup_representatives_keeps_min_id_per_cluster(docs):
+    # Docs 1,2 identical and 3 near-dup: one cluster {1,2,3} -> keep 1
+    # with cluster_size 3; doc 4 unclustered -> kept with size 1.
+    got = {
+        r["doc_id"]: r["cluster_size"]
+        for r in D.dedup_representatives(docs, threshold=0.5).collect()
+    }
+    assert got == {1: 3, 4: 1}
+
+
+def test_dedup_representatives_no_dups_is_identity(spark):
+    rows = [(i, f"unique document number {i} talking about topic {i*7}")
+            for i in range(1, 6)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["cluster_size"]
+        for r in D.dedup_representatives(docs, threshold=0.9).collect()
+    }
+    assert got == {i: 1 for i in range(1, 6)}
