@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from net_spider_spark import demo
 from net_spider_spark.interval import Interval
+from net_spider_spark.pipeline import curate as CU
 from net_spider_spark.pipeline import dedup as D
 from net_spider_spark.pipeline import similarity as S
 from net_spider_spark.pipeline import text as TX
@@ -406,6 +407,44 @@ def q_text_fingerprint(spark, sf_dir):
     return TX.fingerprint(docs)
 
 
+def q_curate_repetition(spark, sf_dir):
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return CU.repetition_stats(docs)
+
+
+def q_curate_pack(spark, sf_dir):
+    # Small window so every scale factor produces multiple packs per group.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return CU.pack_documents(docs, window_tokens=256, n_groups=32)
+
+
+def q_curate_hash_sample(spark, sf_dir):
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return CU.hash_sample(docs, fraction=0.25).select("doc_id", "n_chars")
+
+
+def q_curate_stratified_sample(spark, sf_dir):
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return CU.stratified_sample(docs, "lang", k=25).select(
+        "doc_id", "lang", F.col("sample_rank").cast("long").alias("sample_rank")
+    )
+
+
+def q_curate_pii_scrub(spark, sf_dir):
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return CU.pii_scrub(docs)
+
+
+def q_curate_shuffle_shards(spark, sf_dir):
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return CU.shuffle_shards(docs, n_shards=8).select("doc_id", "shard", "sort_key")
+
+
+def q_curate_chunks(spark, sf_dir):
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return CU.chunk_documents(docs, chunk_chars=200, overlap=50)
+
+
 def q_sim_topk(spark, sf_dir):
     emb = demo.read_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
@@ -631,6 +670,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_components": q_graph_components,
         "dedup_representatives": q_dedup_representatives,
         "snapshot_timeline": q_snapshot_timeline,
+        "curate_repetition": q_curate_repetition,
+        "curate_pack": q_curate_pack,
+        "curate_hash_sample": q_curate_hash_sample,
+        "curate_stratified_sample": q_curate_stratified_sample,
+        "curate_pii_scrub": q_curate_pii_scrub,
+        "curate_shuffle_shards": q_curate_shuffle_shards,
+        "curate_chunks": q_curate_chunks,
     }
 
 
@@ -1315,5 +1361,110 @@ FROM (
     ORDER BY fd.found_at DESC, fd.finding_id DESC) AS rn
   FROM tl JOIN fd ON fd.found_at <= tl.ts) q
 WHERE rn = 1
+""",
+        "curate_repetition": f"""
+WITH lines AS (
+  SELECT doc_id, trim(l) AS line
+  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM documents)
+  WHERE trim(l) <> ''
+),
+lc AS (
+  SELECT doc_id, line, count(*) AS cnt, length(line) AS ln
+  FROM lines GROUP BY 1, 2
+),
+ls AS (
+  SELECT doc_id,
+         CAST(sum(cnt) AS BIGINT) AS n_lines,
+         (sum(cnt) - count(*)) / greatest(sum(cnt), 1) AS dup_line_frac,
+         sum(CASE WHEN cnt > 1 THEN cnt * ln ELSE 0 END)
+           / greatest(sum(cnt * ln), 1) AS dup_line_char_frac
+  FROM lc GROUP BY 1
+),
+toks AS (SELECT doc_id, unnest({SQL_TOKS}) AS tok FROM documents),
+tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2),
+tstat AS (
+  SELECT doc_id, max(cnt) / greatest(sum(cnt), 1) AS top_token_frac
+  FROM tc GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(ls.n_lines, 0) AS n_lines,
+       coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+       coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+       coalesce(tstat.top_token_frac, 0.0) AS top_token_frac
+FROM documents d
+LEFT JOIN ls ON ls.doc_id = d.doc_id
+LEFT JOIN tstat ON tstat.doc_id = d.doc_id
+""",
+        "curate_pack": f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len({SQL_TOKS_RAW}) AS BIGINT) AS n_tokens,
+         doc_id % 32 AS grp
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens, grp,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY grp ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(grp * 1099511627776 + cumb // 256 AS BIGINT) AS pack_id,
+       CAST(cumb % 256 AS BIGINT) AS pack_pos
+FROM c
+""",
+        "curate_hash_sample": """
+SELECT doc_id, n_chars FROM documents
+WHERE substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) < '4000'
+""",
+        "curate_stratified_sample": """
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS sample_rank FROM (
+  SELECT doc_id, lang, row_number() OVER (
+    PARTITION BY lang
+    ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 25
+""",
+        "curate_pii_scrub": f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{CU.EMAIL_PATTERN}')) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{CU.IPV4_PATTERN}')) AS BIGINT)
+         AS n_ips,
+       CAST(len(regexp_extract_all(text, '{CU.PHONE_PATTERN}')) AS BIGINT)
+         AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text, '{CU.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+           '{CU.IPV4_PATTERN}', '<IP>', 'g'),
+         '{CU.PHONE_PATTERN}', '<PHONE>', 'g') AS scrubbed_text
+FROM documents
+""",
+        "curate_shuffle_shards": """
+WITH s AS (
+  SELECT doc_id, md5('s42:' || CAST(doc_id AS VARCHAR)) AS sort_key
+  FROM documents
+)
+SELECT doc_id,
+       CAST(((position(substr(sort_key, 1, 1) IN '0123456789abcdef') - 1) * 16
+             + position(substr(sort_key, 2, 1) IN '0123456789abcdef') - 1)
+            % 8 AS BIGINT) AS shard,
+       sort_key
+FROM s
+""",
+        "curate_chunks": """
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           CAST(greatest(length(text) - 1, 0) AS BIGINT), 150)) AS start
+  FROM documents
+)
+SELECT doc_id,
+       CAST(start // 150 AS BIGINT) AS chunk_idx,
+       substr(text, CAST(start + 1 AS INT), 200) AS chunk_text,
+       CAST(length(substr(text, CAST(start + 1 AS INT), 200)) AS BIGINT)
+         AS chunk_len
+FROM s
 """,
     }

@@ -1,0 +1,321 @@
+"""Training-data curation operators over a document corpus: repetition
+signals, sequence packing, deterministic sampling, PII scrubbing,
+shuffle sharding, and chunking.
+
+These are the pipeline stages between "raw scraped documents" and
+"training batches" that the dedup/quality operators in
+:mod:`net_spider_spark.pipeline.text` and ``.dedup`` feed into. Like
+those modules, everything here is built-in Catalyst expressions or
+plain shuffles with map-side combine — no Python in the row loop — and
+every operator has a DuckDB twin in ``__spark_entry__.oracle_sql`` so
+the driver's correctness gate covers it.
+
+Determinism is load-bearing: sampling, sharding, and packing use
+md5-derived keys (portable across Spark and DuckDB, unlike xxhash64)
+so the same corpus always produces the same sample/shard/pack — a
+training-data pipeline that cannot reproduce its own batches cannot be
+debugged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from net_spider_spark.pipeline.text import tokens_col
+
+# ---------------------------------------------------------------------------
+# Repetition signals (Gopher-style quality rules)
+# ---------------------------------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals used by Gopher-style quality
+    filters: the fraction of duplicate lines, the fraction of
+    characters sitting in duplicated lines, and the share of the most
+    frequent token.
+
+    Shape: two explode→groupBy aggregations (lines, tokens) joined back
+    per document. Both group on (doc_id, unit), so the combiners do the
+    heavy lifting map-side and the shuffle carries one row per distinct
+    unit per document — at 100 TB this is the same plan as a word-count,
+    the canonical linearly-scaling Spark job. A per-document
+    higher-order-function version avoids the shuffle but goes O(units²)
+    per doc; repeated-line spam (exactly what this filter hunts) makes
+    that quadratic blowup real, so the aggregation wins.
+
+    Documents with no non-empty lines (or no tokens) get 0.0 fractions.
+    """
+    text = F.col(text_col)
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    line_rows = df.select(F.col(id_col), F.explode(lines).alias("line"))
+    line_counts = (
+        line_rows.groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("ln", F.length("line"))
+    )
+    line_stats = line_counts.groupBy(id_col).agg(
+        F.sum("cnt").alias("n_lines"),
+        (
+            (F.sum("cnt") - F.count(F.lit(1)))
+            / F.greatest(F.sum("cnt"), F.lit(1))
+        ).alias("dup_line_frac"),
+        (
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt") * F.col("ln")).otherwise(0))
+            / F.greatest(F.sum(F.col("cnt") * F.col("ln")), F.lit(1))
+        ).alias("dup_line_char_frac"),
+    )
+    tok_rows = df.select(
+        F.col(id_col), F.explode(tokens_col(F.lower(text))).alias("tok")
+    )
+    tok_counts = tok_rows.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tok_stats = tok_counts.groupBy(id_col).agg(
+        (F.max("cnt") / F.greatest(F.sum("cnt"), F.lit(1))).alias("top_token_frac")
+    )
+    base = df.select(F.col(id_col))
+    return (
+        base.join(line_stats, id_col, "left")
+        .join(tok_stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_lines"), F.lit(0)).cast("long").alias("n_lines"),
+            F.coalesce(F.col("dup_line_frac"), F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce(F.col("dup_line_char_frac"), F.lit(0.0)).alias(
+                "dup_line_char_frac"
+            ),
+            F.coalesce(F.col("top_token_frac"), F.lit(0.0)).alias("top_token_frac"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing
+# ---------------------------------------------------------------------------
+
+
+def pack_documents(
+    df: DataFrame,
+    window_tokens: int = 2048,
+    n_groups: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document to a fixed-size training context window
+    ("pack") by contiguous greedy packing: within a pack group, docs are
+    laid out in ``id`` order and a new pack starts every
+    ``window_tokens`` tokens.
+
+    True first-fit bin packing is inherently sequential; the scalable
+    version packs independently inside ``n_groups`` deterministic
+    groups (``doc_id % n_groups``), so the only sort is a per-group
+    window — one shuffle on the group key, each group sorted in
+    isolation. ``n_groups`` should be ≥ the cluster's parallelism at
+    the target scale; packing quality is unaffected because packs never
+    straddle groups by construction.
+
+    Returns (id, n_tokens, pack_id, pack_pos): pack_pos is the token
+    offset of the document inside its pack (a doc longer than the
+    remaining window spills into the next pack boundary — the consumer
+    splits or drops at read time, same convention as fixed-stride
+    packing in published LLM data pipelines).
+    """
+    toks = F.size(tokens_col(F.col(text_col))).cast("long")
+    grouped = df.select(
+        F.col(id_col),
+        toks.alias("n_tokens"),
+        F.pmod(F.col(id_col), F.lit(n_groups)).cast("long").alias("_grp"),
+    )
+    w = (
+        Window.partitionBy("_grp")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    binned = grouped.withColumn("_cum", cum_before)
+    return binned.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (
+            F.col("_grp") * F.lit(1 << 40)
+            + F.floor(F.col("_cum") / F.lit(window_tokens))
+        ).alias("pack_id"),
+        F.pmod(F.col("_cum"), F.lit(window_tokens)).alias("pack_pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling
+# ---------------------------------------------------------------------------
+
+
+def _md5_key(id_col: str, seed: str) -> Column:
+    """Portable deterministic per-row key: md5 over ``seed:id``.
+    Identical bytes in Spark and DuckDB, unlike xxhash64/rand."""
+    return F.md5(F.concat(F.lit(seed), F.lit(":"), F.col(id_col).cast("string")))
+
+
+def hash_sample(
+    df: DataFrame, fraction: float, seed: str = "s42", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep a row iff the first 4 hex
+    digits of its md5 key fall below ``fraction`` of the 16-bit space.
+    Unlike ``df.sample()``, membership is a pure function of the row id
+    — re-runs, retried tasks, and other engines agree on the sample,
+    and the filter is a codegen expression with zero shuffle."""
+    threshold = format(int(fraction * 65536), "04x")
+    return df.where(F.substring(_md5_key(id_col, seed), 1, 4) < F.lit(threshold))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    seed: str = "s42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows inside each
+    stratum by md5 key and keep the first ``k`` — a reproducible
+    "reservoir" (the md5 order is uniform but frozen).
+
+    One shuffle on the stratum key; rank ties are impossible because
+    the tie-break includes the id itself. A stratum far larger than k
+    still sorts only within its partition — for pathological skew
+    (one stratum = half the corpus) pre-filter with
+    :func:`hash_sample` at a few × k/|stratum| first.
+    """
+    w = Window.partitionBy(strata_col).orderBy(
+        _md5_key(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Conservative patterns valid in both java.util.regex (Spark) and RE2
+# (DuckDB): no lookarounds, no backrefs.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_PATTERN = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails, IPv4 addresses, and NNN-NNN-NNNN phone numbers,
+    replacing each with a typed placeholder token, and count the
+    redactions per document. Replacement order (email → ip → phone) is
+    part of the contract: an email is scrubbed before its digits could
+    be misread as a phone.
+
+    Pure regexp expressions — whole-stage codegen, no shuffle. (DuckDB
+    twin needs the 'g' flag on regexp_replace; Spark replaces all
+    matches by default.)
+    """
+    text = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_PATTERN), 0))
+    n_ips = F.size(F.regexp_extract_all(text, F.lit(IPV4_PATTERN), 0))
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PHONE_PATTERN), 0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_PATTERN, "<EMAIL>"),
+            IPV4_PATTERN,
+            "<IP>",
+        ),
+        PHONE_PATTERN,
+        "<PHONE>",
+    )
+    return df.select(
+        F.col(id_col),
+        n_emails.cast("long").alias("n_emails"),
+        n_ips.cast("long").alias("n_ips"),
+        n_phones.cast("long").alias("n_phones"),
+        scrubbed.alias("scrubbed_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle sharding
+# ---------------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def shuffle_shards(
+    df: DataFrame, n_shards: int = 64, seed: str = "s42", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic global shuffle for training: derive a stable
+    pseudo-random (shard, sort_key) per row from the md5 key. Writing
+    with ``.repartition(n, "shard").sortWithinPartitions("sort_key")``
+    (or partitionBy at the sink) materializes a reproducible shuffled
+    order without any global sort — the 100 TB-safe way to shuffle a
+    dataset (a global orderBy would funnel everything through one range
+    exchange).
+
+    The shard index uses the first two hex nibbles (uniform over 256)
+    modulo ``n_shards``; the full 128-bit key breaks intra-shard order
+    ties.
+    """
+    key = _md5_key(id_col, seed)
+    sharded = df.withColumn("sort_key", key)
+    # 0-255 value of the first two hex nibbles via position arithmetic —
+    # portable (DuckDB has no conv(); both engines support the
+    # SQL-standard position(needle IN haystack)).
+    byte0 = F.expr(
+        f"(position(substring(sort_key, 1, 1) IN '{_HEX}') - 1) * 16"
+        f" + position(substring(sort_key, 2, 1) IN '{_HEX}') - 1"
+    )
+    return sharded.withColumn(
+        "shard", F.pmod(byte0, F.lit(n_shards)).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chunking
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 200,
+    overlap: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into fixed-width character chunks with
+    overlap (RAG-style windowing): chunk i covers
+    ``[i·step, i·step + chunk_chars)`` with ``step = chunk_chars −
+    overlap``. Every document yields at least one chunk (empty text →
+    one empty chunk), and the final chunk may be short.
+
+    explode over a generated start sequence + substring — codegen only,
+    output rows ≈ n_chars/step per doc. At 100 TB the explode is the
+    point (chunks feed an embedding stage); no shuffle is introduced
+    here.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    step = chunk_chars - overlap
+    text = F.col(text_col)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.length(text) - 1, F.lit(0)), F.lit(step)
+    )
+    return df.select(
+        F.col(id_col), text.alias("_t"), F.explode(starts).alias("start")
+    ).select(
+        F.col(id_col),
+        F.floor(F.col("start") / step).cast("long").alias("chunk_idx"),
+        F.substring(F.col("_t"), F.col("start") + 1, chunk_chars).alias("chunk_text"),
+        F.length(F.substring(F.col("_t"), F.col("start") + 1, chunk_chars))
+        .cast("long")
+        .alias("chunk_len"),
+    )

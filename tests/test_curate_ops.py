@@ -1,0 +1,155 @@
+"""Curation-operator behavior tests: planted repetition/PII must be
+detected, packing must respect the window invariants, sampling must be
+deterministic and correctly sized, chunks must reassemble to the
+document."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from net_spider_spark.pipeline import curate as CU
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    spammy = "buy now\nbuy now\nbuy now\nlimited offer\nbuy now"
+    clean = "first line of prose\nsecond line entirely different\nthird one too"
+    repeated_tok = "spam spam spam spam spam spam spam spam spam wonderful"
+    rows = [(1, spammy), (2, clean), (3, repeated_tok), (4, "")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_repetition_stats_planted(docs):
+    got = {r["doc_id"]: r for r in CU.repetition_stats(docs).collect()}
+    # spammy: 5 lines, "buy now" x4 -> 3 duplicate occurrences beyond
+    # the distinct set of 2.
+    assert got[1]["n_lines"] == 5
+    assert got[1]["dup_line_frac"] == pytest.approx(3 / 5)
+    assert got[1]["dup_line_char_frac"] == pytest.approx(
+        (4 * 7) / (4 * 7 + 13)
+    )
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["top_token_frac"] == pytest.approx(9 / 10)
+    # empty doc: all-zero signals, still present in the output
+    assert got[4]["n_lines"] == 0 and got[4]["dup_line_frac"] == 0.0
+
+
+def test_pack_documents_window_invariants(spark):
+    # 100 docs of 10 tokens each, one group -> packs of exactly 5 docs.
+    rows = [(i, " ".join(["tok"] * 10)) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = CU.pack_documents(df, window_tokens=50, n_groups=1).collect()
+    by_pack = {}
+    for r in packed:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    assert len(by_pack) == 20
+    for members in by_pack.values():
+        assert len(members) == 5
+        assert sorted(m["pack_pos"] for m in members) == [0, 10, 20, 30, 40]
+    # determinism: same input -> same assignment
+    again = CU.pack_documents(df, window_tokens=50, n_groups=1).collect()
+    assert {(r["doc_id"], r["pack_id"]) for r in again} == {
+        (r["doc_id"], r["pack_id"]) for r in packed
+    }
+
+
+def test_pack_documents_groups_are_independent(spark):
+    rows = [(i, "a b c") for i in range(64)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    packed = CU.pack_documents(df, window_tokens=6, n_groups=4).collect()
+    # doc_id % 4 determines the group; pack_ids never collide across groups
+    for r in packed:
+        assert r["pack_id"] >> 40 == r["doc_id"] % 4
+
+
+def test_hash_sample_deterministic_and_sized(spark):
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(2000)], "doc_id long, text string"
+    )
+    got = sorted(r["doc_id"] for r in CU.hash_sample(df, 0.25).collect())
+    # binomial(2000, 0.25): allow 5 sigma ~ +-97
+    assert 400 < len(got) < 600
+    assert got == sorted(r["doc_id"] for r in CU.hash_sample(df, 0.25).collect())
+    # membership matches the md5 definition exactly
+    expect = [
+        i
+        for i in range(2000)
+        if hashlib.md5(f"s42:{i}".encode()).hexdigest()[:4] < "4000"
+    ]
+    assert got == expect
+
+
+def test_stratified_sample_k_per_stratum(spark):
+    rows = [(i, "en" if i % 3 else "de", "t") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = CU.stratified_sample(df, "lang", k=10).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r["sample_rank"])
+    assert sorted(by_lang["en"]) == list(range(1, 11))
+    assert sorted(by_lang["de"]) == list(range(1, 11))
+
+
+def test_pii_scrub_planted(spark):
+    text = (
+        "contact alice@example.com or bob.smith@corp.co.uk, "
+        "server at 10.0.0.1, call 555-123-4567 now"
+    )
+    df = spark.createDataFrame([(1, text), (2, "no pii here")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in CU.pii_scrub(df).collect()}
+    assert got[1]["n_emails"] == 2
+    assert got[1]["n_ips"] == 1
+    assert got[1]["n_phones"] == 1
+    s = got[1]["scrubbed_text"]
+    assert "<EMAIL>" in s and "<IP>" in s and "<PHONE>" in s
+    assert "alice" not in s and "10.0.0.1" not in s and "555-123" not in s
+    assert got[2]["scrubbed_text"] == "no pii here"
+    assert got[2]["n_emails"] == 0
+
+
+def test_shuffle_shards_uniform_and_stable(spark):
+    df = spark.createDataFrame(
+        [(i, "x") for i in range(4096)], "doc_id long, text string"
+    )
+    got = CU.shuffle_shards(df, n_shards=16).collect()
+    counts = {}
+    for r in got:
+        assert 0 <= r["shard"] < 16
+        counts[r["shard"]] = counts.get(r["shard"], 0) + 1
+    # 4096/16 = 256 expected; 5 sigma ~ +-78
+    assert all(170 < c < 340 for c in counts.values())
+    # shard derives from the md5 key exactly
+    for r in got[:50]:
+        key = hashlib.md5(f"s42:{r['doc_id']}".encode()).hexdigest()
+        assert r["sort_key"] == key
+        assert r["shard"] == int(key[:2], 16) % 16
+
+
+def test_chunks_reassemble(spark):
+    text = "".join(chr(ord("a") + (i % 26)) for i in range(730))
+    df = spark.createDataFrame([(1, text), (2, "short"), (3, "")],
+                               "doc_id long, text string")
+    rows = CU.chunk_documents(df, chunk_chars=200, overlap=50).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    # stride 150: starts 0,150,...,600 -> 5 chunks
+    assert [r["chunk_idx"] for r in c1] == [0, 1, 2, 3, 4]
+    assert all(r["chunk_len"] == 200 for r in c1[:-1])
+    assert c1[-1]["chunk_len"] == 730 - 600
+    # overlap consistency: chunk i's last 50 chars == chunk i+1's first 50
+    for a, b in zip(c1, c1[1:]):
+        assert a["chunk_text"][150:] == b["chunk_text"][:50]
+    # stripping the 50-char overlap reassembles the document
+    assert c1[0]["chunk_text"] + "".join(r["chunk_text"][50:] for r in c1[1:]) == text
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["chunk_len"] == 0
+
+
+def test_chunk_overlap_validation(spark):
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        CU.chunk_documents(df, chunk_chars=100, overlap=100)
