@@ -42,6 +42,17 @@ HEADLINE = [
     "sim_topk",
     "sim_ivf_topk",
     "tpch_q3_topk",
+    # round-2 additions: RPL merged-DIO unify, as-of timeline,
+    # dedup keeper selection, and the curation family.
+    "rpl_dio_merged",
+    "snapshot_timeline",
+    "dedup_representatives",
+    "dedup_embedding",
+    "curate_repetition",
+    "curate_pack",
+    "curate_pii_scrub",
+    "curate_shuffle_shards",
+    "curate_chunks",
 ]
 
 

@@ -151,23 +151,30 @@ def snapshot_timeline(
     )
 
 
-def _node_states(kept: DataFrame) -> DataFrame:
+_NODE_STATE_COLS = [
+    "subject_node", "found_at", "finding_id", "node_attrs",
+    "tz_offset_min", "tz_summer_only", "tz_name",
+]
+
+
+def _node_states(node_src: DataFrame, already_latest: bool) -> DataFrame:
     """Per-node latest timestamp + attributes over the kept findings
     (makeSnapshotNode, Weaver.hs:136-151).
 
     Same keep_argmax shape as the policy dedup: ``max_by(map)`` would
-    force SortAggregate. The winner's display timezone travels with the
-    timestamp (the reference round-trips tz meta-properties through the
-    history graph into GraphML, Graph/Internal.hs:84-98 /
-    GraphML/Writer.hs:252-259).
+    force SortAggregate. Under the overwrite policy the input is the
+    policy dedup's own output — already exactly one row per subject
+    (finding_id is unique) — so ``already_latest=True`` skips the
+    argmax entirely instead of re-running two aggregate+semi-join
+    rounds on a table that cannot shrink further. The winner's display
+    timezone travels with the timestamp (the reference round-trips tz
+    meta-properties through the history graph into GraphML,
+    Graph/Internal.hs:84-98 / GraphML/Writer.hs:252-259).
     """
-    latest = keep_argmax(
-        kept.select(
-            "subject_node", "found_at", "finding_id", "node_attrs",
-            "tz_offset_min", "tz_summer_only", "tz_name",
-        ),
-        ["subject_node"],
-        ["found_at", "finding_id"],
+    latest = (
+        node_src
+        if already_latest
+        else keep_argmax(node_src, ["subject_node"], ["found_at", "finding_id"])
     )
     return latest.select(
         "subject_node",
@@ -191,19 +198,30 @@ def get_snapshot(
     spark = findings.sparkSession
 
     kept = findings.filter(query.time_interval.predicate(F.col("found_at")))
-    if query.found_node_policy == POLICY_OVERWRITE:
+    overwrite = query.found_node_policy == POLICY_OVERWRITE
+    if overwrite:
         kept = latest_findings_per_node(kept)
     elif query.found_node_policy != POLICY_APPEND:
         raise ValueError(f"unknown found_node_policy: {query.found_node_policy}")
 
-    # `kept` fans out to the node states, the link samples, and (in
-    # whole-graph mode) the visited set — persist so the policy aggregate
-    # runs once, not once per consumer. MEMORY_AND_DISK: the policy-kept
-    # findings are bounded by node count x policy, far smaller than the
-    # raw history at any scale. (Left cached; Spark LRU-evicts.)
+    # What gets persisted depends on the policy. Overwrite: `kept` is
+    # the policy aggregate's output — bounded by node count, tiny —
+    # persist it whole so the argmax runs once, not once per consumer.
+    # Append: `kept` IS the full filtered history; materializing it
+    # wide would cache the nested neighbor_links array twice (here and
+    # in the exploded samples). Instead its one wide consumer (the
+    # explode) streams straight off the scan, and the node-state /
+    # visited consumers share a persisted NARROW projection — at 100 TB
+    # the link payload is the bulk of the bytes, so this halves the
+    # cache footprint of the append path. (Left cached; Spark
+    # LRU-evicts.)
     from pyspark import StorageLevel
 
-    kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    if overwrite:
+        kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
+    node_src = kept.select(*_NODE_STATE_COLS)
+    if not overwrite:
+        node_src = node_src.persist(StorageLevel.MEMORY_AND_DISK)
     samples = explode_link_samples(kept).persist(StorageLevel.MEMORY_AND_DISK)
 
     if query.starts_from is not None:
@@ -228,7 +246,7 @@ def get_snapshot(
             F.col("subject_node").alias("src"), F.col("target_node").alias("dst")
         )
         visited = reachable_nodes(edges, starts_df, max_hops=query.max_hops)
-        kept = kept.join(
+        node_src = node_src.join(
             visited.withColumnRenamed("node_id", "subject_node"),
             "subject_node",
             "left_semi",
@@ -251,7 +269,7 @@ def get_snapshot(
     else:
         # Whole-graph (Weaver) mode: visited = subjects (+ explicit marks),
         # boundary = link targets never visited (Weaver.hs:120-129).
-        visited = kept.select(F.col("subject_node").alias("node_id")).distinct()
+        visited = node_src.select(F.col("subject_node").alias("node_id")).distinct()
         if query.extra_visited:
             extra = spark.createDataFrame(
                 [(str(s),) for s in query.extra_visited], "node_id string"
@@ -265,7 +283,7 @@ def get_snapshot(
         )
 
     # --- snapshot nodes -------------------------------------------------
-    node_states = _node_states(kept)
+    node_states = _node_states(node_src, already_latest=overwrite)
     nodes = (
         node_ids.join(
             node_states.withColumnRenamed("subject_node", "node_id"),
