@@ -445,6 +445,22 @@ def q_curate_chunks(spark, sf_dir):
     return CU.chunk_documents(docs, chunk_chars=200, overlap=50)
 
 
+def q_curate_decontaminate(spark, sf_dir):
+    # Train/eval split by doc_id residue; the synthetic corpus's
+    # near-duplicate families guarantee real 8-gram overlap.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    eval_df = docs.where(F.col("doc_id") % 5 == 0)
+    return CU.decontaminate(train, eval_df, n=8)
+
+
+def q_curate_mixture_sample(spark, sf_dir):
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return CU.mixture_sample(
+        docs, {"src0": 2.0, "src1": 1.0, "src2": 1.0}
+    ).select("doc_id", "source", "mix_rank")
+
+
 def q_sim_topk(spark, sf_dir):
     emb = demo.read_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
@@ -677,6 +693,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pii_scrub": q_curate_pii_scrub,
         "curate_shuffle_shards": q_curate_shuffle_shards,
         "curate_chunks": q_curate_chunks,
+        "curate_decontaminate": q_curate_decontaminate,
+        "curate_mixture_sample": q_curate_mixture_sample,
     }
 
 
@@ -1466,5 +1484,51 @@ SELECT doc_id,
        CAST(length(substr(text, CAST(start + 1 AS INT), 200)) AS BIGINT)
          AS chunk_len
 FROM s
+""",
+        "curate_decontaminate": f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(toks) - 7, 0) + 1),
+           i -> md5(array_to_string(list_slice(toks, i, i + 7), ' '))
+         )) AS gram_hash
+  FROM tk
+),
+tg AS (SELECT * FROM grams WHERE doc_id % 5 <> 0),
+eh AS (SELECT DISTINCT gram_hash FROM grams WHERE doc_id % 5 = 0),
+pd AS (SELECT doc_id, count(*) AS n_grams FROM tg GROUP BY 1),
+hc AS (
+  SELECT doc_id, count(*) AS n_hit_grams
+  FROM tg WHERE gram_hash IN (SELECT gram_hash FROM eh) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(coalesce(hc.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+       coalesce(hc.n_hit_grams, 0) * 1.0
+         / greatest(coalesce(pd.n_grams, 0), 1) AS hit_ratio,
+       (coalesce(hc.n_hit_grams, 0) * 1.0
+         / greatest(coalesce(pd.n_grams, 0), 1)) > 0.0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
+LEFT JOIN pd ON pd.doc_id = d.doc_id
+LEFT JOIN hc ON hc.doc_id = d.doc_id
+""",
+        "curate_mixture_sample": """
+WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
+cnt AS (
+  SELECT source, count(*) AS c FROM documents
+  WHERE source IN (SELECT source FROM w) GROUP BY 1
+),
+sc AS (SELECT min(c / wt) AS scale FROM cnt JOIN w USING (source)),
+q AS (SELECT source, CAST(floor(sc.scale * wt) AS BIGINT) AS quota FROM w, sc),
+r AS (
+  SELECT doc_id, source, CAST(row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS mix_rank
+  FROM documents WHERE source IN (SELECT source FROM w)
+)
+SELECT doc_id, source, mix_rank
+FROM r JOIN q USING (source)
+WHERE mix_rank <= quota
 """,
     }

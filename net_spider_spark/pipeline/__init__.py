@@ -1,5 +1,6 @@
 """Large-scale training-data pipeline operators: dedup, similarity
-search, text analysis, multimodal column plumbing.
+search, text analysis, curation (sampling/packing/scrubbing/
+decontamination), multimodal column plumbing.
 
 These extend the reference's surface (BASELINE.json north star): the
 same engine that answers time-varying-graph snapshot queries also has

@@ -280,6 +280,143 @@ def shuffle_shards(
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def ngram_hash_rows(
+    df: DataFrame, n: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Explode each document into its distinct word n-gram hashes:
+    (id, gram_hash). md5 over the space-joined lowercased gram —
+    portable across engines, and 32 hex chars keeps the shuffle rows
+    narrow regardless of gram text length."""
+    toks = tokens_col(F.lower(F.col(text_col)))
+    n_grams = F.size(toks) - (n - 1)
+    # Guard: Spark's sequence(1, 0) counts DOWN to [1, 0] instead of
+    # yielding empty — a sub-n-token document must produce no grams.
+    grams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram_hash")
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Flag training documents that overlap an evaluation/benchmark set
+    at word n-gram granularity — the standard guard against benchmark
+    leakage into training data.
+
+    Per train document: total distinct n-grams, how many also occur
+    anywhere in the eval set, the hit ratio, and
+    ``contaminated = hit_ratio > threshold`` (default: any hit).
+
+    Scale shape: both sides explode to (id, gram_hash) inverted-index
+    rows and meet in an equi-join on the 32-char hash — work is
+    O(matching grams), never train × eval. The eval side collapses to
+    DISTINCT hashes first (benchmarks are small — typically
+    broadcastable; at worst one shuffle of the small side). Documents
+    shorter than ``n`` tokens have zero grams and are reported clean.
+    """
+    train_grams = ngram_hash_rows(train_df, n, text_col, id_col)
+    eval_hashes = (
+        ngram_hash_rows(eval_df, n, text_col, id_col)
+        .select("gram_hash").distinct()
+    )
+    hits = train_grams.join(eval_hashes, "gram_hash", "left_semi")
+    per_doc = train_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    hit_counts = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    out = (
+        train_df.select(F.col(id_col))
+        .join(per_doc, id_col, "left")
+        .join(hit_counts, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("long").alias("n_grams"),
+            F.coalesce(F.col("n_hit_grams"), F.lit(0)).cast("long").alias(
+                "n_hit_grams"
+            ),
+        )
+        .withColumn(
+            "hit_ratio",
+            F.col("n_hit_grams") / F.greatest(F.col("n_grams"), F.lit(1)),
+        )
+        .withColumn("contaminated", F.col("hit_ratio") > F.lit(threshold))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Mixture (domain-weight) sampling
+# ---------------------------------------------------------------------------
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    seed: str = "s42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic sample matching a target domain mixture: keep
+    ``floor(scale * w_s)`` documents of each source ``s``, where
+    ``scale = min_s(available_s / w_s)`` is the largest corpus-wide
+    size at which every source can meet its weight without repetition.
+    Sources missing from ``weights`` are dropped; a weight whose source
+    has no rows collapses the sample to empty (the mixture is
+    unsatisfiable without upsampling).
+
+    Selection within a source is by md5-key rank, so the sample is a
+    pure function of (corpus, weights, seed) — rerunning yields the
+    same training mixture. One count aggregate (tiny: one row per
+    source, collected to size the quotas) + one window rank per source
+    partition; no global sort.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {s: w / total_w for s, w in weights.items()}
+    counts = {
+        r[source_col]: r["cnt"]
+        for r in df.where(F.col(source_col).isin(*norm.keys()))
+        .groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    scale = min(counts.get(s, 0) / w for s, w in norm.items() if w > 0)
+    quotas = {s: int(scale * w) for s, w in norm.items()}
+    spark = df.sparkSession
+    quota_df = spark.createDataFrame(
+        [(s, q) for s, q in quotas.items()], f"{source_col} string, _quota long"
+    )
+    w_rank = Window.partitionBy(source_col).orderBy(
+        _md5_key(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(quota_df), source_col)
+        .withColumn("mix_rank", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("mix_rank") <= F.col("_quota"))
+        .drop("_quota")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Chunking
 # ---------------------------------------------------------------------------
 

@@ -222,6 +222,11 @@ def get_snapshot(
     node_src = kept.select(*_NODE_STATE_COLS)
     if not overwrite:
         node_src = node_src.persist(StorageLevel.MEMORY_AND_DISK)
+    # The exploded samples feed three passes (boundary targets, the
+    # unify prefilter aggregate, the prefilter's semi-join), plus one
+    # per BFS level in traversal mode — persist them. They are NARROW
+    # rows (no nested arrays); what must NOT be persisted at scale is
+    # the full-width findings above.
     samples = explode_link_samples(kept).persist(StorageLevel.MEMORY_AND_DISK)
 
     if query.starts_from is not None:
@@ -325,13 +330,16 @@ def _unify_links(
     else:
         # Default merge = latestLinkSample over both endpoints' samples,
         # deterministic tie-break on (found_at, finding_id, link_pos).
-        # Samples are NARROW rows (no nested arrays) and groups are tiny
-        # (a handful of observations per physical link), so a single
+        # Samples are NARROW rows (no nested arrays), so a single
         # max_by aggregate — sort-based because of the attrs map, but
-        # one shuffle, no join rounds — beats keep_argmax here; the
-        # argmax-join shape is reserved for the wide nested findings
-        # (latest_findings_per_node), where sorting full rows is the
-        # 100 TB hazard.
+        # one shuffle and map-side partial — wins here. Measured at
+        # both 6.4M and 51M samples: a max(found_at) hash-agg +
+        # semi-join prefilter before the max_by added ~17 s at 6.4M
+        # and paid for itself nowhere — the partial aggregate already
+        # collapses each map partition to ~one row per pair before the
+        # shuffle. The argmax-join shape is reserved for the wide
+        # nested findings (latest_findings_per_node), where sorting
+        # full rows is the 100 TB hazard.
         ordering = F.struct(
             F.col("found_at"), F.col("finding_id"), F.col("link_pos")
         )

@@ -153,3 +153,58 @@ def test_chunk_overlap_validation(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         CU.chunk_documents(df, chunk_chars=100, overlap=100)
+
+
+def test_decontaminate_planted(spark):
+    bench = "the quick brown fox jumps over the lazy dog tonight"
+    train = spark.createDataFrame(
+        [
+            (1, f"intro text then {bench} and a conclusion"),  # embeds benchmark
+            (2, "completely unrelated prose about spark plans and shuffles ok"),
+            (3, "the quick brown fox jumps over something else entirely here"),
+            (4, "tiny"),  # < n tokens -> zero grams, clean
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame([(100, bench)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in CU.decontaminate(train, eval_df, n=8).collect()
+    }
+    assert got[1]["contaminated"] and got[1]["n_hit_grams"] >= 1
+    assert not got[2]["contaminated"] and got[2]["n_hit_grams"] == 0
+    # shares a 7-token prefix but no full 8-gram
+    assert not got[3]["contaminated"]
+    assert got[4]["n_grams"] == 0 and not got[4]["contaminated"]
+    # threshold above doc 1's hit ratio suppresses the flag
+    ratio = got[1]["hit_ratio"]
+    again = {
+        r["doc_id"]: r
+        for r in CU.decontaminate(train, eval_df, n=8, threshold=ratio).collect()
+    }
+    assert not again[1]["contaminated"]
+
+
+def test_mixture_sample_quotas_and_determinism(spark):
+    rows = [(i, "web" if i < 600 else ("code" if i < 900 else "books"), "t")
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # weights 1:1 with 600 web / 300 code available -> scale limited by
+    # code: 300/0.5=600 -> 300 each; books dropped (not in weights).
+    got = CU.mixture_sample(df, {"web": 1.0, "code": 1.0}).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by_src["web"]) == 300 and len(by_src["code"]) == 300
+    assert "books" not in by_src
+    again = CU.mixture_sample(df, {"web": 1.0, "code": 1.0}).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in got}
+    # skewed weights: web:code = 3:1 -> code-limited scale 300/0.25=1200
+    # -> 900 web? no: 1200*0.75=900 > 600 available... scale is
+    # min(600/0.75, 300/0.25) = 800 -> 600 web, 200 code.
+    skew = CU.mixture_sample(df, {"web": 3.0, "code": 1.0}).collect()
+    n_web = sum(1 for r in skew if r["source"] == "web")
+    n_code = sum(1 for r in skew if r["source"] == "code")
+    assert (n_web, n_code) == (600, 200)
+    with pytest.raises(ValueError):
+        CU.mixture_sample(df, {})

@@ -1,0 +1,91 @@
+"""Physical-plan regression tests: pin the plan *shapes* that make the
+operators survive a 100x scale-up, so a refactor that silently
+introduces a cartesian product, an unnecessary shuffle, or an unpruned
+scan fails CI — not the cluster.
+
+These assert on `explain` output, not timings, so they are stable on a
+loaded box.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from net_spider_spark import ingest
+from net_spider_spark.interval import Interval
+from net_spider_spark.pipeline import curate as CU
+from net_spider_spark.pipeline import dedup as D
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (i, f"some document body {i} " + ("dup phrase " * (i % 4)), f"src{i % 3}")
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_partitioned_history_scan_prunes(spark, tmp_path):
+    findings = spark.createDataFrame(
+        [(i, f"n{i % 5}", 86_400_000 * (i % 4) + i, None, None, None, {}, [])
+         for i in range(40)],
+        "finding_id long, subject_node string, found_at long, "
+        "tz_offset_min int, tz_summer_only boolean, tz_name string, "
+        "node_attrs map<string,string>, "
+        "neighbor_links array<struct<target_node:string,link_state:string,"
+        "link_attrs:map<string,string>>>",
+    )
+    path = str(tmp_path / "hist")
+    ingest.write_findings(findings, path)
+    iv = Interval.since(86_400_000 * 2)
+    pruned = ingest.read_findings(spark, path, interval=iv)
+    plan = plan_of(pruned)
+    # Day partitions outside the interval must not be scanned: the
+    # partition filter reaches the FileSourceScan.
+    assert "found_day" in plan and "PartitionFilters: [" in plan
+    assert pruned.count() == 20  # days 2 and 3 only
+
+
+def test_codegen_only_ops_have_no_exchange(docs):
+    # PII scrub, chunking, hash sampling, sharding: pure narrow
+    # expressions — any Exchange in the plan is a regression.
+    for df in (
+        CU.pii_scrub(docs),
+        CU.chunk_documents(docs),
+        CU.hash_sample(docs, 0.5),
+        CU.shuffle_shards(docs),
+    ):
+        plan = plan_of(df)
+        assert "Exchange" not in plan, plan
+        # executedPlan toString marks whole-stage-codegen spans "*(n)"
+        assert "*(" in plan, plan
+
+
+def test_no_cartesian_products_on_scale_paths(docs, spark):
+    # Decontamination must meet on the gram-hash equi-join, and the
+    # default embedding near-dup path on LSH buckets — never all-pairs.
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    ev = docs.where(F.col("doc_id") % 5 == 0)
+    deconta = CU.decontaminate(train, ev, n=4)
+    emb = spark.createDataFrame(
+        [(i, [float((i * j) % 7) - 3.0 for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    near = D.embedding_near_dup_groups(emb, threshold=0.9)
+    for df in (deconta, near):
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_repetition_stats_shuffles_on_doc_key_only(docs):
+    # Two explode->groupBy aggregations: every HashAggregate keys on
+    # doc_id — a global or per-token-only aggregation would be wrong
+    # and a window-sort plan would not scale.
+    plan = plan_of(CU.repetition_stats(docs))
+    assert "HashAggregate" in plan
+    assert "Window" not in plan

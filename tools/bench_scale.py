@@ -41,11 +41,18 @@ def main() -> None:
     factor = int(os.environ.get("SPARK_GRAFT_REPLICATE", "64"))
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # Shuffle width: measured at 51M findings, oversizing to 512 with
+    # AQE coalesce REGRESSED the argmax paths ~3x on this single-JVM
+    # box (tiny shuffle blocks + task-launch overhead dominate long
+    # before per-partition sorts spill); shuffle = cores stays the
+    # default. On a real multi-executor cluster, size this to keep
+    # post-filter partitions near 128-256 MB instead.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", cpus)
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("net_spider_spark_bench_scale")
-        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.driver.memory", "64g")
