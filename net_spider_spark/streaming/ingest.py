@@ -175,6 +175,102 @@ def stream_latest_per_node(findings_stream: DataFrame) -> DataFrame:
     )
 
 
+_LINK_STATE_SCHEMA = (
+    "found_at BIGINT, finding_id BIGINT, link_pos INT, payload STRING"
+)
+_LINK_OUT_SCHEMA = (
+    "p1 STRING, p2 STRING, subject_node STRING, target_node STRING, "
+    "link_state STRING, found_at BIGINT, link_attrs MAP<STRING,STRING>"
+)
+
+
+def _update_latest_link(
+    key, pdf_iter: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Keep the maximal link sample per unordered endpoint pair under
+    the batch unify's exact ordering (found_at, finding_id, link_pos) —
+    so replaying the stream and running the batch ``max_by`` agree
+    row-for-row, late data included (a late sample simply loses the
+    comparison, it is never dropped by a watermark)."""
+    p1, p2 = key
+    best = state.get if state.exists else None  # (ts, fid, pos, payload)
+    for pdf in pdf_iter:
+        if not len(pdf):
+            continue
+        # vectorized lexicographic argmax over the batch
+        i = (
+            pdf[["found_at", "finding_id", "link_pos"]]
+            .sort_values(["found_at", "finding_id", "link_pos"])
+            .index[-1]
+        )
+        cand = (
+            int(pdf["found_at"].loc[i]),
+            int(pdf["finding_id"].loc[i]),
+            int(pdf["link_pos"].loc[i]),
+            json.dumps(
+                {
+                    "subject_node": pdf["subject_node"].loc[i],
+                    "target_node": pdf["target_node"].loc[i],
+                    "link_state": pdf["link_state"].loc[i],
+                    "link_attrs": dict(pdf["link_attrs"].loc[i] or {}),
+                }
+            ),
+        )
+        if best is None or cand[:3] > tuple(best[:3]):
+            best = cand
+    state.update(tuple(best))
+    doc = json.loads(best[3])
+    yield pd.DataFrame(
+        {
+            "p1": [p1],
+            "p2": [p2],
+            "subject_node": [doc["subject_node"]],
+            "target_node": [doc["target_node"]],
+            "link_state": [doc["link_state"]],
+            "found_at": [best[0]],
+            "link_attrs": [doc["link_attrs"]],
+        }
+    )
+
+
+def stream_latest_link_per_pair(findings_stream: DataFrame) -> DataFrame:
+    """Incrementally-maintained link view (A3 latestLinkSample as a
+    stream): explode each streamed finding's neighbor links, key by the
+    swap-insensitive endpoint pair, and keep the winner under the batch
+    unify ordering via ``applyInPandasWithState``.
+
+    Together with :func:`stream_latest_per_node` this maintains the
+    whole-graph snapshot incrementally — per micro-batch the updated
+    pairs re-emit their current winner, so a downstream sink always
+    holds the same link rows the batch ``get_snapshot`` would produce
+    on full replay (before negation, which needs the node view and
+    stays a batch join over the two small maintained views)."""
+    samples = findings_stream.select(
+        "subject_node",
+        "found_at",
+        "finding_id",
+        F.posexplode("neighbor_links").alias("link_pos", "nl"),
+    ).select(
+        "subject_node",
+        "found_at",
+        "finding_id",
+        F.col("link_pos").cast("int").alias("link_pos"),
+        F.col("nl.target_node").alias("target_node"),
+        F.col("nl.link_state").alias("link_state"),
+        F.col("nl.link_attrs").alias("link_attrs"),
+    )
+    keyed = samples.withColumn(
+        "p1", F.least("subject_node", "target_node")
+    ).withColumn("p2", F.greatest("subject_node", "target_node"))
+    return keyed.groupBy("p1", "p2").applyInPandasWithState(
+        _update_latest_link,
+        outputStructType=_LINK_OUT_SCHEMA,
+        stateStructType=_LINK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def parse_logs_streaming(
     spark: SparkSession,
     log_dir: str,

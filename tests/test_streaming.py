@@ -168,3 +168,65 @@ def test_stream_tz_fields_parsed(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert out[0]["tz_offset_min"] == 540 and out[0]["tz_name"] == "JST"
+
+
+def test_stream_latest_link_per_pair_matches_batch(spark, tmp_path):
+    from net_spider_spark.snapshot import Query, get_snapshot
+    from net_spider_spark.streaming.ingest import stream_latest_link_per_pair
+
+    src = tmp_path / "in"
+    src.mkdir()
+    batch1 = [
+        _finding("a", 1000, ["b"]),          # a->b observed by a
+        _finding("b", 3000, ["a", "c"]),     # b's newer view of both pairs
+        _finding("c", 1500, ["b"]),
+    ]
+    _write_jsonl(src / "b1.jsonl", batch1)
+    ckpt = str(tmp_path / "ckpt")
+    table = str(tmp_path / "hist")
+
+    def run_stream():
+        out = []
+        q = (
+            stream_latest_link_per_pair(stream_findings_json(spark, str(src)))
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda d, _id: out.extend(
+                r.asDict(recursive=True) for r in d.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return out
+
+    out1 = run_stream()
+    # winners: pair (a,b) -> b's 3000 observation; (b,c) -> b's 3000
+    got1 = {(r["p1"], r["p2"]): (r["subject_node"], r["found_at"])
+            for r in out1}
+    assert got1 == {("a", "b"): ("b", 3000), ("b", "c"): ("b", 3000)}
+
+    # Late batch: an OLD observation of (a,b) must lose; a genuinely
+    # newer observation of (b,c) must win.
+    _write_jsonl(src / "b2.jsonl", [
+        _finding("a", 500, ["b"]),
+        _finding("c", 4000, ["b"]),
+    ])
+    out2 = run_stream()
+    got2 = {(r["p1"], r["p2"]): (r["subject_node"], r["found_at"])
+            for r in out2}
+    assert got2[("a", "b")] == ("b", 3000)   # late row lost
+    assert got2[("b", "c")] == ("c", 4000)   # newer row won
+
+    # Batch/stream agreement: replay everything through the batch
+    # engine; the unify winners must match the maintained view.
+    q = append_to_history(
+        stream_findings_json(spark, str(src)), table, str(tmp_path / "ckpt_h"))
+    q.awaitTermination(120)
+    findings = spark.read.parquet(table)
+    _, links = get_snapshot(findings, Query(found_node_policy="append"))
+    batch_links = {
+        tuple(sorted((r["source_node"], r["dest_node"]))): r["link_ts"]
+        for r in links.collect()
+    }
+    stream_links = {k: ts for k, (_, ts) in got2.items()}
+    assert batch_links == stream_links
