@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from net_spider_spark import demo
 from net_spider_spark.interval import Interval
 from net_spider_spark.pipeline import curate as CU
+from net_spider_spark.pipeline import events as EV
 from net_spider_spark.pipeline import dedup as D
 from net_spider_spark.pipeline import similarity as S
 from net_spider_spark.pipeline import text as TX
@@ -454,6 +455,22 @@ def q_curate_decontaminate(spark, sf_dir):
     return CU.decontaminate(train, eval_df, n=8)
 
 
+def _events_ms(spark, sf_dir):
+    return demo.read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000000").alias("ts_ms")
+    )
+
+
+def q_events_sessionize(spark, sf_dir):
+    return EV.sessionize(_events_ms(spark, sf_dir)).select(
+        "event_id", "user_id", "ts_ms", "session_idx", "session_id"
+    )
+
+
+def q_events_session_stats(spark, sf_dir):
+    return EV.session_stats(EV.sessionize(_events_ms(spark, sf_dir)))
+
+
 def q_curate_mixture_sample(spark, sf_dir):
     docs = demo.read_table(spark, sf_dir, "documents")
     return CU.mixture_sample(
@@ -695,6 +712,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_chunks": q_curate_chunks,
         "curate_decontaminate": q_curate_decontaminate,
         "curate_mixture_sample": q_curate_mixture_sample,
+        "events_sessionize": q_events_sessionize,
+        "events_session_stats": q_events_session_stats,
     }
 
 
@@ -1512,6 +1531,44 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
 LEFT JOIN pd ON pd.doc_id = d.doc_id
 LEFT JOIN hc ON hc.doc_id = d.doc_id
+""",
+        "events_sessionize": """
+WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                   OR ts_ms - lag(ts_ms) OVER w > 1800000
+            THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+)
+SELECT event_id, user_id, ts_ms,
+       CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+            ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_idx,
+       CAST(user_id * 1048576
+            + sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS session_id
+FROM m
+""",
+        "events_session_stats": """
+WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),
+m AS (
+  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                   OR ts_ms - lag(ts_ms) OVER w > 1800000
+            THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms, event_id)
+),
+s AS (
+  SELECT user_id, ts_ms,
+         CAST(user_id * 1048576
+              + sum(is_new) OVER (PARTITION BY user_id
+                ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) - 1
+              AS BIGINT) AS session_id
+  FROM m
+)
+SELECT session_id, any_value(user_id) AS user_id,
+       min(ts_ms) AS session_start, max(ts_ms) AS session_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(ts_ms) - min(ts_ms) AS duration_ms
+FROM s GROUP BY 1
 """,
         "curate_mixture_sample": """
 WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),

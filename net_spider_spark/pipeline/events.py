@@ -1,0 +1,68 @@
+"""Event-stream sessionization: split each user's event sequence into
+sessions at inactivity gaps, plus per-session rollups.
+
+The canonical gaps-and-islands shape: one shuffle on the user key, a
+per-user window sort (users are numerous and sessions short, so
+partitions stay balanced — the opposite of a global sort), then
+``lag`` marks gap starts and a running ``sum`` numbers the islands.
+Everything is built-in window expressions — codegen, no Python — and
+each step has a DuckDB twin in ``__spark_entry__.oracle_sql``.
+
+For skewed users (one user = millions of events) pre-split by
+``(user, day)`` first; session boundaries then heal across day edges
+with one extra merge pass over first/last sessions per day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_GAP_MS = 30 * 60 * 1000
+
+
+def sessionize(
+    events: DataFrame,
+    gap_ms: int = DEFAULT_GAP_MS,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Assign each event a per-user ``session_idx`` (0-based) and a
+    corpus-unique ``session_id``. A session breaks when the gap from
+    the previous event of the same user exceeds ``gap_ms``. Ordering
+    ties on the timestamp break by ``order_col`` so the numbering is
+    deterministic.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    prev_ts = F.lag(ts_col).over(w)
+    is_new = (
+        prev_ts.isNull() | ((F.col(ts_col) - prev_ts) > F.lit(gap_ms))
+    ).cast("long")
+    run = Window.partitionBy(user_col).orderBy(ts_col, order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = events.withColumn("session_idx", (F.sum(is_new).over(run) - 1))
+    # user_id * 2^20 + idx: unique as long as no user has >1M sessions
+    # in one run — cheap, join-free, and stable across engines.
+    return out.withColumn(
+        "session_id",
+        (F.col(user_col).cast("long") * F.lit(1 << 20)) + F.col("session_idx"),
+    )
+
+
+def session_stats(
+    sessions: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Per-session rollup over :func:`sessionize` output: bounds, event
+    count, duration. One map-side-combinable hash aggregate on the
+    session key."""
+    return sessions.groupBy("session_id").agg(
+        F.first(user_col).alias(user_col),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(ts_col) - F.min(ts_col)).alias("duration_ms"),
+    )

