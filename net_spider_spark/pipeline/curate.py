@@ -279,6 +279,35 @@ def shuffle_shards(
     )
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int = 64,
+    seed: str = "s42",
+    id_col: str = "doc_id",
+) -> None:
+    """Materialize a reproducible globally-shuffled copy of the corpus:
+    one parquet directory per shard (``shard=K/``), rows within each
+    file in md5-key order. A training job reading shards round-robin
+    sees a deterministic pseudo-random permutation of the corpus.
+
+    Plan: one hash repartition on the shard key + an in-partition sort
+    — no global orderBy (a global sort funnels 100 TB through a single
+    range-partition exchange; this shape is one all-to-all shuffle at
+    full parallelism, which is the floor for any true shuffle).
+    ``partitionBy`` writes each shard's rows from its own partition, so
+    files-per-shard stays 1 without a second shuffle.
+    """
+    sharded = shuffle_shards(df, n_shards=n_shards, seed=seed, id_col=id_col)
+    (
+        sharded.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", "sort_key")
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
 # ---------------------------------------------------------------------------

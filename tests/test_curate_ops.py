@@ -208,3 +208,30 @@ def test_mixture_sample_quotas_and_determinism(spark):
     assert (n_web, n_code) == (600, 200)
     with pytest.raises(ValueError):
         CU.mixture_sample(df, {})
+
+
+def test_write_training_shards_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    CU.write_training_shards(df, path, n_shards=8)
+    back = spark.read.parquet(path)
+    # lossless: every doc in exactly one shard
+    assert back.count() == 500
+    assert back.select("doc_id").distinct().count() == 500
+    assert back.select("shard").distinct().count() == 8
+    # within each shard file, rows are stored in sort_key order
+    import glob
+
+    for shard_dir in glob.glob(f"{path}/shard=*"):
+        pdf = spark.read.parquet(shard_dir).toPandas()
+        keys = list(pdf["sort_key"])
+        assert keys == sorted(keys)
+    # deterministic: rewriting yields the identical assignment
+    path2 = str(tmp_path / "shards2")
+    CU.write_training_shards(df, path2, n_shards=8)
+    a = {(r["doc_id"], r["shard"]) for r in back.collect()}
+    b = {(r["doc_id"], r["shard"])
+         for r in spark.read.parquet(path2).collect()}
+    assert a == b
