@@ -53,6 +53,8 @@ HEADLINE = [
     "curate_pii_scrub",
     "curate_shuffle_shards",
     "curate_chunks",
+    "curate_decontaminate",
+    "events_sessionize",
 ]
 
 
