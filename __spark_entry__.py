@@ -455,6 +455,18 @@ def q_curate_decontaminate(spark, sf_dir):
     return CU.decontaminate(train, eval_df, n=8)
 
 
+def q_graph_triangles(spark, sf_dir):
+    from net_spider_spark.findings import explode_link_samples
+    from net_spider_spark.graph.triangles import triangle_stats
+
+    findings = demo.events_findings(spark, sf_dir)
+    kept = latest_findings_per_node(findings)
+    edges = explode_link_samples(kept).select(
+        F.col("subject_node").alias("src"), F.col("target_node").alias("dst")
+    )
+    return triangle_stats(edges)
+
+
 def _events_ms(spark, sf_dir):
     return demo.read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.expr("ts div 1000000").alias("ts_ms")
@@ -714,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_mixture_sample": q_curate_mixture_sample,
         "events_sessionize": q_events_sessionize,
         "events_session_stats": q_events_session_stats,
+        "graph_triangles": q_graph_triangles,
     }
 
 
@@ -1531,6 +1544,44 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
 LEFT JOIN pd ON pd.doc_id = d.doc_id
 LEFT JOIN hc ON hc.doc_id = d.doc_id
+""",
+        "graph_triangles": f"""
+WITH {SQL_F},
+{SQL_KEPT_OVERWRITE},
+e AS (
+  SELECT DISTINCT least(subject_node, target_node) AS p,
+                  greatest(subject_node, target_node) AS q
+  FROM kept WHERE subject_node <> target_node
+),
+deg AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+    SELECT p AS v FROM e UNION ALL SELECT q AS v FROM e) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN dp.deg < dq.deg OR (dp.deg = dq.deg AND e.p < e.q)
+              THEN e.p ELSE e.q END AS a,
+         CASE WHEN dp.deg < dq.deg OR (dp.deg = dq.deg AND e.p < e.q)
+              THEN e.q ELSE e.p END AS b
+  FROM e JOIN deg dp ON dp.v = e.p JOIN deg dq ON dq.v = e.q
+),
+tri AS (
+  SELECT o1.a, o1.b AS m, o2.b AS c
+  FROM o o1
+  JOIN o o2 ON o2.a = o1.b
+  JOIN o o3 ON o3.a = o1.a AND o3.b = o2.b
+),
+cc AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS triangles FROM (
+    SELECT a AS v FROM tri
+    UNION ALL SELECT m AS v FROM tri
+    UNION ALL SELECT c AS v FROM tri) GROUP BY 1
+)
+SELECT deg.v AS node_id, deg.deg AS degree,
+       coalesce(cc.triangles, 0) AS triangles,
+       CASE WHEN deg.deg >= 2
+            THEN 2.0 * coalesce(cc.triangles, 0) / (deg.deg * (deg.deg - 1))
+            ELSE 0.0 END AS clustering_coeff
+FROM deg LEFT JOIN cc ON cc.v = deg.v
 """,
         "events_sessionize": """
 WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS ts_ms FROM events),

@@ -55,6 +55,7 @@ HEADLINE = [
     "curate_chunks",
     "curate_decontaminate",
     "events_sessionize",
+    "graph_triangles",
 ]
 
 
