@@ -455,6 +455,23 @@ def q_curate_decontaminate(spark, sf_dir):
     return CU.decontaminate(train, eval_df, n=8)
 
 
+def q_dedup_exact_incremental(spark, sf_dir):
+    # "today's batch" = doc_id % 4 == 0 probed against the rest.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    return D.exact_duplicates_against(new, corpus)
+
+
+def q_dedup_minhash_incremental(spark, sf_dir):
+    docs = demo.read_table(spark, sf_dir, "documents")
+    new = docs.where(F.col("doc_id") % 4 == 0)
+    corpus = docs.where(F.col("doc_id") % 4 != 0)
+    new_sigs = D.minhash_signatures(D.doc_shingles(new))
+    corpus_sigs = D.minhash_signatures(D.doc_shingles(corpus))
+    return D.minhash_candidates_against(new_sigs, corpus_sigs)
+
+
 def q_graph_triangles(spark, sf_dir):
     from net_spider_spark.findings import explode_link_samples
     from net_spider_spark.graph.triangles import triangle_stats
@@ -727,6 +744,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": q_events_sessionize,
         "events_session_stats": q_events_session_stats,
         "graph_triangles": q_graph_triangles,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
     }
 
 
@@ -1544,6 +1563,29 @@ SELECT d.doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 5 <> 0) d
 LEFT JOIN pd ON pd.doc_id = d.doc_id
 LEFT JOIN hc ON hc.doc_id = d.doc_id
+""",
+        "dedup_exact_incremental": """
+WITH nd AS (
+  SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 4 = 0
+),
+cd AS (
+  SELECT DISTINCT md5(text) AS digest FROM documents WHERE doc_id % 4 <> 0
+)
+SELECT doc_id, digest,
+       digest IN (SELECT digest FROM cd) AS is_duplicate
+FROM nd
+""",
+        "dedup_minhash_incremental": f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({SQL_SHINGLES}) AS shingle FROM tok),
+mh AS (
+  SELECT doc_id, b.band, min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS sig
+  FROM sh CROSS JOIN (VALUES (1), (2), (3), (4)) b(band)
+  GROUP BY doc_id, b.band
+)
+SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+FROM mh n JOIN mh c ON n.band = c.band AND n.sig = c.sig
+WHERE n.doc_id % 4 = 0 AND c.doc_id % 4 <> 0 AND n.doc_id <> c.doc_id
 """,
         "graph_triangles": f"""
 WITH {SQL_F},

@@ -137,6 +137,69 @@ def minhash_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFra
     )
 
 
+def exact_duplicates_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: flag documents of a NEW batch whose
+    text already exists in the ingested corpus — the daily shape of a
+    production pipeline, where re-deduping the whole corpus per batch
+    is off the table.
+
+    One md5 projection per side + a semi-join of the (small) new batch
+    against the distinct corpus digests: the corpus is scanned once
+    for a 32-byte column, never materialized wide, and the join key is
+    the digest — at 100 TB the corpus side is a pruned single-column
+    scan and the probe side is the day's batch. Returns every new
+    (id, digest, is_duplicate).
+    """
+    new_d = new_df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("digest")
+    )
+    corpus_d = corpus_df.select(
+        F.md5(F.col(text_col)).alias("digest")
+    ).distinct()
+    hits = new_d.join(corpus_d, "digest", "left_semi").select(
+        F.col(id_col), F.lit(True).alias("is_duplicate")
+    )
+    return (
+        new_d.join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            "digest",
+            F.coalesce(F.col("is_duplicate"), F.lit(False)).alias(
+                "is_duplicate"
+            ),
+        )
+    )
+
+
+def minhash_candidates_against(
+    new_sigs: DataFrame,
+    corpus_sigs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental near-dup candidates: new-batch docs that agree with
+    ANY corpus doc on any MinHash band. Both sides come from
+    :func:`minhash_signatures` — the corpus side is the precomputed,
+    incrementally-appended signature index (4 narrow rows per doc),
+    NOT the corpus text. The equi-join on (band, sig) probes the index
+    with the day's batch; no self-join over the corpus ever runs.
+    Returns distinct (new_id, corpus_id) candidate pairs for exact
+    verification (:func:`jaccard_verify_candidates`).
+    """
+    a = new_sigs.select(F.col(id_col).alias("new_id"), "band", "sig")
+    b = corpus_sigs.select(F.col(id_col).alias("corpus_id"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+
+
 def _jaccard_tail(
     shared: DataFrame, sizes: DataFrame, threshold: float, id_col: str
 ) -> DataFrame:

@@ -165,3 +165,54 @@ def test_dedup_representatives_no_dups_is_identity(spark):
         for r in D.dedup_representatives(docs, threshold=0.9).collect()
     }
     assert got == {i: 1 for i in range(1, 6)}
+
+
+def test_incremental_dedup_against_corpus(spark):
+    from net_spider_spark.pipeline.dedup import (
+        doc_shingles,
+        exact_duplicates_against,
+        jaccard_verify_candidates,
+        minhash_candidates_against,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat today and yesterday"),
+            (2, "a completely different corpus document about engines"),
+            (3, "third corpus doc with its own unique words here"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (100, "the cat sat on the mat today and yesterday"),  # exact dup of 1
+            (101, "the cat sat on the mat today and tomorrow"),   # near dup of 1
+            (102, "entirely novel content never seen before anywhere"),
+        ],
+        "doc_id long, text string",
+    )
+    ex = {r["doc_id"]: r["is_duplicate"]
+          for r in exact_duplicates_against(new, corpus).collect()}
+    assert ex == {100: True, 101: False, 102: False}
+
+    cand = minhash_candidates_against(
+        minhash_signatures(doc_shingles(new)),
+        minhash_signatures(doc_shingles(corpus)),
+    )
+    pairs = {(r["new_id"], r["corpus_id"]) for r in cand.collect()}
+    assert (100, 1) in pairs and (101, 1) in pairs
+    assert not any(n == 102 for n, _ in pairs)
+    # exact verify of the candidates: near-dup scores below the exact dup
+    both = doc_shingles(new.unionByName(corpus))
+    verified = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_verify_candidates(
+            cand.select(F.col("new_id").alias("doc_a"),
+                        F.col("corpus_id").alias("doc_b")),
+            both,
+            threshold=0.0,
+        ).collect()
+    }
+    assert verified[(100, 1)] == 1.0
+    assert 0.0 < verified[(101, 1)] < 1.0
