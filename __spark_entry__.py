@@ -26,6 +26,7 @@ from net_spider_spark.pipeline import curate as CU
 from net_spider_spark.pipeline import events as EV
 from net_spider_spark.pipeline import dedup as D
 from net_spider_spark.pipeline import similarity as S
+from net_spider_spark.pipeline import temporal as TP
 from net_spider_spark.pipeline import text as TX
 from net_spider_spark.snapshot import (
     BOUNDARY_MARK,
@@ -673,6 +674,97 @@ def q_dedup_embedding(spark, sf_dir):
     return D.embedding_near_dup_groups(emb, threshold=0.5)
 
 
+def _events_typed(spark, sf_dir):
+    return demo.read_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.expr("ts div 1000000").alias("ts_ms"),
+    )
+
+
+def q_temporal_asof(spark, sf_dir):
+    # Each click event annotated with the user's most recent error
+    # event at-or-before it (one union + one window pass — no join).
+    ev = _events_typed(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    # dedupe equal-(user, ts) errors so backward tie-break is shared
+    # with the SQL ASOF oracle (which needs a unique ref timestamp).
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts_ms")
+        .agg(
+            F.max("event_id").alias("err_id"),
+            F.max_by("value", "event_id").alias("err_value"),
+        )
+    )
+    out = TP.asof_join(
+        clicks,
+        errors,
+        on="ts_ms",
+        by=["user_id"],
+        ref_cols=["err_id", "err_value"],
+        ref_order="err_id",
+    )
+    # no-match sentinels: the driver compare sorts rows, and NULLs in a
+    # sort column are engine-dependent — pin them to -1 on both sides.
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.coalesce("asof_ts_ms", F.lit(-1)).alias("asof_ts_ms"),
+        F.coalesce("asof_err_id", F.lit(-1)).alias("asof_err_id"),
+        F.coalesce("asof_err_value", F.lit(-1.0)).alias("asof_err_value"),
+    )
+
+
+def q_temporal_interval_join(spark, sf_dir):
+    # Range join: click events (any user) falling inside global error
+    # "incident windows" — sessionized error bursts padded by 10 min.
+    # Unkeyed, so without bucket chunking Spark would plan an all-pairs
+    # BroadcastNestedLoopJoin.
+    ev = _events_typed(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    incidents = (
+        EV.session_stats(
+            EV.sessionize(
+                ev.where(F.col("event_type") == "error").withColumn(
+                    "g", F.lit(0)
+                ),
+                user_col="g",
+            ),
+            user_col="g",
+        )
+        .select(
+            F.col("session_id").alias("incident_id"),
+            (F.col("session_start") - F.lit(600_000)).alias("w_start"),
+            (F.col("session_end") + F.lit(600_000)).alias("w_end"),
+        )
+    )
+    return TP.interval_join(
+        clicks,
+        incidents,
+        point_ts="ts_ms",
+        start_col="w_start",
+        end_col="w_end",
+        bucket=3_600_000,
+    ).select("event_id", "user_id", "ts_ms", "incident_id")
+
+
+def q_temporal_rollup(spark, sf_dir):
+    # Hypertable-style continuous aggregate: hourly + daily per-type
+    # rollups, coarser levels re-aggregated from the finest partials.
+    return TP.time_rollup(
+        _events_typed(spark, sf_dir),
+        resolutions=(3_600_000, 86_400_000),
+    )
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     # IVF ANN (KMeans cells + probe search); rows-only driver check —
     # recall vs brute force is pinned in tests/test_pipeline_ops.py.
@@ -746,6 +838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_triangles": q_graph_triangles,
         "dedup_exact_incremental": q_dedup_exact_incremental,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "temporal_asof": q_temporal_asof,
+        "temporal_interval_join": q_temporal_interval_join,
+        "temporal_rollup": q_temporal_rollup,
     }
 
 
@@ -1662,6 +1757,71 @@ SELECT session_id, any_value(user_id) AS user_id,
        CAST(count(*) AS BIGINT) AS n_events,
        max(ts_ms) - min(ts_ms) AS duration_ms
 FROM s GROUP BY 1
+""",
+        "temporal_asof": """
+WITH e AS (SELECT event_id, user_id, event_type, value,
+                  epoch_ms(ts) AS ts_ms FROM events),
+clicks AS (SELECT event_id, user_id, ts_ms FROM e
+           WHERE event_type = 'click'),
+errors AS (
+  SELECT user_id, ts_ms, max(event_id) AS err_id,
+         arg_max(value, event_id) AS err_value
+  FROM e WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts_ms,
+       coalesce(r.ts_ms, -1) AS asof_ts_ms,
+       coalesce(r.err_id, -1) AS asof_err_id,
+       coalesce(r.err_value, -1.0) AS asof_err_value
+FROM clicks c ASOF LEFT JOIN errors r
+  ON c.user_id = r.user_id AND c.ts_ms >= r.ts_ms
+""",
+        "temporal_interval_join": """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+           FROM events),
+err AS (SELECT * FROM e WHERE event_type = 'error'),
+m AS (
+  SELECT *, CASE WHEN lag(ts_ms) OVER w IS NULL
+                   OR ts_ms - lag(ts_ms) OVER w > 1800000
+            THEN 1 ELSE 0 END AS is_new
+  FROM err WINDOW w AS (ORDER BY ts_ms, event_id)
+),
+s AS (
+  SELECT ts_ms,
+         CAST(sum(is_new) OVER (ORDER BY ts_ms, event_id
+              ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS incident_id
+  FROM m
+),
+st AS (
+  SELECT incident_id,
+         min(ts_ms) - 600000 AS w_start,
+         max(ts_ms) + 600000 AS w_end
+  FROM s GROUP BY 1
+)
+SELECT c.event_id, c.user_id, c.ts_ms, st.incident_id
+FROM e c JOIN st ON c.ts_ms BETWEEN st.w_start AND st.w_end
+WHERE c.event_type = 'click'
+""",
+        "temporal_rollup": """
+WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events),
+r1 AS (
+  SELECT event_type, CAST(3600000 AS BIGINT) AS resolution,
+         (ts_ms // 3600000) * 3600000 AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 4) AS value_sum,
+         min(value) AS value_min, max(value) AS value_max,
+         round(sum(value), 4) / count(*) AS value_avg
+  FROM e GROUP BY 1, 3
+),
+r2 AS (
+  SELECT event_type, CAST(86400000 AS BIGINT) AS resolution,
+         (ts_ms // 86400000) * 86400000 AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 4) AS value_sum,
+         min(value) AS value_min, max(value) AS value_max,
+         round(sum(value), 4) / count(*) AS value_avg
+  FROM e GROUP BY 1, 3
+)
+SELECT * FROM r1 UNION ALL SELECT * FROM r2
 """,
         "curate_mixture_sample": """
 WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
