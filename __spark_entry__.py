@@ -26,6 +26,7 @@ from net_spider_spark.pipeline import curate as CU
 from net_spider_spark.pipeline import events as EV
 from net_spider_spark.pipeline import dedup as D
 from net_spider_spark.pipeline import similarity as S
+from net_spider_spark.pipeline import sketch as SK
 from net_spider_spark.pipeline import temporal as TP
 from net_spider_spark.pipeline import text as TX
 from net_spider_spark.snapshot import (
@@ -765,6 +766,15 @@ def q_temporal_rollup(spark, sf_dir):
     )
 
 
+def q_sketch_kmv_distinct(spark, sf_dir):
+    # Approximate distinct users per event type via the portable KMV
+    # sketch (k=16 so the estimator path actually runs — every event
+    # type has more than 16 distinct users at every sf).
+    return SK.kmv_distinct(
+        _events_typed(spark, sf_dir), ["event_type"], "user_id", k=16
+    )
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     # IVF ANN (KMeans cells + probe search); rows-only driver check —
     # recall vs brute force is pinned in tests/test_pipeline_ops.py.
@@ -841,6 +851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_asof": q_temporal_asof,
         "temporal_interval_join": q_temporal_interval_join,
         "temporal_rollup": q_temporal_rollup,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
     }
 
 
@@ -1822,6 +1833,29 @@ r2 AS (
   FROM e GROUP BY 1, 3
 )
 SELECT * FROM r1 UNION ALL SELECT * FROM r2
+""",
+        "sketch_kmv_distinct": f"""
+WITH d AS (
+  SELECT DISTINCT event_type, {SK.md5_sql('user_id')} AS m5 FROM events
+),
+h AS (
+  SELECT DISTINCT event_type, {SK.hex15_to_long_sql('m5')} AS h60 FROM d
+),
+r AS (
+  SELECT event_type, h60,
+         row_number() OVER (PARTITION BY event_type ORDER BY h60) AS rn
+  FROM h
+),
+g AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(max(h60) AS DOUBLE) AS hk
+  FROM r WHERE rn <= 16 GROUP BY 1
+)
+SELECT event_type, n_kept,
+       CASE WHEN n_kept < 16 THEN n_kept
+            ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
+       END AS est_distinct
+FROM g
 """,
         "curate_mixture_sample": """
 WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),

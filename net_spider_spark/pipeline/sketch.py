@@ -1,0 +1,167 @@
+"""Mergeable cardinality sketches: K-Minimum-Values (KMV) distinct
+counting.
+
+Why KMV and not ``approx_count_distinct``: Spark's built-in HLL is
+fast but its binary sketch is engine-private — results can't be
+reproduced by another system, merged across engines, or checked by an
+external oracle. KMV keeps the k smallest *portable* hash values
+(md5-derived, same bytes in any engine), so
+
+* the sketch is a plain ``array<long>`` column any reader understands,
+* two sketches merge by "union, keep k smallest" (associative and
+  commutative — safe as a distributed partial aggregate), and
+* the estimate is a deterministic closed form both Spark and DuckDB
+  compute bit-identically: ``(k-1) * 2^60 / h_k`` where ``h_k`` is the
+  k-th smallest 60-bit hash (Bar-Yossef et al. 2002's KMV estimator).
+
+Standard error is ~1/sqrt(k-2); k=256 gives ~6%.
+
+Scale: the hash + per-group dedup is one map-side-combinable
+aggregate; selecting the k smallest per group sorts only DISTINCT
+hashes (not rows) within each group. Groups are typically many, so
+the rank window parallelizes; for a single giant group pre-prune with
+``hash60 < t * 2^60`` (any t with expected survivors >> k, e.g.
+t = 100*k/lower_bound_distinct) before ranking — uniform hashing makes
+the k minima survive such a cut with overwhelming probability.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "md5_sql",
+    "hex15_to_long_sql",
+    "hash60_sql",
+    "kmv_sketch",
+    "kmv_estimate",
+    "kmv_merge",
+    "kmv_distinct",
+]
+
+_HEX = "0123456789abcdef"
+
+#: 2^60 as a double — the hash-space size for the estimator.
+HASH_SPACE = float(1 << 60)
+
+
+def md5_sql(value_expr: str, seed: str = "s42") -> str:
+    """SQL for the seeded md5 hex digest of ``value_expr`` — identical
+    text in Spark SQL and DuckDB."""
+    return f"md5(concat('{seed}', ':', cast(({value_expr}) as string)))"
+
+
+def hex15_to_long_sql(hex_expr: str) -> str:
+    """SQL expression (valid in BOTH Spark SQL and DuckDB) turning the
+    first 15 hex chars of ``hex_expr`` into a uniform 60-bit integer:
+    positional arithmetic, engine-portable on purpose — no
+    conv()/from_hex/xxhash, which differ or are missing across
+    engines. Evaluate ``hex_expr`` into its own column first so the
+    digest isn't recomputed per character."""
+    terms = [
+        f"(position(substring({hex_expr}, {i + 1}, 1) IN '{_HEX}') - 1)"
+        f" * cast({1 << (4 * (14 - i))} as bigint)"
+        for i in range(15)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def hash60_sql(value_expr: str, seed: str = "s42") -> str:
+    """One-shot 60-bit hash SQL (digest inlined 15x — prefer the
+    md5_sql + hex15_to_long_sql split on hot paths)."""
+    return hex15_to_long_sql(md5_sql(value_expr, seed))
+
+
+def kmv_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 256,
+    seed: str = "s42",
+) -> DataFrame:
+    """Per-group KMV sketch: ``kmv`` = sorted array of the k smallest
+    distinct 60-bit hashes of ``value_col``. One dedup aggregate, then
+    a rank over distinct hashes only."""
+    group_cols = list(group_cols)
+    hashed = (
+        df.select(
+            *group_cols,
+            F.expr(md5_sql(value_col, seed)).alias("_md5"),
+        )
+        .select(
+            *group_cols,
+            F.expr(hex15_to_long_sql("_md5")).alias("_h60"),
+        )
+        .dropDuplicates(group_cols + ["_h60"])
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h60")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list("_h60")).alias("kmv"))
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
+    """Distinct-count estimate from a sketch: exact when fewer than k
+    hashes were seen (the sketch IS the distinct set), else the KMV
+    estimator off the k-th minimum. Adds ``n_kept`` and
+    ``est_distinct``; arithmetic is plain double ops any engine
+    reproduces bit-identically."""
+    n = F.size("kmv")
+    hk = F.element_at("kmv", -1).cast("double")
+    est = F.when(n < k, n.cast("long")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / hk).cast("long")
+    )
+    return sketch.withColumn("n_kept", n.cast("long")).withColumn(
+        "est_distinct", est
+    )
+
+
+def kmv_merge(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 256,
+) -> DataFrame:
+    """Merge two sketch tables (full outer on the group key): union the
+    hash sets, keep the k smallest. Exactly the sketch the combined
+    input would have produced — the property that makes KMV a safe
+    distributed partial aggregate."""
+    group_cols = list(group_cols)
+    empty = F.array().cast("array<bigint>")
+    merged = (
+        a.withColumnRenamed("kmv", "_ka")
+        .join(b.withColumnRenamed("kmv", "_kb"), on=group_cols, how="full")
+        .select(
+            *group_cols,
+            F.slice(
+                F.array_sort(
+                    F.array_union(
+                        F.coalesce("_ka", empty), F.coalesce("_kb", empty)
+                    )
+                ),
+                1,
+                k,
+            ).alias("kmv"),
+        )
+    )
+    return merged
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    k: int = 256,
+    seed: str = "s42",
+) -> DataFrame:
+    """Per-group approximate distinct count of ``value_col``:
+    ``group_cols + [n_kept, est_distinct]``."""
+    return kmv_estimate(
+        kmv_sketch(df, group_cols, value_col, k=k, seed=seed), k=k
+    ).drop("kmv")
