@@ -766,6 +766,34 @@ def q_temporal_rollup(spark, sf_dir):
     )
 
 
+def q_sim_knn_join(spark, sf_dir):
+    # Exact self-KNN over a deterministic corpus slice: every vector's
+    # top-3 cosine neighbors (blocked BLAS matmul against the
+    # broadcast corpus — see similarity.knn_join).
+    emb = demo.read_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 4 == 0
+    )
+    return S.knn_join(emb, k=3)
+
+
+def q_embed_quantize_int8(spark, sf_dir):
+    # int8 symmetric quantization; the array is pinned through scalar
+    # projections (sum / L1 / max + scale) so the row compare stays on
+    # hashable scalars.
+    emb = demo.read_table(spark, sf_dir, "embeddings")
+    q = S.quantize_int8(emb)
+    acc = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+    )
+    return q.select(
+        "vec_id",
+        "scale",
+        acc(F.col("qvec")).alias("q_sum"),
+        acc(F.transform("qvec", lambda x: F.abs(x))).alias("q_l1"),
+        F.array_max("qvec").alias("q_max"),
+    )
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     # Approximate distinct users per event type via the portable KMV
     # sketch (k=16 so the estimator path actually runs — every event
@@ -852,6 +880,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_interval_join": q_temporal_interval_join,
         "temporal_rollup": q_temporal_rollup,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "sim_knn_join": q_sim_knn_join,
+        "embed_quantize_int8": q_embed_quantize_int8,
     }
 
 
@@ -1833,6 +1863,51 @@ r2 AS (
   FROM e GROUP BY 1, 3
 )
 SELECT * FROM r1 UNION ALL SELECT * FROM r2
+""",
+        "sim_knn_join": """
+WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
+el AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         unnest(a.embedding) AS qe, unnest(b.embedding) AS ce
+  FROM s a CROSS JOIN s b WHERE a.vec_id <> b.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         sum(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE))
+           / (sqrt(sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)))
+              * sqrt(sum(CAST(ce AS DOUBLE) * CAST(ce AS DOUBLE)))) AS cos
+  FROM el GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+  FROM scored) t
+WHERE rank <= 3
+""",
+        "embed_quantize_int8": """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT))
+         END AS qvec
+  FROM s
+)
+SELECT vec_id, scale,
+       CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(list_max(qvec) AS INT) AS q_max
+FROM q
 """,
         "sketch_kmv_distinct": f"""
 WITH d AS (

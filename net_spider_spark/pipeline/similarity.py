@@ -170,6 +170,169 @@ def ivf_topk(
     )
 
 
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    n_planes: int = 2,
+    seed: int = 42,
+    max_broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """All-vectors KNN: top-k cosine neighbors for EVERY query vector
+    (``queries=None`` -> self-join over the corpus, excluding self).
+    Returns (query_id, neighbor_id, rank).
+
+    * ``method="exact"``: the corpus (ids + L2-normalized float32
+      matrix) is broadcast once; an Arrow-batched ``mapInPandas`` over
+      the query side does a BLAS matmul per batch and keeps top-k by
+      (cos desc, neighbor_id asc). Python is the right tool here —
+      dense linear algebra in numpy beats per-element Catalyst
+      expressions by orders of magnitude, and the batch shape
+      (|batch| x |corpus|) never materializes as rows. Refuses
+      corpora over ``max_broadcast_rows`` (at dim 64 float32 that is
+      ~0.5 GB — the executor-broadcast ceiling); beyond it, use
+      ``method="lsh"``.
+    * ``method="lsh"``: both sides bucket by sign-LSH signature and
+      equi-join on the bucket (shuffle join, NO broadcast) — the
+      100 TB path. Approximate: recall depends on n_planes.
+    """
+    import numpy as np
+    import pandas as pd
+
+    self_join = queries is None
+    q = (queries if queries is not None else corpus).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    if method == "lsh":
+        planes = hyperplanes(
+            len(corpus.select(vec_col).first()[0]), n_planes, seed
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("_cv"),
+            lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        )
+        qb = q.withColumn("bucket", lsh_signature(F.col("_qv"), planes))
+        scored = c.join(qb, "bucket").select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cos"),
+        )
+        if self_join:
+            scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), F.asc("neighbor_id")
+        )
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+    if method != "exact":
+        raise ValueError(f"unknown method: {method}")
+
+    rows = corpus.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("v")
+    ).collect()
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"corpus has {len(rows)} rows > max_broadcast_rows="
+            f"{max_broadcast_rows}; use method='lsh'"
+        )
+    # sort by id so argpartition tie-breaks resolve to the lowest id
+    rows.sort(key=lambda r: r["nid"])
+    ids = np.array([r["nid"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    bc = q.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def _topk(batches):
+        b_ids, b_mat, b_norms = bc.value
+        n = len(b_ids)
+        kk = min(k, n - 1 if self_join else n)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qm = np.array(list(pdf["_qv"]), dtype=np.float64)
+            qn = np.sqrt((qm * qm).sum(axis=1))
+            cos = (qm @ b_mat.T) / (
+                np.maximum(qn[:, None], 1e-300) * np.maximum(b_norms, 1e-300)
+            )
+            qids = pdf["query_id"].to_numpy()
+            if self_join:
+                cos[qids[:, None] == b_ids[None, :]] = -np.inf
+            # stable argsort on -cos: equal scores keep ascending-id
+            # order because the corpus matrix is id-sorted.
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :kk]
+            out_q = np.repeat(qids, kk)
+            out_n = b_ids[top].ravel()
+            out_r = np.tile(np.arange(1, kk + 1), len(qids))
+            keep = ~np.isinf(cos[np.arange(len(qids))[:, None], top]).ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": out_q[keep],
+                    "neighbor_id": out_n[keep],
+                    "rank": out_r[keep],
+                }
+            )
+
+    return q.mapInPandas(
+        _topk, "query_id long, neighbor_id long, rank long"
+    )
+
+
+def quantize_int8(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``q_i = floor(x_i /
+    scale + 0.5)`` with ``scale = max|x| / 127`` — 4x smaller than
+    float32 at <1% cosine error for typical embeddings, which at
+    100 TB is the difference between a corpus that fits the cluster's
+    storage/IO budget and one that doesn't.
+
+    ``floor(x + 0.5)`` instead of round(): identical in every engine,
+    with no half-even/half-up ambiguity. All-zero vectors get
+    scale = 0 and an all-zero code. Output: id, ``qvec`` array<int>
+    (int8 range, int-typed for portability), ``scale`` double.
+
+    Dot products can run directly on the int codes (rescale by
+    ``scale_a * scale_b``); see ``dequantize_cosine``.
+    """
+    maxabs = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    scale = (maxabs / F.lit(127.0)).alias("scale")
+    qvec = F.when(maxabs == 0, F.transform(F.col(vec_col), lambda x: F.lit(0))).otherwise(
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") / (maxabs / F.lit(127.0)) + F.lit(0.5)
+            ).cast("int"),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        qvec.alias("qvec"),
+        scale,
+    )
+
+
+def dequantize_cosine(a_q: Column, b_q: Column) -> Column:
+    """Cosine over two int8 code arrays — scales cancel, so it is just
+    the integer dot over the product of integer norms (all in JVM
+    codegen; the int math is exact, no float-order sensitivity)."""
+    return dot(a_q, b_q) / (norm(a_q) * norm(b_q))
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,
