@@ -486,6 +486,106 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_stats(edges)
 
 
+def _kept_edges(spark, sf_dir):
+    """Directed distinct link edges from the latest-findings graph —
+    the shared input of the pagerank/kcore contract queries."""
+    from net_spider_spark.findings import explode_link_samples
+
+    findings = demo.events_findings(spark, sf_dir)
+    kept = latest_findings_per_node(findings)
+    return explode_link_samples(kept).select(
+        F.col("subject_node").alias("src"), F.col("target_node").alias("dst")
+    )
+
+
+def q_graph_pagerank(spark, sf_dir):
+    from net_spider_spark.graph.pagerank import pagerank
+
+    return pagerank(_kept_edges(spark, sf_dir), n_iter=10)
+
+
+def q_graph_kcore(spark, sf_dir):
+    from net_spider_spark.graph.kcore import kcore
+
+    return kcore(_kept_edges(spark, sf_dir), k=2, max_rounds=15)
+
+
+def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+    """DuckDB twin of graph.pagerank: the fixed-point power-method
+    rounds unrolled as CTE stages. Pure integer arithmetic (micro-unit
+    ranks, floor division) — bit-exact across engines regardless of
+    aggregation order, unlike any floating formulation."""
+    d_num = int(round(damping * 1000))
+    base_int = (1_000_000 * (1000 - d_num)) // 1000
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT subject_node AS src, target_node AS dst
+  FROM kept WHERE subject_node <> target_node
+)""",
+        """n AS MATERIALIZED (
+  SELECT src AS v FROM e UNION SELECT dst AS v FROM e
+)""",
+        """ew AS MATERIALIZED (
+  SELECT src, dst, count(*) OVER (PARTITION BY src) AS od FROM e
+)""",
+        "pr0 AS MATERIALIZED (SELECT v, CAST(1000000 AS BIGINT) AS pr FROM n)",
+    ]
+    for i in range(1, n_iter + 1):
+        ctes.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT ew.dst AS v, sum(p.pr // ew.od) AS s
+  FROM ew JOIN pr{i - 1} p ON p.v = ew.src GROUP BY 1
+)"""
+        )
+        ctes.append(
+            f"""pr{i} AS MATERIALIZED (
+  SELECT n.v, CAST({base_int} + ({d_num} * coalesce(c.s, 0)) // 1000
+              AS BIGINT) AS pr
+  FROM n LEFT JOIN c{i} c ON c.v = n.v
+)"""
+        )
+    return (
+        f"WITH {SQL_F},\n{SQL_KEPT_OVERWRITE},\n"
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS node_id, pr / 1000000.0 AS pagerank FROM pr{n_iter}"
+    )
+
+
+def _kcore_sql(k: int = 2, rounds: int = 15) -> str:
+    """DuckDB twin of graph.kcore: ``rounds`` peel iterations unrolled.
+    Once the peel reaches its fixpoint further rounds are no-ops, so a
+    fixed unroll >= the Spark loop's max_rounds replays it exactly."""
+    ctes = [
+        """e AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT subject_node AS src, target_node AS dst FROM kept
+    UNION ALL
+    SELECT target_node AS src, subject_node AS dst FROM kept
+  ) WHERE src <> dst
+)""",
+        "a0 AS MATERIALIZED (SELECT DISTINCT src AS v FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"""d{i} AS MATERIALIZED (
+  SELECT e.src AS v, count(*) AS deg FROM e
+  JOIN a{i - 1} s ON s.v = e.src
+  JOIN a{i - 1} t ON t.v = e.dst
+  GROUP BY 1
+)"""
+        )
+        ctes.append(f"a{i} AS MATERIALIZED (SELECT v FROM d{i} WHERE deg >= {k})")
+    return (
+        f"WITH {SQL_F},\n{SQL_KEPT_OVERWRITE},\n"
+        + ",\n".join(ctes)
+        + f"""
+SELECT e.src AS node_id, CAST(count(*) AS BIGINT) AS degree FROM e
+JOIN a{rounds} s ON s.v = e.src
+JOIN a{rounds} t ON t.v = e.dst
+GROUP BY 1"""
+    )
+
+
 def _events_ms(spark, sf_dir):
     return demo.read_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.expr("ts div 1000000").alias("ts_ms")
@@ -882,6 +982,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "sim_knn_join": q_sim_knn_join,
         "embed_quantize_int8": q_embed_quantize_int8,
+        "graph_pagerank": q_graph_pagerank,
+        "graph_kcore": q_graph_kcore,
     }
 
 
@@ -1864,6 +1966,8 @@ r2 AS (
 )
 SELECT * FROM r1 UNION ALL SELECT * FROM r2
 """,
+        "graph_pagerank": _pagerank_sql(n_iter=10),
+        "graph_kcore": _kcore_sql(k=2, rounds=15),
         "sim_knn_join": """
 WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
 el AS (
