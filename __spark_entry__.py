@@ -363,7 +363,9 @@ def q_dedup_jaccard(spark, sf_dir):
     # verification restricted to those pairs (never the full
     # inverted-index self-join).
     docs = demo.read_table(spark, sf_dir, "documents")
-    sh = D.doc_shingles(docs)
+    # the shingle table feeds 4 consumers (signatures, sizes, both
+    # verify join sides) — persist it once instead of re-shingling
+    sh = D.doc_shingles(docs).persist()
     cand = D.minhash_candidates(D.minhash_signatures(sh))
     return D.jaccard_verify_candidates(cand, sh, threshold=0.2)
 
@@ -584,6 +586,57 @@ JOIN a{rounds} s ON s.v = e.src
 JOIN a{rounds} t ON t.v = e.dst
 GROUP BY 1"""
     )
+
+
+def _bm25_sql(terms, top_k=10, k1=1.2, b=0.75):
+    """DuckDB twin of text.bm25_search: identical constants via repr
+    (so 1.0-b etc. are the same doubles) and identical operation order
+    in every float expression."""
+    tfs = ",\n         ".join(
+        f"CAST(len(list_filter(toks, x -> x = '{w}')) AS DOUBLE) AS tf{i}"
+        for i, w in enumerate(terms)
+    )
+    dfs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = "0.0"
+    for i in range(len(terms)):
+        idf = (
+            f"ln(1.0 + (CAST(n AS DOUBLE) - df{i} + 0.5) / (df{i} + 0.5))"
+        )
+        norm = (
+            f"{k1!r} * ({1.0 - b!r} + {b!r} * CAST(dl AS DOUBLE)"
+            f" / (CAST(dlsum AS DOUBLE) / CAST(n AS DOUBLE)))"
+        )
+        score += (
+            f"\n      + {idf} * (tf{i} * {k1 + 1.0!r}) / (tf{i} + {norm})"
+        )
+    return f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+),
+per AS (
+  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         {tfs}
+  FROM t
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, sum(dl) AS dlsum,
+         {dfs}
+  FROM per
+),
+scored AS (
+  SELECT doc_id,
+    {score} AS score
+  FROM per CROSS JOIN s
+)
+SELECT doc_id, score,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT)
+         AS rank
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id ASC LIMIT {top_k}
+"""
 
 
 def _events_ms(spark, sf_dir):
@@ -894,6 +947,24 @@ def q_embed_quantize_int8(spark, sf_dir):
     )
 
 
+BM25_TERMS = ["spark", "query", "join"]
+
+
+def q_text_common_ngrams(spark, sf_dir):
+    # corpus boilerplate detection: top-20 trigrams by document freq
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return TX.common_ngrams(docs, n=3, top_k=20)
+
+
+def q_text_bm25(spark, sf_dir):
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return TX.bm25_search(docs, BM25_TERMS, top_k=10)
+
+
+def q_events_quantiles(spark, sf_dir):
+    return EV.value_quantiles(_events_typed(spark, sf_dir))
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     # Approximate distinct users per event type via the portable KMV
     # sketch (k=16 so the estimator path actually runs — every event
@@ -984,6 +1055,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_quantize_int8": q_embed_quantize_int8,
         "graph_pagerank": q_graph_pagerank,
         "graph_kcore": q_graph_kcore,
+        "text_common_ngrams": q_text_common_ngrams,
+        "text_bm25": q_text_bm25,
+        "events_quantiles": q_events_quantiles,
     }
 
 
@@ -1968,6 +2042,34 @@ SELECT * FROM r1 UNION ALL SELECT * FROM r2
 """,
         "graph_pagerank": _pagerank_sql(n_iter=10),
         "graph_kcore": _kcore_sql(k=2, rounds=15),
+        "text_common_ngrams": f"""
+WITH t AS (
+  SELECT doc_id, {SQL_TOKS} AS toks FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, unnest({SQL_SHINGLES}) AS ngram
+  FROM t WHERE len(toks) >= 3
+),
+counts AS (
+  SELECT ngram, CAST(count(*) AS BIGINT) AS doc_freq FROM grams GROUP BY 1
+)
+SELECT ngram, doc_freq,
+       CAST(row_number() OVER (ORDER BY doc_freq DESC, ngram ASC) AS BIGINT)
+         AS rank
+FROM counts ORDER BY doc_freq DESC, ngram ASC LIMIT 20
+""",
+        "text_bm25": _bm25_sql(BM25_TERMS, top_k=10),
+        "events_quantiles": """
+WITH e AS (SELECT event_type, value FROM events)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(value) AS value_min,
+       max(value) AS value_max,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       quantile_cont(value, 0.99) AS p99
+FROM e GROUP BY 1
+""",
         "sim_knn_join": """
 WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 = 0),
 el AS (

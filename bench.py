@@ -56,6 +56,16 @@ HEADLINE = [
     "curate_decontaminate",
     "events_sessionize",
     "graph_triangles",
+    # round-3 additions: temporal joins/rollups, sketches, ANN over the
+    # whole corpus, quantization, and iterative graph analytics.
+    "temporal_asof",
+    "temporal_interval_join",
+    "temporal_rollup",
+    "sketch_kmv_distinct",
+    "sim_knn_join",
+    "embed_quantize_int8",
+    "graph_pagerank",
+    "graph_kcore",
 ]
 
 

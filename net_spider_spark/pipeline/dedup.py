@@ -457,7 +457,10 @@ def dedup_representatives(
     """
     from net_spider_spark.graph.components import connected_components
 
-    sh = doc_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    # 4 downstream consumers re-read the shingle table (signatures,
+    # sizes, both verify join sides): one persist beats re-running the
+    # tokenize+explode scan per consumer.
+    sh = doc_shingles(df, text_col=text_col, id_col=id_col, n=n).persist()
     cand = minhash_candidates(
         minhash_signatures(sh, n_hashes=n_hashes, id_col=id_col), id_col=id_col
     )

@@ -51,6 +51,36 @@ def sessionize(
     )
 
 
+def value_quantiles(
+    events: DataFrame,
+    group_cols=("event_type",),
+    value_col: str = "value",
+    quantiles=(0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-group quantiles (linear interpolation over the sorted
+    values — SQL-standard continuous quantile), plus count/min/max.
+
+    Exact, not approx_percentile: the t-digest style sketches are
+    engine-private and non-reproducible; the exact aggregate sorts
+    only within each group. For groups too large to sort, pre-filter
+    or fall back to approx_percentile and give up cross-engine
+    reproducibility.
+    """
+    group_cols = list(group_cols)
+    v = F.col(value_col).cast("double")
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(v).alias("value_min"),
+        F.max(v).alias("value_max"),
+    ] + [
+        F.expr(f"percentile({value_col}, {q!r})").alias(
+            f"p{round(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return events.groupBy(*group_cols).agg(*aggs)
+
+
 def session_stats(
     sessions: DataFrame,
     user_col: str = "user_id",

@@ -149,6 +149,123 @@ def quality_filter(
     return df.join(keep, id_col, "left_semi")
 
 
+def common_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    top_k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-wide most-common word n-grams by DOCUMENT frequency —
+    the boilerplate detector (navigation chrome, license headers, and
+    template text show up as n-grams shared by thousands of docs;
+    feed the result to a removal/flag pass).
+
+    One explode of per-doc DISTINCT n-grams + one count per gram +
+    a global top-k. The top-k is a rank over gram counts, not rows —
+    cardinality is bounded by the vocabulary, and Spark's TakeOrdered
+    handles the final k without a full sort of it. Ties break by gram
+    text so the cut is deterministic.
+    """
+    from pyspark.sql.window import Window
+
+    from net_spider_spark.pipeline.dedup import doc_shingles
+
+    grams = doc_shingles(df, text_col=text_col, id_col=id_col, n=n)
+    counts = grams.groupBy(F.col("shingle").alias("ngram")).agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    return (
+        counts.orderBy(F.desc("doc_freq"), F.asc("ngram"))
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("doc_freq"), F.asc("ngram")))
+            .cast("long"),
+        )
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: list[str],
+    top_k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval: score every document against a fixed
+    term list, return the top_k (doc_id, score, rank).
+
+    Built to be bit-reproducible across engines: per-term tf columns
+    come out of ONE projection (no explode, so the per-document score
+    is a FIXED-ORDER sum of float terms), doc length and its corpus
+    average are integer-sum-derived (exact), and idf uses the Lucene
+    formulation ln(1 + (N - df + 0.5)/(df + 0.5)). Corpus stats (N,
+    avgdl, per-term df) are one aggregate cross-joined back as a
+    1-row broadcast — no driver round-trip, so the plan stays lazy.
+
+    Scale: one corpus scan for stats + one for scoring; top-k is a
+    TakeOrdered, not a global sort.
+    """
+    terms = list(dict.fromkeys(t.lower() for t in query_terms))
+    toks = tokens_col(F.lower(F.col(text_col)))
+
+    def _eq(word):
+        # closure factory: a 2-arg lambda would be read by PySpark as
+        # an (element, index) higher-order-function signature
+        return lambda t: t == F.lit(word)
+
+    tf_cols = [
+        F.size(F.filter(toks, _eq(w))).cast("double").alias(f"_tf{i}")
+        for i, w in enumerate(terms)
+    ]
+    per_doc = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("_dl"),
+        *tf_cols,
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        F.sum("_dl").alias("_dlsum"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("long")).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("_dlsum").cast("double") / F.col("_n").cast("double")
+    norm = F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl").cast("double") / avgdl
+    )
+    score = F.lit(0.0)
+    for i in range(len(terms)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("_n").cast("double") - F.col(f"_df{i}") + F.lit(0.5))
+            / (F.col(f"_df{i}") + F.lit(0.5))
+        )
+        tf = F.col(f"_tf{i}")
+        score = score + idf * (tf * F.lit(k1 + 1.0)) / (tf + norm)
+    from pyspark.sql.window import Window
+
+    ranked = (
+        scored.select(F.col(id_col), score.alias("score"))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(top_k)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc(id_col)))
+            .cast("long"),
+        )
+    )
+    return ranked
+
+
 def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Document fingerprint: md5 over the sorted distinct token set —
     invariant to token order/repetition, the cheap "same bag of words"
