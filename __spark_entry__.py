@@ -965,6 +965,15 @@ def q_events_quantiles(spark, sf_dir):
     return EV.value_quantiles(_events_typed(spark, sf_dir))
 
 
+def q_curate_weighted_sample(spark, sf_dir):
+    # Efraimidis-Spirakis weighted sample: longer docs upweighted,
+    # membership a pure function of (doc_id, seed).
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return CU.weighted_sample(docs, k=50, weight_col="n_chars").select(
+        "doc_id", "es_key", "wr_rank"
+    )
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     # Approximate distinct users per event type via the portable KMV
     # sketch (k=16 so the estimator path actually runs — every event
@@ -1058,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_common_ngrams": q_text_common_ngrams,
         "text_bm25": q_text_bm25,
         "events_quantiles": q_events_quantiles,
+        "curate_weighted_sample": q_curate_weighted_sample,
     }
 
 
@@ -2059,6 +2069,23 @@ SELECT ngram, doc_freq,
 FROM counts ORDER BY doc_freq DESC, ngram ASC LIMIT 20
 """,
         "text_bm25": _bm25_sql(BM25_TERMS, top_k=10),
+        "curate_weighted_sample": f"""
+WITH h AS (
+  SELECT doc_id,
+         CAST({SK.hex15_to_long_sql(SK.md5_sql('doc_id'))} AS DOUBLE)
+           / 1152921504606846976.0 AS u,
+         CAST(n_chars AS DOUBLE) AS w
+  FROM documents
+),
+keyed AS (
+  SELECT doc_id, CASE WHEN w > 0 THEN ln(u) / w END AS es_key FROM h
+)
+SELECT doc_id, es_key,
+       CAST(row_number() OVER (ORDER BY es_key DESC, doc_id ASC) AS BIGINT)
+         AS wr_rank
+FROM keyed WHERE es_key IS NOT NULL
+ORDER BY es_key DESC, doc_id ASC LIMIT 50
+""",
         "events_quantiles": """
 WITH e AS (SELECT event_type, value FROM events)
 SELECT event_type,

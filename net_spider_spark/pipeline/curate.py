@@ -171,6 +171,49 @@ def hash_sample(
     return df.where(F.substring(_md5_key(id_col, seed), 1, 4) < F.lit(threshold))
 
 
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    seed: str = "s42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): every row gets key ln(u)/w with u a
+    frozen uniform from its md5 hash and w its weight; the k largest
+    keys are exactly a weighted sample without replacement. Upweighted
+    rows (quality score, source priority, length) are proportionally
+    likelier to survive, yet the sample is a pure function of
+    (id, seed) — re-runs, retried tasks, and other engines agree.
+
+    One projection + a global top-k (TakeOrdered — no full sort). The
+    float key is reproducible: u is an exact 60-bit integer / 2^60 and
+    ln/div are single IEEE ops on identical operands in any engine.
+    Rows with weight <= 0 never survive (key -> -inf).
+    Returns the sampled rows with their ``es_key`` and ``wr_rank``.
+    """
+    from net_spider_spark.pipeline.sketch import hex15_to_long_sql, md5_sql
+
+    u = (
+        F.expr(hex15_to_long_sql(md5_sql(id_col, seed))).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    w = F.col(weight_col).cast("double")
+    key = F.when(w > 0, F.log(u) / w).otherwise(F.lit(float("-inf")))
+    ranked = (
+        df.withColumn("es_key", key)
+        .where(F.col("es_key") != F.lit(float("-inf")))
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(k)
+    )
+    return ranked.withColumn(
+        "wr_rank",
+        F.row_number()
+        .over(Window.orderBy(F.desc("es_key"), F.asc(id_col)))
+        .cast("long"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,
