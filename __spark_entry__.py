@@ -137,7 +137,7 @@ def _lsh_sig_sql(n_bands: int = 4, n_planes: int = 4, dim: int = 64,
     return exprs
 
 
-_EMB_SIG_SQL = _lsh_sig_sql()
+_EMB_SIG_SQL = _lsh_sig_sql(n_planes=6)
 
 
 def _marker_sql(lang: str) -> str:

@@ -20,6 +20,8 @@ codegen.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -279,7 +281,7 @@ def jaccard_verify_candidates(
 def embedding_lsh_candidates(
     embeddings: DataFrame,
     n_bands: int = 4,
-    n_planes: int = 4,
+    n_planes: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -297,22 +299,38 @@ def embedding_lsh_candidates(
     corpus is never cross-joined. Returns distinct (doc_a, doc_b) with
     doc_a < doc_b.
     """
-    from net_spider_spark.pipeline.similarity import hyperplanes, lsh_signature
+    from pyspark.sql.functions import pandas_udf
+
+    from net_spider_spark.pipeline.similarity import hyperplanes
 
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     planes = hyperplanes(dim, n_bands * n_planes, seed)
-    sig_cols = [
-        lsh_signature(
-            F.col(vec_col), planes[b * n_planes : (b + 1) * n_planes]
-        ).alias(f"_sig{b}")
-        for b in range(n_bands)
-    ]
-    wide = embeddings.select(F.col(id_col), *sig_cols)
-    stack_args = ", ".join(f"{b}, _sig{b}" for b in range(n_bands))
-    sigs = wide.select(
+    pm = np.array(planes, dtype=np.float64)  # (bands*planes) x dim
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    # All band signatures in ONE Arrow-batched matmul per batch.
+    # Catalyst higher-order functions (aggregate/zip_with dots) run
+    # INTERPRETED — they disable whole-stage codegen — so at
+    # bands x planes x dim per row the expression formulation is the
+    # slow path, not the vectorized one. Sign agreement with the SQL
+    # oracle holds because a float64 dot's sign only differs across
+    # summation orders within ~1e-16 of zero.
+    @pandas_udf("array<bigint>")
+    def _band_sigs(v: pd.Series) -> pd.Series:
+        m = np.array(list(v), dtype=np.float64)
+        bits = (m @ pm.T >= 0).astype(np.int64)  # B x (bands*planes)
+        sigs = [
+            (bits[:, b * n_planes : (b + 1) * n_planes] * weights).sum(axis=1)
+            for b in range(n_bands)
+        ]
+        return pd.Series(list(np.stack(sigs, axis=1)))
+
+    sigs = embeddings.select(
+        F.col(id_col), _band_sigs(F.col(vec_col)).alias("_sigs")
+    ).select(
         F.col(id_col),
-        F.expr(f"stack({n_bands}, {stack_args}) AS (band, sig)"),
+        F.posexplode("_sigs").alias("band", "sig"),
     )
     a = sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("doc_b"), "band", "sig")
@@ -331,7 +349,7 @@ def embedding_near_dup_groups(
     vec_col: str = "embedding",
     exact: bool = False,
     n_bands: int = 4,
-    n_planes: int = 4,
+    n_planes: int = 6,
     seed: int = 42,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate groups.
@@ -341,6 +359,13 @@ def embedding_near_dup_groups(
     cosine before becoming edges — the scale path: no all-pairs join
     ever materializes. ``exact=True`` switches to the exhaustive
     all-pairs verifier (small corpora / recall audits only — O(n^2)).
+
+    Bucket sizing: candidate volume scales with bucket occupancy
+    n/2^n_planes per band. 6 planes keeps per-band agreement ~0.9^6 =
+    0.53 for cos=0.95 pairs -> any-of-4-bands recall ~0.95, while
+    cutting bucket fan-out 4x vs 4 planes; TRUE near-dups (cos >
+    0.99) agree on virtually every band. Tune n_planes up as the
+    corpus grows (bucket occupancy, not recall, is the scale limit).
 
     Verified pairs with cosine >= threshold become edges; connected
     components merge chains of near-dups into groups; the keeper is

@@ -256,6 +256,5 @@ def test_time_rollup_coarse_equals_direct(spark):
     }
     assert got == want
 
-    bad = time_rollup.__wrapped__ if hasattr(time_rollup, "__wrapped__") else None
     with pytest.raises(ValueError):
         time_rollup(events, resolutions=(60_000, 90_000))
