@@ -989,7 +989,11 @@ def q_sim_ivf_topk(spark, sf_dir):
     emb = demo.read_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
     corpus = emb.where(F.col("vec_id") >= 5)
-    return S.ivf_topk(queries_df, corpus, k=3, n_centroids=8, n_probe=8)
+    # n_probe == n_centroids -> exhaustive probing: results are exact
+    # whatever the clustering, so cap the KMeans training budget.
+    return S.ivf_topk(
+        queries_df, corpus, k=3, n_centroids=8, n_probe=8, max_iter=4
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -8,9 +8,13 @@ four LinkStates by ``event_id % 4``). The same derivation is mirrored
 as ANSI SQL in ``__spark_entry__.oracle_sql`` so every engine operator
 can be checked against a DuckDB oracle.
 
-The events parquet stores ``ts`` as INT64 TIMESTAMP(NANOS); Spark
-needs ``spark.sql.legacy.parquet.nanosAsLong=true`` (runtime-settable)
-and then reads it as LongType nanoseconds.
+The events parquet has shipped ``ts`` as INT64 TIMESTAMP(NANOS) (Spark
+reads it as LongType nanoseconds under
+``spark.sql.legacy.parquet.nanosAsLong=true``) and as TIMESTAMP(MICROS)
+(Spark reads timestamp_ntz). :func:`ts_epoch_ms` derives the canonical
+epoch-ms ``BIGINT`` from whichever physical type is on disk — the
+naive-UTC reading matches DuckDB's ``epoch_ms(ts)`` bit-for-bit, which
+is what keeps the oracle comparisons schema-stable.
 """
 
 from __future__ import annotations
@@ -51,13 +55,31 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def ts_epoch_ms(df: DataFrame, col: str = "ts"):
+    """Epoch-milliseconds BIGINT column for ``events.ts``, whatever the
+    parquet physical type: INT64 nanos (via nanosAsLong), TIMESTAMP_NTZ
+    (naive micros — ``timestampdiff`` against the epoch is timezone-free
+    and equals DuckDB ``epoch_ms``), or TIMESTAMP (instant micros)."""
+    kind = df.schema[col].dataType.typeName()
+    if kind in ("long", "bigint"):
+        return F.expr(f"CAST({col} DIV 1000000 AS BIGINT)")
+    if kind == "timestamp_ntz":
+        return F.expr(
+            "CAST(timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) DIV 1000 AS BIGINT)"
+        )
+    if kind == "timestamp":
+        return F.expr(f"CAST(unix_micros({col}) DIV 1000 AS BIGINT)")
+    raise TypeError(f"unsupported type for {col!r}: {kind}")
+
+
 def events_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> nested findings DataFrame (model.FINDINGS_SCHEMA)."""
     ev = read_table(spark, sf_dir, "events")
     return ev.select(
         F.col("event_id").alias("finding_id"),
         F.col("user_id").cast("string").alias("subject_node"),
-        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("found_at"),
+        ts_epoch_ms(ev).alias("found_at"),
         F.lit(None).cast("int").alias("tz_offset_min"),
         F.lit(None).cast("boolean").alias("tz_summer_only"),
         F.lit(None).cast("string").alias("tz_name"),
@@ -89,8 +111,8 @@ def events_findings_multilink(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select(
         F.col("user_id"),
         F.col("event_id"),
-        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("ts_ms"),
-        F.expr("CAST(ts DIV 3600000000000 AS BIGINT)").alias("hour_idx"),
+        ts_epoch_ms(ev).alias("ts_ms"),
+        (ts_epoch_ms(ev) / F.lit(3600000)).cast("bigint").alias("hour_idx"),
         ((F.col("user_id") * 7 + F.col("event_id")) % N_TARGET_NODES)
         .cast("string")
         .alias("target_node"),

@@ -103,9 +103,16 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_iter: int = 20,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partition the
     corpus, then each query scores only the ``n_probe`` nearest cells.
+
+    ``max_iter`` tunes the KMeans training budget. When
+    ``n_probe == n_centroids`` (exhaustive probing, e.g. as an exact
+    verifier) the partitioning cannot change the result, so a small
+    ``max_iter`` is free speed; when probing fewer cells, more
+    iterations buy recall.
 
     The scale path for ANN when bucket recall matters: compute drops
     from |Q| x |C| to |Q| x (n_probe/n_centroids) x |C|, and the
@@ -120,7 +127,11 @@ def ivf_topk(
         "_fv", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
     model = KMeans(
-        k=n_centroids, seed=seed, featuresCol="_fv", predictionCol="_cell"
+        k=n_centroids,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="_fv",
+        predictionCol="_cell",
     ).fit(corpus_v)
     assigned = corpus_v.select(
         F.col(id_col).alias("neighbor_id"),
