@@ -640,8 +640,9 @@ ORDER BY score DESC, doc_id ASC LIMIT {top_k}
 
 
 def _events_ms(spark, sf_dir):
-    return demo.read_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.expr("ts div 1000000").alias("ts_ms")
+    ev = demo.read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id", demo.ts_epoch_ms(ev).alias("ts_ms")
     )
 
 
@@ -757,7 +758,7 @@ def q_typed_attrs_links(spark, sf_dir):
     findings = ev.select(
         F.col("event_id").alias("finding_id"),
         F.col("user_id").cast("string").alias("subject_node"),
-        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("found_at"),
+        demo.ts_epoch_ms(ev).alias("found_at"),
         F.lit(None).cast("int").alias("tz_offset_min"),
         F.lit(None).cast("boolean").alias("tz_summer_only"),
         F.lit(None).cast("string").alias("tz_name"),
@@ -829,12 +830,13 @@ def q_dedup_embedding(spark, sf_dir):
 
 
 def _events_typed(spark, sf_dir):
-    return demo.read_table(spark, sf_dir, "events").select(
+    ev = demo.read_table(spark, sf_dir, "events")
+    return ev.select(
         "event_id",
         "user_id",
         "event_type",
         "value",
-        F.expr("ts div 1000000").alias("ts_ms"),
+        demo.ts_epoch_ms(ev).alias("ts_ms"),
     )
 
 

@@ -112,12 +112,11 @@ def events_findings_multilink(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("user_id"),
         F.col("event_id"),
         ts_epoch_ms(ev).alias("ts_ms"),
-        (ts_epoch_ms(ev) / F.lit(3600000)).cast("bigint").alias("hour_idx"),
         ((F.col("user_id") * 7 + F.col("event_id")) % N_TARGET_NODES)
         .cast("string")
         .alias("target_node"),
         F.expr(LINK_STATE_CASE).alias("link_state"),
-    )
+    ).withColumn("hour_idx", F.expr("ts_ms DIV 3600000"))
     return (
         base.groupBy("user_id", "hour_idx")
         .agg(
@@ -194,7 +193,7 @@ def events_findings_dio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         F.col("event_id").alias("finding_id"),
         subject.cast("string").alias("subject_node"),
-        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("found_at"),
+        ts_epoch_ms(ev).alias("found_at"),
         F.lit(None).cast("int").alias("tz_offset_min"),
         F.lit(None).cast("boolean").alias("tz_summer_only"),
         F.lit(None).cast("string").alias("tz_name"),
@@ -220,7 +219,7 @@ def events_link_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         F.col("event_id").alias("finding_id"),
         F.col("user_id").cast("string").alias("subject_node"),
-        F.expr("CAST(ts DIV 1000000 AS BIGINT)").alias("found_at"),
+        ts_epoch_ms(ev).alias("found_at"),
         ((F.col("user_id") * 7 + F.col("event_id")) % N_TARGET_NODES)
         .cast("string")
         .alias("target_node"),
