@@ -75,7 +75,13 @@ def ts_epoch_ms(df: DataFrame, col: str = "ts"):
 
 def events_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> nested findings DataFrame (model.FINDINGS_SCHEMA)."""
-    ev = read_table(spark, sf_dir, "events")
+    return events_findings_from(read_table(spark, sf_dir, "events"))
+
+
+def events_findings_from(ev: DataFrame) -> DataFrame:
+    """The same findings projection over an already-loaded events
+    DataFrame — batch or streaming (the projection is stateless, so it
+    applies unchanged to a ``readStream`` source)."""
     return ev.select(
         F.col("event_id").alias("finding_id"),
         F.col("user_id").cast("string").alias("subject_node"),
