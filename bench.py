@@ -106,6 +106,34 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
+    # Bulk-ingest throughput (BASELINE.md: >= 100k findings/s batch
+    # append vs the reference's row-at-a-time Gremlin inserts): derive
+    # the findings table from events and append it to parquet in one
+    # batch write, reporting rows/s of the write action.
+    import shutil
+    import tempfile
+
+    ingest_dir = tempfile.mkdtemp(prefix="nss_bench_ingest_")
+    try:
+        # repartition to one write task per core: the source is a single
+        # parquet file (1 scan partition), and a bulk append should land
+        # as parallel per-core files — same layout a cluster writer uses.
+        findings = entry_mod.demo.events_findings(spark, sf_dir).repartition(
+            int(cpus)
+        )
+        t0 = time.time()
+        findings.write.mode("append").parquet(f"{ingest_dir}/findings.parquet")
+        ingest_sec = round(time.time() - t0, 3)
+        ingest_rows = spark.read.parquet(f"{ingest_dir}/findings.parquet").count()
+    finally:
+        shutil.rmtree(ingest_dir, ignore_errors=True)
+    ingest_rps = round(ingest_rows / ingest_sec) if ingest_sec > 0 else None
+    print(
+        f"# ingest: {ingest_rows} findings in {ingest_sec}s "
+        f"({ingest_rps} rows/s)",
+        file=sys.stderr,
+    )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -114,6 +142,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "ingest": {
+                    "rows": ingest_rows,
+                    "sec": ingest_sec,
+                    "rows_per_sec": ingest_rps,
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

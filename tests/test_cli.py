@@ -76,3 +76,40 @@ def test_input_latest_filter_and_clear(spark, tmp_path):
     rc = main(["--db", db, "clear"], spark=spark)
     assert rc == 0
     assert read_findings(spark, db).count() == 0
+
+
+def test_cis_merged_dio_two_endpoints(spark, tmp_path, capsys):
+    # Both endpoints report the same physical link (A sees B as
+    # preferred parent, B sees A as parent candidate), so the shipped
+    # dio_unifier_conf actually merges two samples: the CLI's GraphML
+    # must carry source_-prefixed winner attrs AND dest_-prefixed loser
+    # attrs on one edge (CLI.hs:66-138 cis flow; DIO.hs:254-288 merge).
+    db = str(tmp_path / "h3")
+    rc = main(
+        ["--db", db, "cis", f"{DATA}/syslog_two_way.log",
+         "--format", "syslog", "--year", "2021"],
+        spark=spark,
+    )
+    assert rc == 0
+    xml = capsys.readouterr().out
+    assert "<edge source=" in xml
+
+    import xml.etree.ElementTree as ET
+
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    root = ET.fromstring(xml)
+    key_by_id = {
+        k.get("id"): k.get("attr.name") for k in root.findall("g:key", ns)
+    }
+    edges = root.findall(".//g:edge", ns)
+    assert len(edges) == 1
+    attrs = {
+        key_by_id[d.get("key")]: d.text for d in edges[0].findall("g:data", ns)
+    }
+    # winner (preferred_parent, A's sample) -> source_*; loser -> dest_*
+    assert attrs["dio_source_neighbor_type"] == "preferred_parent"
+    assert attrs["dio_dest_neighbor_type"] == "parent_candidate"
+    assert attrs["dio_source_neighbor_rank"] == "128"
+    assert attrs["dio_dest_neighbor_rank"] == "356"
+    assert attrs["dio_source_metric"] == "100"
+    assert attrs["dio_dest_metric"] == "110"
