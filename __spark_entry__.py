@@ -1007,6 +1007,70 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_snapshot_links_overwrite(spark, "/root/testdata/sf0.001")
 
 
+def q_multimodal_audio_decode(spark, sf_dir):
+    # REAL WAV decode through the Spark plumbing: synthesize PCM WAV
+    # payloads (numpy, parameterized per event), run them through
+    # pipeline.multimodal.audio_features (mapInPandas decode), and emit
+    # the decoded container facts. The oracle predicts those facts
+    # analytically from the generation parameters — so a decode bug
+    # (chunk walk, fmt parse, frame math) breaks the hash match.
+    import math
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from net_spider_spark.pipeline import multimodal as MM
+
+    ev = (
+        _events_typed(spark, sf_dir)
+        .where(F.col("event_id") % 20 == 0)
+        .select("event_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                rate = 8000
+                n = 400 + eid % 100
+                channels = 1 + eid % 2
+                freq = 200.0 + (eid % 10) * 50.0
+                t = np.arange(n) / rate
+                x = np.repeat(
+                    (np.sin(2 * math.pi * freq * t) * 32767).astype("<i2"),
+                    channels,
+                ).tobytes()
+                fmt = struct.pack(
+                    "<HHIIHH", 1, channels, rate, rate * channels * 2,
+                    channels * 2, 16,
+                )
+                body = (
+                    b"WAVE"
+                    + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                    + b"data" + struct.pack("<I", len(x)) + x
+                )
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["event_id"],
+                    "mime": "audio/wav",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth,
+        schema="media_id bigint, mime string, payload binary, "
+        "meta map<string,string>",
+    )
+    return MM.audio_features(media).select(
+        "media_id", "sample_rate", "n_frames", "n_channels", "duration_s"
+    )
+
+
 def _run_available_now(stream_df, name: str, output_mode: str):
     """Run a streaming DataFrame to completion with availableNow into a
     memory sink and return the sink contents as a batch DataFrame."""
@@ -1164,6 +1228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_rollup": q_temporal_rollup,
         "text_bm25": q_text_bm25,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "multimodal_audio_decode": q_multimodal_audio_decode,
         "stream_windowed_stats": q_stream_windowed_stats,
         "stream_latest_per_node": q_stream_latest_per_node,
         "stream_latest_link_per_pair": q_stream_latest_link_per_pair,
@@ -2152,6 +2217,14 @@ st AS (
 SELECT c.event_id, c.user_id, c.ts_ms, st.incident_id
 FROM e c JOIN st ON c.ts_ms BETWEEN st.w_start AND st.w_end
 WHERE c.event_type = 'click'
+""",
+        "multimodal_audio_decode": """
+SELECT event_id AS media_id,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(400 + event_id % 100 AS BIGINT) AS n_frames,
+       CAST(1 + event_id % 2 AS INT) AS n_channels,
+       (400 + event_id % 100) / 8000.0 AS duration_s
+FROM events WHERE event_id % 20 = 0
 """,
         "stream_windowed_stats": """
 WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events),

@@ -4,17 +4,26 @@ metadata, with Arrow-batched transform plumbing.
 A 100 TB training-data pipeline carries media as ``binary`` columns
 beside typed metadata (mime, width/height, duration, sample rate). The
 Spark-side contract here is real and tested — schema, partition-size
-control, ``mapInPandas`` batch shape, error channels — while the
-actual codec work is stubbed behind ``decoder=`` hooks because this
-container ships no image/audio libraries (install pillow/torchaudio
-and pass a real decoder in production).
+control, ``mapInPandas`` batch shape, error channels.
+
+Decode is REAL for codec-free container formats, implemented in pure
+numpy (:func:`decode_wav` PCM 8/16-bit, :func:`decode_bmp` uncompressed
+24/32-bit, :func:`decode_ppm` binary P6), as are nearest-neighbor
+resize and the audio/image feature extractors built on them. Formats
+that genuinely need a codec library (jpeg/png/mp3/video) raise
+``NotImplementedError`` from :func:`decode_media`; inside the Spark
+operators that lands in the per-row ``error`` column, so a corpus with
+mixed formats still processes everything decodable (install pillow /
+torchaudio and pass ``decoder=`` to extend coverage in production).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Callable, Iterable, Iterator, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -33,6 +42,141 @@ FEATURE_SCHEMA = (
     "media_id BIGINT, mime STRING, n_bytes BIGINT, digest STRING, "
     "feature ARRAY<FLOAT>, error STRING"
 )
+
+
+# ---------------------------------------------------------------------------
+# Real decoders for codec-free formats (pure numpy — no external libs).
+# ---------------------------------------------------------------------------
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """Decode a canonical RIFF/WAVE payload with PCM samples.
+
+    Supports 8-bit unsigned and 16-bit signed little-endian PCM (the
+    codec-free encodings). Walks the chunk list (fmt /data may be
+    preceded by LIST etc.), so non-canonical chunk order decodes too.
+
+    Returns ``(samples, sample_rate)`` with ``samples`` float32 in
+    [-1, 1], shape (n_frames, n_channels).
+    """
+    if payload is None or len(payload) < 12:
+        raise ValueError("not a RIFF payload")
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"non-PCM WAV (format {audio_format})")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float32) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM")
+    n = (len(x) // channels) * channels
+    return x[:n].reshape(-1, channels), sample_rate
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Decode an uncompressed 24/32-bit BMP (BITMAPINFOHEADER) into an
+    RGB uint8 array of shape (height, width, 3). Handles 4-byte row
+    padding and bottom-up vs top-down row order (negative height)."""
+    if payload is None or len(payload) < 54 or payload[0:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", payload, 10)
+    header_size, width, height = struct.unpack_from("<Iii", payload, 14)
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP")
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if compression not in (0, 3):  # BI_RGB / BI_BITFIELDS-with-default-masks
+        raise NotImplementedError(f"compressed BMP (method {compression})")
+    if bpp not in (24, 32):
+        raise NotImplementedError(f"{bpp}-bpp BMP")
+    bottom_up = height > 0
+    height = abs(height)
+    bytes_pp = bpp // 8
+    stride = ((width * bytes_pp) + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=data_off
+    ).reshape(height, stride)
+    px = rows[:, : width * bytes_pp].reshape(height, width, bytes_pp)
+    rgb = px[:, :, 2::-1]  # BGR(A) -> RGB
+    return (rgb[::-1] if bottom_up else rgb).copy()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Decode a binary PPM (P6) into an RGB uint8 array (h, w, 3)."""
+    if payload is None or payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM")
+    return (
+        np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
+        .reshape(height, width, 3)
+        .copy()
+    )
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize via integer index maps (pure numpy)."""
+    h, w = img.shape[:2]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows[:, None], cols[None, :]]
+
+
+def decode_media(payload: bytes, mime: str):
+    """Dispatch decode by sniffing payload magic (mime is a fallback
+    hint only — corpus mime columns lie). Returns a numpy array (image)
+    or (samples, rate) tuple (audio). Raises ``NotImplementedError``
+    for formats that need a codec library — callers inside Spark
+    operators turn that into the per-row error channel."""
+    if payload is None or len(payload) < 4:
+        raise ValueError("empty payload")
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    for magic, name in (
+        (b"\x89PNG", "png"),
+        (b"\xff\xd8\xff", "jpeg"),
+        (b"GIF8", "gif"),
+        (b"ID3", "mp3"),
+        (b"\xff\xfb", "mp3"),
+    ):
+        if payload.startswith(magic):
+            raise NotImplementedError(
+                f"{name} needs a codec library (pass decoder=)"
+            )
+    raise ValueError(f"unrecognized payload (mime hint: {mime})")
 
 
 def deterministic_fake_decoder(payload: bytes, mime: str) -> list[float]:
@@ -157,6 +301,110 @@ def sniff_media_headers(
         .withColumn("sniffed_sample_rate", F.when(is_wav, _le(p, 24, 4)))
         .withColumn("sniffed_channels", F.when(is_wav, _le(p, 22, 2)))
     )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id BIGINT, sample_rate BIGINT, n_frames BIGINT, n_channels INT, "
+    "duration_s DOUBLE, rms DOUBLE, peak DOUBLE, zero_cross_rate DOUBLE, "
+    "spectral_centroid_hz DOUBLE, error STRING"
+)
+
+
+def audio_features(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """REAL audio decode + features over PCM WAV payloads: duration,
+    RMS, peak, zero-crossing rate, and spectral centroid (numpy rFFT on
+    the mono mix). Non-WAV / non-PCM rows land in the error column."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for _, row in chunk.iterrows():
+                    rec = {
+                        "media_id": row["media_id"], "sample_rate": None,
+                        "n_frames": None, "n_channels": None,
+                        "duration_s": None, "rms": None, "peak": None,
+                        "zero_cross_rate": None,
+                        "spectral_centroid_hz": None, "error": None,
+                    }
+                    try:
+                        x, rate = decode_wav(row["payload"])
+                        mono = x.mean(axis=1)
+                        n = len(mono)
+                        rec.update(
+                            sample_rate=rate, n_frames=n,
+                            n_channels=x.shape[1],
+                            duration_s=n / rate if rate else None,
+                            rms=float(np.sqrt(np.mean(mono**2))) if n else 0.0,
+                            peak=float(np.abs(mono).max()) if n else 0.0,
+                            zero_cross_rate=float(
+                                np.mean(np.diff(np.signbit(mono)) != 0)
+                            ) if n > 1 else 0.0,
+                        )
+                        if n > 1:
+                            mag = np.abs(np.fft.rfft(mono))
+                            freqs = np.fft.rfftfreq(n, d=1.0 / rate)
+                            tot = mag.sum()
+                            rec["spectral_centroid_hz"] = (
+                                float((freqs * mag).sum() / tot) if tot > 0 else 0.0
+                            )
+                    except Exception as e:
+                        rec["error"] = f"{type(e).__name__}: {e}"
+                    rows.append(rec)
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id BIGINT, width INT, height INT, aspect DOUBLE, "
+    "mean_r DOUBLE, mean_g DOUBLE, mean_b DOUBLE, std_gray DOUBLE, "
+    "thumb ARRAY<FLOAT>, error STRING"
+)
+
+
+def image_features(
+    media: DataFrame, thumb_size: int = 4, batch_rows: int = 64
+) -> DataFrame:
+    """REAL image decode + features over BMP/PPM payloads: dimensions,
+    per-channel means, grayscale std, and a ``thumb_size``² grayscale
+    thumbnail (nearest-neighbor resize) usable as an embedding for
+    near-dup search. Codec-needing formats land in the error column."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for _, row in chunk.iterrows():
+                    rec = {
+                        "media_id": row["media_id"], "width": None,
+                        "height": None, "aspect": None, "mean_r": None,
+                        "mean_g": None, "mean_b": None, "std_gray": None,
+                        "thumb": None, "error": None,
+                    }
+                    try:
+                        img = decode_media(row["payload"], row["mime"])
+                        if not isinstance(img, np.ndarray):
+                            raise ValueError("payload is audio, not image")
+                        h, w = img.shape[:2]
+                        gray = img.astype(np.float32).mean(axis=2)
+                        thumb = resize_nearest(gray, thumb_size, thumb_size)
+                        rec.update(
+                            width=w, height=h, aspect=w / h,
+                            mean_r=float(img[:, :, 0].mean()),
+                            mean_g=float(img[:, :, 1].mean()),
+                            mean_b=float(img[:, :, 2].mean()),
+                            std_gray=float(gray.std()),
+                            thumb=[float(v) for v in (thumb / 255.0).ravel()],
+                        )
+                    except Exception as e:
+                        rec["error"] = f"{type(e).__name__}: {e}"
+                    rows.append(rec)
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:
