@@ -1007,6 +1007,54 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_snapshot_links_overwrite(spark, "/root/testdata/sf0.001")
 
 
+def q_curate_topk_per_source(spark, sf_dir):
+    # Per-source selection: keep each source's top-3 largest docs
+    # (window row_number with a deterministic tie-break) — the
+    # quota-per-domain pattern a curation run applies before mixing.
+    # Scale note: the window partitions by source; one shuffle, no
+    # global sort, skew bounded by per-source volume.
+    from pyspark.sql import Window
+
+    docs = demo.read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars", F.row_number().over(w).alias("rk")
+        )
+        .where(F.col("rk") <= 3)
+        .select("doc_id", "source", "n_chars", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+def q_tpch_q18(spark, sf_dir):
+    # TPC-H Q18 (large-volume customer): orders whose total lineitem
+    # quantity exceeds 300, joined back to customer. The HAVING
+    # aggregate runs once over lineitem (map-side partial sum), and the
+    # tiny qualifying-order set then drives broadcast joins — the
+    # aggregate-then-semi-join shape that survives a 100 TB lineitem.
+    li = demo.read_table(spark, sf_dir, "lineitem")
+    orders = demo.read_table(spark, sf_dir, "orders")
+    cust = demo.read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_totalprice").alias("totalprice"),
+            F.round("sum_qty", 4).alias("sum_qty"),
+        )
+    )
+
+
 def q_multimodal_audio_decode(spark, sf_dir):
     # REAL WAV decode through the Spark plumbing: synthesize PCM WAV
     # payloads (numpy, parameterized per event), run them through
@@ -1105,6 +1153,27 @@ def _events_stream(spark, sf_dir):
         .parquet(sf_dir)
     )
     return ev, stream
+
+
+def q_stream_dedup_digests(spark, sf_dir):
+    # Streaming exact dedup: the documents table replayed as a stream,
+    # first occurrence per content digest kept by dropDuplicates state
+    # (state = one row per distinct digest — the streaming face of
+    # pipeline.dedup.exact_duplicates). Emitting only the digest keeps
+    # the result deterministic (which doc_id survives a within-batch
+    # tie depends on partition order; the digest set does not).
+    docs = demo.read_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    deduped = (
+        stream.select(F.md5(F.col("text")).alias("digest"))
+        .dropDuplicates(["digest"])
+    )
+    res = _run_available_now(deduped, "stream_dd_sink", "append")
+    return res.select("digest").distinct()
 
 
 def q_stream_windowed_stats(spark, sf_dir):
@@ -1228,7 +1297,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_rollup": q_temporal_rollup,
         "text_bm25": q_text_bm25,
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "curate_topk_per_source": q_curate_topk_per_source,
+        "tpch_q18": q_tpch_q18,
         "multimodal_audio_decode": q_multimodal_audio_decode,
+        "stream_dedup_digests": q_stream_dedup_digests,
         "stream_windowed_stats": q_stream_windowed_stats,
         "stream_latest_per_node": q_stream_latest_per_node,
         "stream_latest_link_per_pair": q_stream_latest_link_per_pair,
@@ -2217,6 +2289,30 @@ st AS (
 SELECT c.event_id, c.user_id, c.ts_ms, st.incident_id
 FROM e c JOIN st ON c.ts_ms BETWEEN st.w_start AND st.w_end
 WHERE c.event_type = 'click'
+""",
+        "curate_topk_per_source": """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+         ) AS BIGINT) AS rk
+  FROM documents
+)
+SELECT doc_id, source, n_chars, rk FROM r WHERE rk <= 3
+""",
+        "tpch_q18": """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 4) AS sum_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       o.o_totalprice AS totalprice, b.sum_qty
+FROM orders o
+JOIN big b ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "stream_dedup_digests": """
+SELECT DISTINCT md5(text) AS digest FROM documents
 """,
         "multimodal_audio_decode": """
 SELECT event_id AS media_id,
