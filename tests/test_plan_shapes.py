@@ -89,3 +89,33 @@ def test_repetition_stats_shuffles_on_doc_key_only(docs):
     plan = plan_of(CU.repetition_stats(docs))
     assert "HashAggregate" in plan
     assert "Window" not in plan
+
+
+def test_tpch_q18_broadcasts_qualifying_orders(spark, tmp_path):
+    # Q18: the HAVING-filtered order set is tiny relative to lineitem;
+    # it must reach orders via a broadcast join, never a sort-merge
+    # shuffle of the fact table against it.
+    import os
+
+    import __spark_entry__ as em
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
+        pytest.skip("no testdata")
+    plan = plan_of(em.q_tpch_q18(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_per_source_single_window_exchange(spark, tmp_path):
+    # Per-source top-k: exactly one hashpartitioning exchange (for the
+    # window), no global sort over the corpus.
+    import os
+
+    import __spark_entry__ as em
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf_dir}/documents.parquet"):
+        pytest.skip("no testdata")
+    plan = plan_of(em.q_curate_topk_per_source(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
