@@ -72,6 +72,11 @@ HEADLINE = [
     "embed_quantize_int8",
     "graph_pagerank",
     "graph_kcore",
+    # round-3 additions: the multi-join TPC-H shape, real media decode
+    # through mapInPandas, and a Structured-Streaming replay.
+    "tpch_q18",
+    "multimodal_audio_decode",
+    "stream_windowed_stats",
 ]
 
 

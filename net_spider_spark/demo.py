@@ -69,6 +69,10 @@ def ts_epoch_ms(df: DataFrame, col: str = "ts"):
             f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) DIV 1000 AS BIGINT)"
         )
     if kind == "timestamp":
+        # unix_micros is instant-based; a naive-micros column read as
+        # TIMESTAMP only matches DuckDB's naive epoch_ms when the
+        # session runs UTC — configure() pins spark.sql.session.timeZone
+        # for exactly this branch.
         return F.expr(f"CAST(unix_micros({col}) DIV 1000 AS BIGINT)")
     raise TypeError(f"unsupported type for {col!r}: {kind}")
 
