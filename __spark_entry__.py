@@ -1055,6 +1055,23 @@ def q_tpch_q18(spark, sf_dir):
     )
 
 
+def q_graph_sssp(spark, sf_dir):
+    # Weighted shortest paths (bounded Bellman-Ford, graph/sssp.py):
+    # integer edge weights derived per link sample, min-aggregated per
+    # directed edge; distances over paths of <= 6 hops from {'1','2'}.
+    # The DuckDB oracle is a hop-bounded recursive CTE — identical
+    # contract, bit-exact integer distances.
+    from net_spider_spark.graph.sssp import shortest_paths
+
+    ls = demo.events_link_samples(spark, sf_dir)
+    edges = ls.select(
+        F.col("subject_node").alias("src"),
+        F.col("target_node").alias("dst"),
+        (F.col("finding_id") % 10 + 1).alias("weight"),
+    )
+    return shortest_paths(edges, ["1", "2"], max_hops=6)
+
+
 def q_multimodal_audio_decode(spark, sf_dir):
     # REAL WAV decode through the Spark plumbing: synthesize PCM WAV
     # payloads (numpy, parameterized per event), run them through
@@ -1116,6 +1133,63 @@ def q_multimodal_audio_decode(spark, sf_dir):
     )
     return MM.audio_features(media).select(
         "media_id", "sample_rate", "n_frames", "n_channels", "duration_s"
+    )
+
+
+def q_multimodal_image_decode(spark, sf_dir):
+    # REAL BMP decode through image_features: synthesize solid-color
+    # 24-bit BMPs (width/height/color parameterized per event, with the
+    # 4-byte row padding the decoder must skip), decode, and emit
+    # dimensions + channel means — all analytically predictable by the
+    # oracle, so a stride/channel-order bug fails the hash match.
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    from net_spider_spark.pipeline import multimodal as MM
+
+    ev = (
+        _events_typed(spark, sf_dir)
+        .where(F.col("event_id") % 25 == 0)
+        .select("event_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                w = 5 + eid % 7  # exercises every stride-padding case
+                h = 3 + eid % 5
+                r, g, b = eid % 256, (eid * 7) % 256, (eid * 13) % 256
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0], px[:, :, 1], px[:, :, 2] = r, g, b
+                stride = ((w * 3) + 3) & ~3
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+                data = rows.tobytes()
+                header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0
+                )
+                payloads.append(header + info + data)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["event_id"],
+                    "mime": "image/bmp",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth,
+        schema="media_id bigint, mime string, payload binary, "
+        "meta map<string,string>",
+    )
+    return MM.image_features(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
     )
 
 
@@ -1299,7 +1373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "curate_topk_per_source": q_curate_topk_per_source,
         "tpch_q18": q_tpch_q18,
+        "graph_sssp": q_graph_sssp,
         "multimodal_audio_decode": q_multimodal_audio_decode,
+        "multimodal_image_decode": q_multimodal_image_decode,
         "stream_dedup_digests": q_stream_dedup_digests,
         "stream_windowed_stats": q_stream_windowed_stats,
         "stream_latest_per_node": q_stream_latest_per_node,
@@ -2310,6 +2386,32 @@ SELECT c.c_name, c.c_custkey, o.o_orderkey,
 FROM orders o
 JOIN big b ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
+""",
+        "graph_sssp": f"""
+WITH RECURSIVE {SQL_F},
+e AS (
+  SELECT subject_node AS src, target_node AS dst,
+         min(finding_id % 10 + 1) AS w
+  FROM f GROUP BY 1, 2
+),
+walk(node_id, dist, hops) AS (
+  SELECT node_id, CAST(0 AS BIGINT) AS dist, 0 AS hops
+  FROM (VALUES ('1'), ('2')) v(node_id)
+  UNION
+  SELECT e.dst, w.dist + e.w, w.hops + 1
+  FROM walk w JOIN e ON e.src = w.node_id
+  WHERE w.hops < 6
+)
+SELECT node_id, min(dist) AS dist FROM walk GROUP BY 1
+""",
+        "multimodal_image_decode": """
+SELECT event_id AS media_id,
+       CAST(5 + event_id % 7 AS INT) AS width,
+       CAST(3 + event_id % 5 AS INT) AS height,
+       CAST(event_id % 256 AS DOUBLE) AS mean_r,
+       CAST((event_id * 7) % 256 AS DOUBLE) AS mean_g,
+       CAST((event_id * 13) % 256 AS DOUBLE) AS mean_b
+FROM events WHERE event_id % 25 = 0
 """,
         "stream_dedup_digests": """
 SELECT DISTINCT md5(text) AS digest FROM documents
