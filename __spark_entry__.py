@@ -1250,6 +1250,34 @@ def q_stream_dedup_digests(spark, sf_dir):
     return res.select("digest").distinct()
 
 
+def q_stream_sessionize(spark, sf_dir):
+    # Native Structured-Streaming session windows (the streaming face
+    # of pipeline.events.sessionize): per-user sessions close after 30
+    # minutes of inactivity; append mode emits a session once the 2h
+    # watermark passes its end (last event + gap). The oracle rebuilds
+    # the same sessions with gaps-and-islands SQL and applies the same
+    # closed-session rule explicitly.
+    ev, stream = _events_stream(spark, sf_dir)
+    evs = stream.select(
+        "user_id",
+        F.timestamp_millis(demo.ts_epoch_ms(stream)).alias("event_time"),
+    )
+    agg = (
+        evs.withWatermark("event_time", "2 hours")
+        .groupBy(
+            "user_id", F.session_window("event_time", "30 minutes").alias("sw")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    res = _run_available_now(agg, "stream_sess_sink", "append")
+    return res.select(
+        "user_id",
+        F.unix_millis("sw.start").alias("session_start_ms"),
+        F.unix_millis("sw.end").alias("session_end_ms"),
+        "n_events",
+    )
+
+
 def q_stream_windowed_stats(spark, sf_dir):
     # Structured-Streaming face of the hourly rollup (windows.py:30):
     # watermarked tumbling windows over the events file stream, append
@@ -1377,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_audio_decode": q_multimodal_audio_decode,
         "multimodal_image_decode": q_multimodal_image_decode,
         "stream_dedup_digests": q_stream_dedup_digests,
+        "stream_sessionize": q_stream_sessionize,
         "stream_windowed_stats": q_stream_windowed_stats,
         "stream_latest_per_node": q_stream_latest_per_node,
         "stream_latest_link_per_pair": q_stream_latest_link_per_pair,
@@ -2415,6 +2444,32 @@ FROM events WHERE event_id % 25 = 0
 """,
         "stream_dedup_digests": """
 SELECT DISTINCT md5(text) AS digest FROM documents
+""",
+        "stream_sessionize": """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+m AS (SELECT max(ts_ms) AS mx FROM e),
+s AS (
+  SELECT user_id, ts_ms,
+         CASE WHEN lag(ts_ms) OVER w IS NULL
+                OR ts_ms - lag(ts_ms) OVER w >= 1800000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms)
+),
+i AS (
+  SELECT user_id, ts_ms,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY ts_ms
+                        ROWS UNBOUNDED PRECEDING) AS island
+  FROM s
+),
+g AS (
+  SELECT user_id,
+         min(ts_ms) AS session_start_ms,
+         max(ts_ms) + 1800000 AS session_end_ms,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM i GROUP BY user_id, island
+)
+SELECT user_id, session_start_ms, session_end_ms, n_events
+FROM g, m WHERE session_end_ms <= mx - 7200000
 """,
         "multimodal_audio_decode": """
 SELECT event_id AS media_id,
