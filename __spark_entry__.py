@@ -1072,6 +1072,57 @@ def q_graph_sssp(spark, sf_dir):
     return shortest_paths(edges, ["1", "2"], max_hops=6)
 
 
+def q_embed_truncate(spark, sf_dir):
+    # Matryoshka truncation: first-16-dims unit vectors + retention
+    # metrics (similarity.matryoshka_truncate). One codegen projection;
+    # the oracle recomputes the norms with DuckDB list lambdas.
+    emb = demo.read_table(spark, sf_dir, "embeddings")
+    return S.matryoshka_truncate(emb, k=16).select(
+        "vec_id", "norm_full", "norm_k", "retention"
+    )
+
+
+def q_temporal_asof_forward(spark, sf_dir):
+    # The forward as-of variant with the full option surface: each
+    # click gains the user's NEXT purchase strictly after it
+    # (allow_exact_matches=False) and only within a 1-hour tolerance —
+    # time-to-conversion. Same union+window plan as backward: no range
+    # join, no explosion.
+    ev = _events_typed(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    # dedupe equal-(user, ts) purchases; forward tie-break keeps the
+    # LEAST ref_order, so collapse to min event_id per timestamp.
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts_ms")
+        .agg(
+            F.min("event_id").alias("p_id"),
+            F.min_by("value", "event_id").alias("p_value"),
+        )
+    )
+    out = TP.asof_join(
+        clicks,
+        purchases,
+        on="ts_ms",
+        by=["user_id"],
+        ref_cols=["p_id", "p_value"],
+        direction="forward",
+        allow_exact_matches=False,
+        tolerance=3_600_000,
+        ref_order="p_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_ms",
+        F.coalesce("asof_ts_ms", F.lit(-1)).alias("asof_ts_ms"),
+        F.coalesce("asof_p_id", F.lit(-1)).alias("asof_p_id"),
+        F.coalesce("asof_p_value", F.lit(-1.0)).alias("asof_p_value"),
+    )
+
+
 def q_multimodal_audio_decode(spark, sf_dir):
     # REAL WAV decode through the Spark plumbing: synthesize PCM WAV
     # payloads (numpy, parameterized per event), run them through
@@ -1402,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_topk_per_source": q_curate_topk_per_source,
         "tpch_q18": q_tpch_q18,
         "graph_sssp": q_graph_sssp,
+        "temporal_asof_forward": q_temporal_asof_forward,
+        "embed_truncate": q_embed_truncate,
         "multimodal_audio_decode": q_multimodal_audio_decode,
         "multimodal_image_decode": q_multimodal_image_decode,
         "stream_dedup_digests": q_stream_dedup_digests,
@@ -2368,6 +2421,40 @@ SELECT c.event_id, c.user_id, c.ts_ms,
        coalesce(r.err_value, -1.0) AS asof_err_value
 FROM clicks c ASOF LEFT JOIN errors r
   ON c.user_id = r.user_id AND c.ts_ms >= r.ts_ms
+""",
+        "embed_truncate": """
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding,
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n_full,
+         sqrt(list_sum(list_transform(embedding[1:16],
+           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n_k
+  FROM embeddings
+)
+SELECT vec_id, round(n_full, 4) AS norm_full, round(n_k, 4) AS norm_k,
+       round(CASE WHEN n_full > 0 THEN n_k / n_full ELSE 0 END, 4)
+         AS retention
+FROM n
+""",
+        "temporal_asof_forward": """
+WITH e AS (SELECT event_id, user_id, event_type, value,
+                  epoch_ms(ts) AS ts_ms FROM events),
+clicks AS (SELECT event_id, user_id, ts_ms FROM e
+           WHERE event_type = 'click'),
+purchases AS (
+  SELECT user_id, ts_ms, min(event_id) AS p_id,
+         arg_min(value, event_id) AS p_value
+  FROM e WHERE event_type = 'purchase' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, c.ts_ms,
+       CASE WHEN r.ts_ms IS NOT NULL AND r.ts_ms - c.ts_ms <= 3600000
+            THEN r.ts_ms ELSE -1 END AS asof_ts_ms,
+       CASE WHEN r.ts_ms IS NOT NULL AND r.ts_ms - c.ts_ms <= 3600000
+            THEN r.p_id ELSE -1 END AS asof_p_id,
+       CASE WHEN r.ts_ms IS NOT NULL AND r.ts_ms - c.ts_ms <= 3600000
+            THEN r.p_value ELSE -1.0 END AS asof_p_value
+FROM clicks c ASOF LEFT JOIN purchases r
+  ON c.user_id = r.user_id AND c.ts_ms < r.ts_ms
 """,
         "temporal_interval_join": """
 WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms

@@ -382,3 +382,37 @@ def lsh_bucket_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
     )
+
+
+def matryoshka_truncate(
+    embeddings: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Matryoshka-style dimensionality reduction: keep the first ``k``
+    dims and renormalize to unit length (MRL-trained embeddings order
+    information by prefix, so the head is the cheap search vector).
+
+    Returns (id, truncated unit vector, norm_full, norm_k, retention)
+    where retention = ||head|| / ||full|| — the cosine between the full
+    vector and its zero-padded truncation, i.e. how much of the vector
+    the prefix preserves. Pure column expressions (one projection, no
+    shuffle); metrics rounded to 4 decimals for cross-engine stability.
+    """
+    v = F.col(vec_col)
+    head = F.slice(v, 1, k)
+    n_full = norm(v)
+    n_k = norm(head)
+    unit = F.when(
+        n_k > 0, F.transform(head, lambda x: x.cast("double") / n_k)
+    ).otherwise(F.transform(head, lambda x: F.lit(0.0)))
+    return embeddings.select(
+        F.col(id_col),
+        unit.alias(vec_col),
+        F.round(n_full, 4).alias("norm_full"),
+        F.round(n_k, 4).alias("norm_k"),
+        F.round(
+            F.when(n_full > 0, n_k / n_full).otherwise(F.lit(0.0)), 4
+        ).alias("retention"),
+    )

@@ -143,3 +143,21 @@ def test_quantized_cosine_close(spark, emb):
     em = {r["ia"]: r["cos"] for r in exact.collect()}
     diffs = [abs(qm[i] - em[i]) for i in qm if em.get(i) is not None]
     assert diffs and max(diffs) < 0.02  # int8 keeps cosine within 2%
+
+
+def test_matryoshka_truncate_unit_norm(spark):
+    import math
+
+    from net_spider_spark.pipeline.similarity import matryoshka_truncate
+
+    rows = [(1, [3.0, 4.0, 0.0, 0.0]), (2, [0.0, 0.0, 0.0, 5.0]),
+            (3, [0.0, 0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r for r in matryoshka_truncate(df, k=2).collect()}
+    # (3,4) head -> unit (0.6, 0.8); retention = 5/5 = 1
+    assert abs(got[1]["embedding"][0] - 0.6) < 1e-9
+    assert abs(got[1]["embedding"][1] - 0.8) < 1e-9
+    assert got[1]["retention"] == 1.0
+    # all mass outside the head -> zero vector, retention 0
+    assert got[2]["embedding"] == [0.0, 0.0] and got[2]["retention"] == 0.0
+    assert got[3]["retention"] == 0.0
