@@ -1329,6 +1329,54 @@ def q_stream_sessionize(spark, sf_dir):
     )
 
 
+def q_stream_stream_join(spark, sf_dir):
+    # Stream-stream inner join with event-time bounds: clicks joined to
+    # the same user's purchases within the following 4 hours, both
+    # sides replayed as watermarked streams. The time-range predicate
+    # is what lets Spark bound the join state (state retention derives
+    # from watermark + range); with availableNow every qualifying pair
+    # emits, so the oracle is the equivalent batch interval join.
+    ev, stream = _events_stream(spark, sf_dir)
+    base = stream.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_millis(demo.ts_epoch_ms(stream)).alias("event_time"),
+    )
+    clicks = (
+        base.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("event_time").alias("c_time"),
+        )
+        .withWatermark("c_time", "2 hours")
+    )
+    purchases = (
+        base.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("event_time").alias("p_time"),
+        )
+        .withWatermark("p_time", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_time") > F.col("c_time"))
+        & (F.col("p_time") <= F.col("c_time") + F.expr("INTERVAL 4 HOURS")),
+    )
+    res = _run_available_now(joined, "stream_ssj_sink", "append")
+    return res.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.unix_millis("c_time").alias("click_ms"),
+        F.unix_millis("p_time").alias("purchase_ms"),
+    )
+
+
 def q_stream_windowed_stats(spark, sf_dir):
     # Structured-Streaming face of the hourly rollup (windows.py:30):
     # watermarked tumbling windows over the events file stream, append
@@ -1459,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_image_decode": q_multimodal_image_decode,
         "stream_dedup_digests": q_stream_dedup_digests,
         "stream_sessionize": q_stream_sessionize,
+        "stream_stream_join": q_stream_stream_join,
         "stream_windowed_stats": q_stream_windowed_stats,
         "stream_latest_per_node": q_stream_latest_per_node,
         "stream_latest_link_per_pair": q_stream_latest_link_per_pair,
@@ -2531,6 +2580,16 @@ FROM events WHERE event_id % 25 = 0
 """,
         "stream_dedup_digests": """
 SELECT DISTINCT md5(text) AS digest FROM documents
+""",
+        "stream_stream_join": """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_ms(ts) AS ts_ms
+           FROM events)
+SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+       c.user_id, c.ts_ms AS click_ms, p.ts_ms AS purchase_ms
+FROM e c JOIN e p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts_ms > c.ts_ms AND p.ts_ms <= c.ts_ms + 14400000
 """,
         "stream_sessionize": """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
