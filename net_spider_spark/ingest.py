@@ -106,6 +106,76 @@ def write_findings_bucketed(
     )
 
 
+def compact_history(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Small-file compaction for the partitioned history table.
+
+    Streaming/micro-batch appends leave each day partition littered
+    with per-trigger files; at 100 TB the file-listing and
+    footer-reading overhead dominates short-interval queries long
+    before the data does. Rewrite each day partition into
+    ``ceil(rows / target_rows_per_file)`` files, preserving the
+    ``sortWithinPartitions(subject_node)`` clustering the layout
+    promises. Atomicity note: this local implementation writes to a
+    sibling temp dir then renames; on a real deployment use a table
+    format's (Delta/Iceberg) rewrite so readers never see a partial
+    swap.
+
+    Returns {"files_before": n, "files_after": m, "rows": r}.
+    """
+    import math
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    files_before = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(path)
+    )
+    tmp = path.rstrip("/") + "._compact_tmp"
+    has_day = "found_day" in df.columns
+    if has_day:
+        # per-day file budget: ceil(day_rows / target) files for big
+        # days, one for small ones. Clustering rows by (day, file-slot)
+        # makes each task hold whole slots, so the output file count is
+        # at most the budget (hash collisions only merge slots).
+        per_day = df.groupBy("found_day").agg(
+            F.ceil(F.count(F.lit(1)) / target_rows_per_file)
+            .cast("int")
+            .alias("_slots")
+        )
+        out = (
+            df.join(F.broadcast(per_day), "found_day")
+            .withColumn(
+                "_slot",
+                F.pmod(
+                    F.xxhash64("subject_node"),
+                    F.greatest(F.col("_slots"), F.lit(1)),
+                ),
+            )
+            .repartition(F.col("found_day"), F.col("_slot"))
+            .drop("_slots", "_slot")
+            .sortWithinPartitions("subject_node")
+        )
+        writer = out.write.mode("overwrite").partitionBy("found_day")
+    else:
+        n_files = max(1, math.ceil(rows / target_rows_per_file))
+        out = df.repartition(n_files).sortWithinPartitions("subject_node")
+        writer = out.write.mode("overwrite")
+    writer.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    files_after = sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(path)
+    )
+    return {"files_before": files_before, "files_after": files_after, "rows": rows}
+
+
 def clear_all(spark: SparkSession, path: str) -> None:
     """S4 ``clearAll``: truncate the history (overwrite with empty)."""
     from net_spider_spark.model import FINDINGS_SCHEMA

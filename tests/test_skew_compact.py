@@ -1,0 +1,93 @@
+"""Salted join equivalence and history compaction."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from net_spider_spark import ingest
+from net_spider_spark.skew import salted_join
+
+
+def test_salted_join_matches_plain_join(spark):
+    # one hot key (90% of rows) + a long tail
+    big = spark.createDataFrame(
+        [(("hot" if i % 10 else f"k{i}"), i) for i in range(1000)],
+        "k string, v long",
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.5), ("k10", 2.5), ("k20", 3.5), ("absent", 9.9)],
+        "k string, w double",
+    )
+    plain = {(r["k"], r["v"], r["w"]) for r in big.join(small, "k").collect()}
+    salted = {
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(big, small, "k", salt=4).collect()
+    }
+    assert salted == plain and len(plain) > 900
+
+    plain_left = {
+        (r["k"], r["v"], r["w"])
+        for r in big.join(small, "k", "left").collect()
+    }
+    salted_left = {
+        (r["k"], r["v"], r["w"])
+        for r in salted_join(big, small, "k", salt=4, how="left").collect()
+    }
+    assert salted_left == plain_left
+
+
+def test_salted_join_scatters_hot_key(spark):
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(100)], "k string, v long"
+    )
+    small = spark.createDataFrame([("hot", 1.0)], "k string, w double")
+    b = big.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8)),
+    )
+    n_buckets = b.select("_salt").distinct().count()
+    assert n_buckets > 4  # the hot key really spreads across salts
+    assert salted_join(big, small, "k", salt=8).count() == 100
+
+
+def _count_files(path):
+    return sum(
+        len([f for f in fs if f.endswith(".parquet")])
+        for _, _, fs in os.walk(path)
+    )
+
+
+def test_compact_history_reduces_files(spark, tmp_path):
+    path = str(tmp_path / "hist")
+    # 20 tiny appends -> many small files across 2 day partitions
+    for i in range(20):
+        findings = spark.createDataFrame(
+            [(i * 10 + j, f"n{j}", 86_400_000 * (j % 2) + i, None, None,
+              None, {}, []) for j in range(5)],
+            "finding_id long, subject_node string, found_at long, "
+            "tz_offset_min int, tz_summer_only boolean, tz_name string, "
+            "node_attrs map<string,string>, "
+            "neighbor_links array<struct<target_node:string,"
+            "link_state:string,link_attrs:map<string,string>>>",
+        )
+        ingest.write_findings(findings, path)
+    before = _count_files(path)
+    df_before = ingest.read_findings(spark, path)
+    rows_before = df_before.count()
+    sum_before = df_before.agg(F.sum("finding_id")).first()[0]
+
+    stats = ingest.compact_history(spark, path)
+    assert stats["rows"] == rows_before == 100
+    assert stats["files_before"] == before
+    assert stats["files_after"] < before
+    assert stats["files_after"] <= 2  # one per day partition
+
+    df_after = ingest.read_findings(spark, path)
+    assert df_after.count() == rows_before
+    assert df_after.agg(F.sum("finding_id")).first()[0] == sum_before
+    # interval pruning still works on the compacted layout
+    from net_spider_spark.interval import Interval
+
+    assert ingest.read_findings(
+        spark, path, interval=Interval.since(86_400_000)
+    ).count() == 40
