@@ -40,6 +40,14 @@ def build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("clear", help="drop all findings")
 
+    p_compact = sub.add_parser(
+        "compact", help="rewrite history partitions into few large files"
+    )
+    p_compact.add_argument(
+        "--target-rows", type=int, default=1_000_000,
+        help="rows per output file (per day partition)",
+    )
+
     p_in = sub.add_parser("input", help="parse logs and append findings")
     _input_args(p_in)
 
@@ -167,6 +175,18 @@ def main(argv: Optional[Sequence[str]] = None,
     try:
         if args.command == "clear":
             clear_all(spark, args.db)
+            return 0
+        if args.command == "compact":
+            from net_spider_spark.ingest import compact_history
+
+            stats = compact_history(
+                spark, args.db, target_rows_per_file=args.target_rows
+            )
+            print(
+                f"compacted {stats['rows']} findings: "
+                f"{stats['files_before']} -> {stats['files_after']} files",
+                file=sys.stderr,
+            )
             return 0
         if args.command == "input":
             return _do_input(spark, args)

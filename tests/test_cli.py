@@ -113,3 +113,21 @@ def test_cis_merged_dio_two_endpoints(spark, tmp_path, capsys):
     assert attrs["dio_dest_neighbor_rank"] == "356"
     assert attrs["dio_source_metric"] == "100"
     assert attrs["dio_dest_metric"] == "110"
+
+
+def test_cli_compact(spark, tmp_path, capsys):
+    db = str(tmp_path / "h4")
+    for _ in range(3):
+        rc = main(
+            ["--db", db, "input", f"{DATA}/syslog_sample.log",
+             "--format", "syslog", "--year", "2021"],
+            spark=spark,
+        )
+        assert rc == 0
+    rc = main(["--db", db, "compact"], spark=spark)
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "compacted" in err and "-> " in err
+    from net_spider_spark.ingest import read_findings
+
+    assert read_findings(spark, db).count() == 9  # 3 appends x 3 findings
