@@ -1072,6 +1072,16 @@ def q_graph_sssp(spark, sf_dir):
     return shortest_paths(edges, ["1", "2"], max_hops=6)
 
 
+def q_events_funnel(spark, sf_dir):
+    # Ordered funnel over the event stream: users completing
+    # signup -> click -> purchase in order (min-timestamp chaining,
+    # pipeline/events.funnel). Levels shrink monotonically, so every
+    # join after the first is broadcast-sized at corpus scale.
+    return EV.funnel(
+        _events_typed(spark, sf_dir), stages=("signup", "click", "purchase")
+    )
+
+
 def q_embed_truncate(spark, sf_dir):
     # Matryoshka truncation: first-16-dims unit vectors + retention
     # metrics (similarity.matryoshka_truncate). One codegen projection;
@@ -1503,6 +1513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_sssp": q_graph_sssp,
         "temporal_asof_forward": q_temporal_asof_forward,
         "embed_truncate": q_embed_truncate,
+        "events_funnel": q_events_funnel,
         "multimodal_audio_decode": q_multimodal_audio_decode,
         "multimodal_image_decode": q_multimodal_image_decode,
         "stream_dedup_digests": q_stream_dedup_digests,
@@ -2470,6 +2481,23 @@ SELECT c.event_id, c.user_id, c.ts_ms,
        coalesce(r.err_value, -1.0) AS asof_err_value
 FROM clicks c ASOF LEFT JOIN errors r
   ON c.user_id = r.user_id AND c.ts_ms >= r.ts_ms
+""",
+        "events_funnel": """
+WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),
+r1 AS (SELECT user_id, min(ts_ms) AS t FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+r2 AS (SELECT e.user_id, min(e.ts_ms) AS t
+       FROM e JOIN r1 ON e.user_id = r1.user_id AND e.ts_ms >= r1.t
+       WHERE e.event_type = 'click' GROUP BY 1),
+r3 AS (SELECT e.user_id, min(e.ts_ms) AS t
+       FROM e JOIN r2 ON e.user_id = r2.user_id AND e.ts_ms >= r2.t
+       WHERE e.event_type = 'purchase' GROUP BY 1)
+SELECT CAST(1 AS INT) AS stage_idx, 'signup' AS stage,
+       CAST(count(*) AS BIGINT) AS n_users FROM r1
+UNION ALL
+SELECT 2, 'click', count(*) FROM r2
+UNION ALL
+SELECT 3, 'purchase', count(*) FROM r3
 """,
         "embed_truncate": """
 WITH n AS (

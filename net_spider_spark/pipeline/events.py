@@ -96,3 +96,55 @@ def session_stats(
         F.count(F.lit(1)).alias("n_events"),
         (F.max(ts_col) - F.min(ts_col)).alias("duration_ms"),
     )
+
+
+def funnel(
+    events: DataFrame,
+    stages,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts_ms",
+) -> DataFrame:
+    """Ordered funnel: how many users complete each stage IN ORDER.
+
+    A user reaches stage i+1 when they have a stage-i+1 event at or
+    after their earliest completion of stage i (the classic
+    min-timestamp chaining — re-entries later than the first completion
+    still count, earlier ones don't). Each level is one aggregate plus
+    one join against the previous level's (user, t) set, which shrinks
+    monotonically — at corpus scale every join after the first is
+    small-side broadcastable.
+
+    Returns (stage_idx, stage, n_users), one row per stage.
+    """
+    stages = list(stages)
+    if not stages:
+        raise ValueError("at least one stage required")
+    u, ty, ts = F.col(user_col), F.col(type_col), F.col(ts_col)
+    reached = (
+        events.where(ty == stages[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    levels = []
+    for i, stage in enumerate(stages):
+        if i > 0:
+            prev = reached.select(user_col, F.col("_t").alias("_pt"))
+            reached = (
+                events.where(ty == stage)
+                .join(prev, user_col)
+                .where(ts >= F.col("_pt"))
+                .groupBy(user_col)
+                .agg(F.min(ts_col).alias("_t"))
+            )
+        levels.append(
+            reached.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("stage_idx"),
+                F.lit(stage).alias("stage"),
+                F.col("n_users"),
+            )
+        )
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.unionByName(lvl)
+    return out

@@ -45,3 +45,28 @@ def test_sessionize_tie_break_deterministic(spark):
                for r in EV.sessionize(df.repartition(7)).collect())
     assert a == b
     assert dict(a)[100] == 1
+
+
+def test_funnel_order_matters(spark):
+    from net_spider_spark.pipeline.events import funnel
+
+    rows = [
+        # u1 completes all three in order
+        (1, "signup", 100), (1, "click", 200), (1, "purchase", 300),
+        # u2 purchased BEFORE clicking -> reaches click, not purchase
+        (2, "signup", 100), (2, "purchase", 150), (2, "click", 200),
+        # u3 clicked before signup -> stops at signup
+        (3, "click", 50), (3, "signup", 100),
+        # u4 never signed up
+        (4, "click", 10), (4, "purchase", 20),
+        # u5: same-ts signup+click counts (>= chaining)
+        (5, "signup", 100), (5, "click", 100), (5, "purchase", 100),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_ms long"
+    )
+    got = {
+        r["stage"]: r["n_users"]
+        for r in funnel(ev, ("signup", "click", "purchase")).collect()
+    }
+    assert got == {"signup": 4, "click": 3, "purchase": 2}
