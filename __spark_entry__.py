@@ -1469,85 +1469,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so a time-budgeted driver gate reaches the maximum number of rows;
     # the heavyweights at the tail have the longest green history.
     return {
-        "curate_hash_sample": q_curate_hash_sample,
-        "curate_pii_scrub": q_curate_pii_scrub,
-        "curate_shuffle_shards": q_curate_shuffle_shards,
-        "text_fingerprint": q_text_fingerprint,
-        "text_token_stats": q_text_token_stats,
-        "a7_graph_timestamp": q_a7_graph_timestamp,
-        "curate_chunks": q_curate_chunks,
-        "curate_pack": q_curate_pack,
-        "curate_stratified_sample": q_curate_stratified_sample,
-        "dedup_exact": q_dedup_exact,
+        "embed_truncate": q_embed_truncate,
+        "f2_node_lookup": q_f2_node_lookup,
         "text_bpe_tokens": q_text_bpe_tokens,
+        "a4_pair_group_stats": q_a4_pair_group_stats,
         "c1_timestamp_format": q_c1_timestamp_format,
         "c8_direction_resolution": q_c8_direction_resolution,
-        "dedup_exact_incremental": q_dedup_exact_incremental,
-        "f2_node_lookup": q_f2_node_lookup,
-        "text_common_ngrams": q_text_common_ngrams,
-        "text_lang_id": q_text_lang_id,
-        "tpch_q1": q_tpch_q1,
-        "u2_union_links": q_u2_union_links,
-        "curate_weighted_sample": q_curate_weighted_sample,
-        "embed_quantize_int8": q_embed_quantize_int8,
-        "events_quantiles": q_events_quantiles,
-        "events_sessionize": q_events_sessionize,
-        "f1_interval_filter": q_f1_interval_filter,
-        "sim_knn_join": q_sim_knn_join,
+        "curate_chunks": q_curate_chunks,
+        "curate_topk_per_source": q_curate_topk_per_source,
+        "multimodal_image_decode": q_multimodal_image_decode,
         "text_quality": q_text_quality,
         "text_quality_filter": q_text_quality_filter,
-        "curate_repetition": q_curate_repetition,
-        "events_session_stats": q_events_session_stats,
+        "text_token_stats": q_text_token_stats,
+        "tpch_q1": q_tpch_q1,
+        "curate_stratified_sample": q_curate_stratified_sample,
+        "dedup_exact": q_dedup_exact,
+        "embed_quantize_int8": q_embed_quantize_int8,
+        "events_quantiles": q_events_quantiles,
+        "f1_interval_filter": q_f1_interval_filter,
+        "curate_pii_scrub": q_curate_pii_scrub,
+        "curate_shuffle_shards": q_curate_shuffle_shards,
+        "dedup_minhash": q_dedup_minhash,
+        "events_sessionize": q_events_sessionize,
         "j9_combine_nodes": q_j9_combine_nodes,
-        "temporal_asof": q_temporal_asof,
-        "temporal_interval_join": q_temporal_interval_join,
-        "a4_pair_group_stats": q_a4_pair_group_stats,
-        "curate_mixture_sample": q_curate_mixture_sample,
-        "sim_topk": q_sim_topk,
-        "sketch_kmv_distinct": q_sketch_kmv_distinct,
-        "temporal_rollup": q_temporal_rollup,
-        "text_bm25": q_text_bm25,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "curate_topk_per_source": q_curate_topk_per_source,
+        "text_lang_id": q_text_lang_id,
         "tpch_q18": q_tpch_q18,
-        "graph_sssp": q_graph_sssp,
-        "temporal_asof_forward": q_temporal_asof_forward,
-        "embed_truncate": q_embed_truncate,
-        "events_funnel": q_events_funnel,
-        "multimodal_audio_decode": q_multimodal_audio_decode,
-        "multimodal_image_decode": q_multimodal_image_decode,
-        "stream_dedup_digests": q_stream_dedup_digests,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_stream_join": q_stream_stream_join,
-        "stream_windowed_stats": q_stream_windowed_stats,
-        "stream_latest_per_node": q_stream_latest_per_node,
-        "stream_latest_link_per_pair": q_stream_latest_link_per_pair,
-        "tpch_q3_topk": q_tpch_q3_topk,
         "a1_latest_finding_per_node": q_a1_latest_finding_per_node,
+        "curate_weighted_sample": q_curate_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
+        "events_session_stats": q_events_session_stats,
         "tpch_region_revenue": q_tpch_region_revenue,
+        "u2_union_links": q_u2_union_links,
+        "a7_graph_timestamp": q_a7_graph_timestamp,
+        "curate_pack": q_curate_pack,
+        "curate_repetition": q_curate_repetition,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
+        "sim_topk": q_sim_topk,
+        "temporal_asof_forward": q_temporal_asof_forward,
+        "temporal_interval_join": q_temporal_interval_join,
+        "events_funnel": q_events_funnel,
         "sim_lsh_topk": q_sim_lsh_topk,
-        "curate_decontaminate": q_curate_decontaminate,
-        "graph_pagerank": q_graph_pagerank,
-        "dedup_jaccard": q_dedup_jaccard,
-        "j6_boundary_nodes": q_j6_boundary_nodes,
-        "graph_kcore": q_graph_kcore,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "snapshot_links_overwrite": q_snapshot_links_overwrite,
         "snapshot_nodes_overwrite": q_snapshot_nodes_overwrite,
-        "snapshot_timeline": q_snapshot_timeline,
+        "temporal_asof": q_temporal_asof,
+        "text_bm25": q_text_bm25,
+        "text_common_ngrams": q_text_common_ngrams,
+        "graph_sssp": q_graph_sssp,
+        "j5_reachability": q_j5_reachability,
+        "multimodal_audio_decode": q_multimodal_audio_decode,
+        "temporal_rollup": q_temporal_rollup,
         "a10_degree": q_a10_degree,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "graph_pagerank": q_graph_pagerank,
+        "snapshot_timeline": q_snapshot_timeline,
+        "curate_decontaminate": q_curate_decontaminate,
         "graph_components": q_graph_components,
+        "graph_kcore": q_graph_kcore,
+        "j6_boundary_nodes": q_j6_boundary_nodes,
         "snapshot_links_append_interval": q_snapshot_links_append_interval,
         "typed_attrs_links": q_typed_attrs_links,
-        "dedup_minhash": q_dedup_minhash,
-        "dedup_representatives": q_dedup_representatives,
-        "j5_reachability": q_j5_reachability,
-        "sim_ivf_topk": q_sim_ivf_topk,
+        "text_fingerprint": q_text_fingerprint,
         "snapshot_links_append": q_snapshot_links_append,
+        "stream_dedup_digests": q_stream_dedup_digests,
+        "curate_mixture_sample": q_curate_mixture_sample,
+        "stream_sessionize": q_stream_sessionize,
+        "tpch_q3_topk": q_tpch_q3_topk,
+        "rpl_dio_merged": q_rpl_dio_merged,
+        "sim_knn_join": q_sim_knn_join,
+        "stream_windowed_stats": q_stream_windowed_stats,
+        "stream_latest_per_node": q_stream_latest_per_node,
+        "stream_stream_join": q_stream_stream_join,
+        "dedup_representatives": q_dedup_representatives,
+        "sim_ivf_topk": q_sim_ivf_topk,
         "graph_triangles": q_graph_triangles,
         "dedup_embedding": q_dedup_embedding,
         "snapshot_links_multilink": q_snapshot_links_multilink,
-        "rpl_dio_merged": q_rpl_dio_merged,
-        "snapshot_links_overwrite": q_snapshot_links_overwrite,
+        "curate_hash_sample": q_curate_hash_sample,
+        "stream_latest_link_per_pair": q_stream_latest_link_per_pair,
     }
 
 
