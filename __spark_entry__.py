@@ -1256,21 +1256,36 @@ def q_multimodal_image_decode(spark, sf_dir):
 
 def _run_available_now(stream_df, name: str, output_mode: str):
     """Run a streaming DataFrame to completion with availableNow into a
-    memory sink and return the sink contents as a batch DataFrame."""
+    memory sink and return the sink contents as a batch DataFrame.
+
+    The state-store count of a new streaming query is fixed by
+    ``spark.sql.shuffle.partitions`` at its first micro-batch; under a
+    host session left at the 200 default, every stateful replay would
+    spin up 200 stores for kilobytes of state. Cap the conf for the
+    duration of the stream and restore it after (results are identical
+    either way — this is spin-up cost only).
+    """
     import shutil
     import tempfile
 
-    ckpt = tempfile.mkdtemp(prefix=f"nss_ckpt_{name}_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"nss_ckpt_{name}_")
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    try:
+        if int(old) > 32:
+            spark.conf.set(conf_key, "32")
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(conf_key, old)
     out = spark.table(name)
     shutil.rmtree(ckpt, ignore_errors=True)
     return out
