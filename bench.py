@@ -77,6 +77,8 @@ HEADLINE = [
     "tpch_q18",
     "multimodal_audio_decode",
     "stream_windowed_stats",
+    "graph_sssp",
+    "events_funnel",
 ]
 
 
