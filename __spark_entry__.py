@@ -137,7 +137,11 @@ def _lsh_sig_sql(n_bands: int = 4, n_planes: int = 4, dim: int = 64,
     return exprs
 
 
-_EMB_SIG_SQL = _lsh_sig_sql(n_planes=6)
+# 10 planes/band: random-pair collision 0.5^10 per band (~0.4% of all
+# pairs across 4 bands) vs 6% at 6 planes — candidate volume, not
+# recall, is the scale limit (near-dups at cos>0.9 still hit ~60%+
+# any-band agreement; raise further as the corpus grows).
+_EMB_SIG_SQL = _lsh_sig_sql(n_planes=10)
 
 
 def _marker_sql(lang: str) -> str:
@@ -826,7 +830,7 @@ def q_dedup_embedding(spark, sf_dir):
     # sign-LSH candidates (seed=42, mirrored exactly by the oracle)
     # + exact cosine verify — no all-pairs join.
     emb = demo.read_table(spark, sf_dir, "embeddings")
-    return D.embedding_near_dup_groups(emb, threshold=0.5)
+    return D.embedding_near_dup_groups(emb, threshold=0.5, n_planes=10)
 
 
 def _events_typed(spark, sf_dir):
