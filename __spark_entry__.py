@@ -1076,6 +1076,23 @@ def q_graph_sssp(spark, sf_dir):
     return shortest_paths(edges, ["1", "2"], max_hops=6)
 
 
+def q_snapshot_incremental_nodes(spark, sf_dir):
+    # Incremental materialized-view maintenance (incremental.py): split
+    # the findings into two "daily" batches, reduce batch 1 to the
+    # latest-per-node state, then fold batch 2 into the STATE (never
+    # re-touching batch 1's raw rows). Equality with the full-history
+    # reduction is exactly what the oracle checks (a1's full-recompute
+    # SQL) — the associativity proof, hash-verified.
+    from net_spider_spark.incremental import fold_latest_nodes
+
+    f = demo.events_findings(spark, sf_dir)
+    b1 = f.where(F.col("finding_id") % 2 == 0)
+    b2 = f.where(F.col("finding_id") % 2 == 1)
+    state = fold_latest_nodes(None, b1)
+    state = fold_latest_nodes(state, b2)
+    return state.select("subject_node", "found_at", "finding_id")
+
+
 def q_events_funnel(spark, sf_dir):
     # Ordered funnel over the event stream: users completing
     # signup -> click -> purchase in order (min-timestamp chaining,
@@ -1527,6 +1544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_asof_forward": q_temporal_asof_forward,
         "temporal_interval_join": q_temporal_interval_join,
         "events_funnel": q_events_funnel,
+        "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "snapshot_links_overwrite": q_snapshot_links_overwrite,
@@ -2500,6 +2518,10 @@ SELECT c.event_id, c.user_id, c.ts_ms,
        coalesce(r.err_value, -1.0) AS asof_err_value
 FROM clicks c ASOF LEFT JOIN errors r
   ON c.user_id = r.user_id AND c.ts_ms >= r.ts_ms
+""",
+        "snapshot_incremental_nodes": f"""
+WITH {SQL_F}, {SQL_KEPT_OVERWRITE}
+SELECT subject_node, found_at, finding_id FROM kept
 """,
         "events_funnel": """
 WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),

@@ -116,8 +116,11 @@ def _do_input(spark: SparkSession, args) -> int:
 
 
 def _do_snapshot(spark: SparkSession, args) -> int:
-    findings = read_findings(spark, args.db)
     iv = _interval(args)
+    # pass the interval down so day-partition pruning happens at the
+    # scan (read_findings translates it into a found_day filter); the
+    # snapshot's own row-level interval filter still applies after.
+    findings = read_findings(spark, args.db, interval=iv)
     starts = args.starts_from
 
     # The reference's snapshot uses dioDefQuery/daoDefQuery (RPL/CLI

@@ -91,3 +91,34 @@ def test_compact_history_reduces_files(spark, tmp_path):
     assert ingest.read_findings(
         spark, path, interval=Interval.since(86_400_000)
     ).count() == 40
+
+
+def test_update_latest_state_parquet_fold(spark, tmp_path):
+    from net_spider_spark.incremental import update_latest_state
+    from net_spider_spark.snapshot import latest_findings_per_node
+
+    schema = (
+        "finding_id long, subject_node string, found_at long, "
+        "tz_offset_min int, tz_summer_only boolean, tz_name string, "
+        "node_attrs map<string,string>, "
+        "neighbor_links array<struct<target_node:string,link_state:string,"
+        "link_attrs:map<string,string>>>"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a", 100, None, None, None, {"s": "old"}, []),
+         (2, "b", 500, None, None, None, {}, [])], schema)
+    b2 = spark.createDataFrame(
+        [(3, "a", 300, None, None, None, {"s": "new"}, []),
+         (4, "b", 400, None, None, None, {}, [])], schema)
+    path = str(tmp_path / "state")
+    update_latest_state(spark, path, b1)
+    got = update_latest_state(spark, path, b2)
+    rows = {r["subject_node"]: r for r in got.collect()}
+    # a advanced to the batch-2 finding; b keeps batch-1's newer one
+    assert rows["a"]["finding_id"] == 3 and rows["a"]["node_attrs"] == {"s": "new"}
+    assert rows["b"]["finding_id"] == 2 and rows["b"]["found_at"] == 500
+    # state on disk == full-history reduction (associativity)
+    full = latest_findings_per_node(b1.unionByName(b2))
+    assert sorted(
+        (r["subject_node"], r["finding_id"]) for r in full.collect()
+    ) == sorted((r["subject_node"], r["finding_id"]) for r in got.collect())
