@@ -1093,6 +1093,23 @@ def q_snapshot_incremental_nodes(spark, sf_dir):
     return state.select("subject_node", "found_at", "finding_id")
 
 
+def q_snapshot_incremental_links(spark, sf_dir):
+    # Links-side incremental maintenance: per-pair winner state folded
+    # over two batches (incremental.fold_latest_links) must equal the
+    # full-history per-pair argmax — the same window-ranked oracle the
+    # streaming view is checked against.
+    from net_spider_spark.incremental import fold_latest_links
+
+    f = demo.events_findings(spark, sf_dir)
+    b1 = f.where(F.col("finding_id") % 2 == 0)
+    b2 = f.where(F.col("finding_id") % 2 == 1)
+    state = fold_latest_links(None, b1)
+    state = fold_latest_links(state, b2)
+    return state.select(
+        "p1", "p2", "subject_node", "target_node", "link_state", "found_at"
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     # Ordered funnel over the event stream: users completing
     # signup -> click -> purchase in order (min-timestamp chaining,
@@ -1545,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_interval_join": q_temporal_interval_join,
         "events_funnel": q_events_funnel,
         "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
+        "snapshot_incremental_links": q_snapshot_incremental_links,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "snapshot_links_overwrite": q_snapshot_links_overwrite,
@@ -2522,6 +2540,22 @@ FROM clicks c ASOF LEFT JOIN errors r
         "snapshot_incremental_nodes": f"""
 WITH {SQL_F}, {SQL_KEPT_OVERWRITE}
 SELECT subject_node, found_at, finding_id FROM kept
+""",
+        "snapshot_incremental_links": f"""
+WITH {SQL_F},
+s AS (
+  SELECT least(subject_node, target_node) AS p1,
+         greatest(subject_node, target_node) AS p2,
+         subject_node, target_node, link_state, found_at, finding_id
+  FROM f
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY p1, p2 ORDER BY found_at DESC, finding_id DESC) AS rn
+  FROM s
+)
+SELECT p1, p2, subject_node, target_node, link_state, found_at
+FROM r WHERE rn = 1
 """,
         "events_funnel": """
 WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS ts_ms FROM events),

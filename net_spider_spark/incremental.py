@@ -54,3 +54,54 @@ def update_latest_state(
         shutil.rmtree(state_path)
     os.rename(tmp, state_path)
     return spark.read.parquet(state_path)
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+_LINK_COLS = [
+    "finding_id", "link_pos", "subject_node", "target_node",
+    "link_state", "found_at", "link_attrs",
+]
+
+
+def _link_samples(findings: DataFrame) -> DataFrame:
+    """Explode nested findings into per-pair link samples (the default
+    unify's input shape, keyed by the unordered endpoint pair)."""
+    s = findings.select(
+        "subject_node",
+        "found_at",
+        "finding_id",
+        F.posexplode("neighbor_links").alias("link_pos", "_nl"),
+    ).select(
+        "finding_id",
+        F.col("link_pos").cast("int").alias("link_pos"),
+        "subject_node",
+        F.col("_nl.target_node").alias("target_node"),
+        F.col("_nl.link_state").alias("link_state"),
+        "found_at",
+        F.col("_nl.link_attrs").alias("link_attrs"),
+    )
+    return s.withColumn(
+        "p1", F.least("subject_node", "target_node")
+    ).withColumn("p2", F.greatest("subject_node", "target_node"))
+
+
+def fold_latest_links(state: DataFrame | None, batch: DataFrame) -> DataFrame:
+    """Links-side incremental step: previous per-pair winner state (or
+    None) + a new findings batch -> new state holding each unordered
+    pair's maximal sample under (found_at, finding_id, link_pos) — the
+    batch twin of ``streaming/ingest.stream_latest_link_per_pair``.
+    The argmax is associative, so the folded state always equals the
+    full-history reduction."""
+    samples = _link_samples(batch)
+    combined = samples if state is None else state.unionByName(samples)
+    ordering = F.struct("found_at", "finding_id", "link_pos")
+    return (
+        combined.groupBy("p1", "p2")
+        .agg(
+            F.max_by(
+                F.struct(*[F.col(c) for c in _LINK_COLS]), ordering
+            ).alias("_w")
+        )
+        .select("p1", "p2", *[F.col(f"_w.{c}").alias(c) for c in _LINK_COLS])
+    )
