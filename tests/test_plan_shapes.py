@@ -119,3 +119,45 @@ def test_topk_per_source_single_window_exchange(spark, tmp_path):
     plan = plan_of(em.q_curate_topk_per_source(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_funnel_stage_filters_reach_scan(spark):
+    # The per-stage event_type filter must push into the parquet scan:
+    # a funnel that reads the whole event log per level is wrong.
+    import os
+
+    import __spark_entry__ as em
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip("no testdata")
+    plan = plan_of(em.q_events_funnel(spark, sf_dir))
+    assert "PushedFilters: [" in plan and "event_type" in plan
+
+
+def test_embed_truncate_no_exchange(spark):
+    # Pure projection over the embeddings scan — any Exchange is a
+    # regression.
+    import os
+
+    import __spark_entry__ as em
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf_dir}/embeddings.parquet"):
+        pytest.skip("no testdata")
+    plan = plan_of(em.q_embed_truncate(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
+def test_incremental_links_single_aggregate(spark):
+    # The two-batch fold must stay one aggregate tree over the union —
+    # no join of state against batch (the fold IS the aggregate).
+    import os
+
+    import __spark_entry__ as em
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip("no testdata")
+    plan = plan_of(em.q_snapshot_incremental_links(spark, sf_dir))
+    assert "Join" not in plan  # union + aggregates only

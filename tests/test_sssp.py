@@ -58,3 +58,37 @@ def test_sssp_multi_source_min(edges_df):
     }
     # d as a source makes e cheap; everything else keeps a's distances
     assert got["e"] == 10 and got["d"] == 0 and got["b"] == 1
+
+
+def test_sssp_properties_random_graphs(spark):
+    # Property check over deterministic pseudo-random graphs: the
+    # distributed loop must match a plain-Python hop-bounded
+    # Bellman-Ford on every instance.
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 12
+        edges = []
+        for _ in range(30):
+            s, t = rng.randrange(n), rng.randrange(n)
+            edges.append((f"v{s}", f"v{t}", rng.randrange(1, 10)))
+        df = spark.createDataFrame(edges, "src string, dst string, weight long")
+        got = {
+            r["node_id"]: r["dist"]
+            for r in shortest_paths(
+                df, ["v0"], max_hops=5, local_threshold=0
+            ).collect()
+        }
+        # reference: Bellman-Ford, 5 rounds, min-weight parallel edges
+        best = {}
+        for s, t, w in edges:
+            best[(s, t)] = min(w, best.get((s, t), w))
+        dist = {"v0": 0}
+        for _ in range(5):
+            nxt = dict(dist)
+            for (s, t), w in best.items():
+                if s in dist and dist[s] + w < nxt.get(t, 1 << 60):
+                    nxt[t] = dist[s] + w
+            dist = nxt
+        assert got == dist, f"trial {trial}"
