@@ -69,13 +69,17 @@ FINDING_JSON_SCHEMA = T.StructType(
 )
 
 
-def stream_findings_json(spark: SparkSession, input_dir: str) -> DataFrame:
-    """readStream of JSON-lines findings -> findings-shaped streaming
-    DataFrame (finding_id = xxhash64 of content; the monotone ingest
-    id of the batch path is meaningless across an unbounded stream)."""
-    raw = spark.readStream.schema(
-        T.StructType([T.StructField("value", T.StringType())])
-    ).text(input_dir)
+def findings_from_json_lines(raw: DataFrame) -> DataFrame:
+    """JSON-lines ``value`` column -> findings-shaped DataFrame; works
+    identically on a batch ``spark.read.text`` or a streaming source
+    (the projection is stateless).
+
+    finding_id hashes the WHOLE raw line: distinct findings with the
+    same (subject, timestamp) must not collide, or the latest-per-node
+    argmax keeps both tied rows and emits duplicate subjects. Streamed
+    ties therefore break by content hash, not arrival order (the batch
+    path's ingest-order tie-break has no stable analogue in a stream).
+    """
     # NOTE: from_json in PERMISSIVE mode yields an all-null struct for
     # malformed lines (not a NULL struct) — filter on the required
     # fields, or garbage rows flow into the table and the stateful op.
@@ -85,11 +89,6 @@ def stream_findings_json(spark: SparkSession, input_dir: str) -> DataFrame:
         F.col("f.subject_node").isNotNull()
         & F.col("f.found_at.epoch_time").isNotNull()
     )
-    # finding_id hashes the WHOLE raw line: distinct findings with the
-    # same (subject, timestamp) must not collide, or the latest-per-node
-    # argmax keeps both tied rows and emits duplicate subjects. Streamed
-    # ties therefore break by content hash, not arrival order (the batch
-    # path's ingest-order tie-break has no stable analogue in a stream).
     return parsed.select(
         F.xxhash64(F.col("value")).alias("finding_id"),
         F.col("f.subject_node").alias("subject_node"),
@@ -100,6 +99,24 @@ def stream_findings_json(spark: SparkSession, input_dir: str) -> DataFrame:
         F.col("f.node_attrs").alias("node_attrs"),
         F.col("f.neighbor_links").alias("neighbor_links"),
     )
+
+
+def stream_findings_json(spark: SparkSession, input_dir: str) -> DataFrame:
+    """readStream of JSON-lines findings -> findings-shaped streaming
+    DataFrame (finding_id = xxhash64 of content; the monotone ingest
+    id of the batch path is meaningless across an unbounded stream)."""
+    raw = spark.readStream.schema(
+        T.StructType([T.StructField("value", T.StringType())])
+    ).text(input_dir)
+    return findings_from_json_lines(raw)
+
+
+def read_findings_json(spark: SparkSession, path: str) -> DataFrame:
+    """Batch twin of :func:`stream_findings_json`: load a JSON-lines
+    findings file/directory (the reference's JSON wire codec,
+    Timestamp.hs:80-100 / Found.hs:98-140) straight into the findings
+    schema."""
+    return findings_from_json_lines(spark.read.text(path))
 
 
 def append_to_history(

@@ -230,3 +230,20 @@ def test_stream_latest_link_per_pair_matches_batch(spark, tmp_path):
     }
     stream_links = {k: ts for k, (_, ts) in got2.items()}
     assert batch_links == stream_links
+
+
+def test_read_findings_json_batch_twin(spark, tmp_path):
+    # batch reader == streaming reader on the same JSONL input
+    from net_spider_spark.streaming.ingest import read_findings_json
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b1.jsonl", [
+        _finding("x", 100, ["y"], {"s": "a"}),
+        _finding("y", 200, [], {}),
+    ])
+    got = read_findings_json(spark, str(src)).orderBy("subject_node").collect()
+    assert [r["subject_node"] for r in got] == ["x", "y"]
+    assert got[0]["found_at"] == 100
+    assert got[0]["neighbor_links"][0]["target_node"] == "y"
+    assert got[0]["node_attrs"] == {"s": "a"}
