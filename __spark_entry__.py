@@ -1110,6 +1110,16 @@ def q_snapshot_incremental_links(spark, sf_dir):
     )
 
 
+def q_curate_temperature_mixture(spark, sf_dir):
+    # Temperature mixing at alpha=0.5: weight per source = sqrt(count).
+    # Every quota operation is IEEE correctly-rounded (no normalizing
+    # sum), so DuckDB derives bit-identical quotas from the counts.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return CU.temperature_mixture_sample(docs, alpha=0.5).select(
+        "doc_id", "source", "mix_rank"
+    )
+
+
 def q_events_funnel(spark, sf_dir):
     # Ordered funnel over the event stream: users completing
     # signup -> click -> purchase in order (min-timestamp chaining,
@@ -1563,6 +1573,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
         "snapshot_incremental_links": q_snapshot_incremental_links,
+        "curate_temperature_mixture": q_curate_temperature_mixture,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "snapshot_links_overwrite": q_snapshot_links_overwrite,
@@ -2901,6 +2912,25 @@ SELECT event_type, n_kept,
             ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
        END AS est_distinct
 FROM g
+""",
+        "curate_temperature_mixture": """
+WITH cnt AS (
+  SELECT source, count(*) AS c FROM documents
+  WHERE source IS NOT NULL GROUP BY 1
+),
+w AS (SELECT source, c, sqrt(CAST(c AS DOUBLE)) AS wt FROM cnt),
+sc AS (SELECT min(c / wt) AS scale FROM w),
+q AS (SELECT source, CAST(floor(sc.scale * wt) AS BIGINT) AS quota FROM w, sc),
+r AS (
+  SELECT doc_id, source, CAST(row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+    AS mix_rank
+  FROM documents WHERE source IS NOT NULL
+)
+SELECT doc_id, source, mix_rank
+FROM r JOIN q USING (source)
+WHERE mix_rank <= quota
 """,
         "curate_mixture_sample": """
 WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),

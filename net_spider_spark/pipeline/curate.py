@@ -19,6 +19,8 @@ debugged.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -473,6 +475,56 @@ def mixture_sample(
     }
     scale = min(counts.get(s, 0) / w for s, w in norm.items() if w > 0)
     quotas = {s: int(scale * w) for s, w in norm.items()}
+    spark = df.sparkSession
+    quota_df = spark.createDataFrame(
+        [(s, q) for s, q in quotas.items()], f"{source_col} string, _quota long"
+    )
+    w_rank = Window.partitionBy(source_col).orderBy(
+        _md5_key(id_col, seed), F.col(id_col)
+    )
+    return (
+        df.join(F.broadcast(quota_df), source_col)
+        .withColumn("mix_rank", F.row_number().over(w_rank).cast("long"))
+        .where(F.col("mix_rank") <= F.col("_quota"))
+        .drop("_quota")
+    )
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    seed: str = "s42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based mixture (multilingual-pretraining style):
+    target weight of source s is proportional to count_s^alpha —
+    alpha=1 keeps natural proportions, alpha=0 is uniform, values in
+    between upweight small sources without repetition.
+
+    Quotas are computed WITHOUT normalizing the weights (the mixture is
+    scale-invariant, and skipping the normalizing sum keeps every
+    operation — pow, divide, min, multiply, floor — IEEE
+    correctly-rounded, so any engine derives bit-identical quotas from
+    the same counts): scale = min_s(count_s / w_s), quota_s =
+    floor(scale * w_s). Selection within a source is the same
+    deterministic md5-rank as :func:`mixture_sample`.
+    """
+    counts = {
+        r[source_col]: r["cnt"]
+        for r in df.groupBy(source_col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+        if r[source_col] is not None
+    }
+    if not counts:
+        raise ValueError("no sources present")
+    # alpha=0.5 uses true sqrt (IEEE correctly-rounded everywhere);
+    # libm pow(x, 0.5) may differ by an ulp across engines.
+    powf = math.sqrt if alpha == 0.5 else (lambda c: c**alpha)
+    weights = {s: powf(float(c)) for s, c in counts.items() if c > 0}
+    scale = min(counts[s] / w for s, w in weights.items())
+    quotas = {s: int(math.floor(scale * w)) for s, w in weights.items()}
     spark = df.sparkSession
     quota_df = spark.createDataFrame(
         [(s, q) for s, q in quotas.items()], f"{source_col} string, _quota long"
