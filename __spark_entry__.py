@@ -1110,6 +1110,19 @@ def q_snapshot_incremental_links(spark, sf_dir):
     )
 
 
+def q_sketch_kmv_merged(spark, sf_dir):
+    # Sketch MERGEABILITY, hash-verified: per-event-type KMV sketches
+    # merged n-way (sketch.kmv_merge_all) must equal the sketch built
+    # directly over all events — the oracle computes the direct global
+    # sketch, so any merge bug (truncation order, dedup, k-boundary)
+    # breaks the match. This is the property that lets executors sketch
+    # shards independently at 100 TB.
+    ev = _events_typed(spark, sf_dir)
+    per_group = SK.kmv_sketch(ev, ["event_type"], "user_id", k=16)
+    merged = SK.kmv_merge_all(per_group, k=16)
+    return SK.kmv_estimate(merged, k=16).select("n_kept", "est_distinct")
+
+
 def q_curate_temperature_mixture(spark, sf_dir):
     # Temperature mixing at alpha=0.5: weight per source = sqrt(count).
     # Every quota operation is IEEE correctly-rounded (no normalizing
@@ -1574,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
         "snapshot_incremental_links": q_snapshot_incremental_links,
         "curate_temperature_mixture": q_curate_temperature_mixture,
+        "sketch_kmv_merged": q_sketch_kmv_merged,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "snapshot_links_overwrite": q_snapshot_links_overwrite,
@@ -2908,6 +2922,27 @@ g AS (
   FROM r WHERE rn <= 16 GROUP BY 1
 )
 SELECT event_type, n_kept,
+       CASE WHEN n_kept < 16 THEN n_kept
+            ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
+       END AS est_distinct
+FROM g
+""",
+        "sketch_kmv_merged": f"""
+WITH d AS (
+  SELECT DISTINCT {SK.md5_sql('user_id')} AS m5 FROM events
+),
+h AS (
+  SELECT DISTINCT {SK.hex15_to_long_sql('m5')} AS h60 FROM d
+),
+r AS (
+  SELECT h60, row_number() OVER (ORDER BY h60) AS rn FROM h
+),
+g AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_kept,
+         CAST(max(h60) AS DOUBLE) AS hk
+  FROM r WHERE rn <= 16
+)
+SELECT n_kept,
        CASE WHEN n_kept < 16 THEN n_kept
             ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
        END AS est_distinct

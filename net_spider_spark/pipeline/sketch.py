@@ -165,3 +165,22 @@ def kmv_distinct(
     return kmv_estimate(
         kmv_sketch(df, group_cols, value_col, k=k, seed=seed), k=k
     ).drop("kmv")
+
+
+def kmv_merge_all(sketches: DataFrame, k: int = 256) -> DataFrame:
+    """N-way merge of every group's sketch into ONE global sketch: the
+    k smallest distinct hashes across all groups. Any hash among the
+    global k smallest is necessarily among its own group's k smallest,
+    so merge-then-truncate equals the sketch built directly on the full
+    input — the partial-aggregate property that lets 1000 executors
+    sketch shards independently and combine. Input is tiny (groups x k
+    rows), so the single global window is free."""
+    exploded = sketches.select(F.explode("kmv").alias("_h60")).dropDuplicates(
+        ["_h60"]
+    )
+    w = Window.orderBy("_h60")
+    return (
+        exploded.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .agg(F.sort_array(F.collect_list("_h60")).alias("kmv"))
+    )
