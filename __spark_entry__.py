@@ -1110,6 +1110,15 @@ def q_snapshot_incremental_links(spark, sf_dir):
     )
 
 
+def q_curate_split(spark, sf_dir):
+    # Deterministic 80/10/10 train/val/test split: one codegen CASE
+    # over md5-key hash ranges, zero shuffle; membership is a pure
+    # function of (doc_id, seed), so a document can never migrate
+    # between train and test across runs.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return CU.train_val_test_split(docs).select("doc_id", "split")
+
+
 def q_sketch_kmv_merged(spark, sf_dir):
     # Sketch MERGEABILITY, hash-verified: per-event-type KMV sketches
     # merged n-way (sketch.kmv_merge_all) must equal the sketch built
@@ -1588,6 +1597,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_incremental_links": q_snapshot_incremental_links,
         "curate_temperature_mixture": q_curate_temperature_mixture,
         "sketch_kmv_merged": q_sketch_kmv_merged,
+        "curate_split": q_curate_split,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "snapshot_links_overwrite": q_snapshot_links_overwrite,
@@ -2926,6 +2936,15 @@ SELECT event_type, n_kept,
             ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
        END AS est_distinct
 FROM g
+""",
+        "curate_split": """
+SELECT doc_id,
+       CASE WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+              THEN 'train'
+            WHEN substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+              THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
 """,
         "sketch_kmv_merged": f"""
 WITH d AS (

@@ -20,6 +20,7 @@ debugged.
 from __future__ import annotations
 
 import math
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -171,6 +172,36 @@ def hash_sample(
     and the filter is a codegen expression with zero shuffle."""
     threshold = format(int(fraction * 65536), "04x")
     return df.where(F.substring(_md5_key(id_col, seed), 1, 4) < F.lit(threshold))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    fractions: Sequence[float] = (0.8, 0.1, 0.1),
+    labels: Sequence[str] = ("train", "val", "test"),
+    seed: str = "s42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic dataset split: assign each row a split label by
+    where the first 4 hex digits of its md5 key fall in cumulative
+    ``fractions`` ranges. Membership is a pure function of (id, seed) —
+    retries, re-runs, and other engines agree; a document can never
+    migrate between train and test across pipeline versions that keep
+    the seed. Zero shuffle (one codegen CASE over the scan); hash
+    uniformity stratifies any grouping implicitly."""
+    if len(fractions) != len(labels) or not fractions:
+        raise ValueError("fractions and labels must align and be non-empty")
+    if abs(sum(fractions) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {sum(fractions)}")
+    key = F.substring(_md5_key(id_col, seed), 1, 4)
+    cuts = []
+    acc = 0.0
+    for frac in fractions[:-1]:
+        acc += frac
+        cuts.append(format(int(acc * 65536), "04x"))
+    expr = F.lit(labels[-1])
+    for label, cut in zip(reversed(labels[:-1]), reversed(cuts)):
+        expr = F.when(key < F.lit(cut), F.lit(label)).otherwise(expr)
+    return df.withColumn("split", expr)
 
 
 def weighted_sample(
