@@ -47,10 +47,17 @@ from net_spider_spark.graphml import write_graphml
 from net_spider_spark.pangraph import write_pangraph
 from net_spider_spark.ingest import (
     clear_all,
+    compact_history,
     read_findings,
     write_findings,
     write_findings_bucketed,
 )
+from net_spider_spark.incremental import (
+    fold_latest_links,
+    fold_latest_nodes,
+    update_latest_state,
+)
+from net_spider_spark.skew import salted_join
 
 __all__ = [
     "LinkState",
@@ -82,9 +89,14 @@ __all__ = [
     "write_graphml",
     "write_pangraph",
     "clear_all",
+    "compact_history",
     "read_findings",
     "write_findings",
     "write_findings_bucketed",
+    "fold_latest_links",
+    "fold_latest_nodes",
+    "update_latest_state",
+    "salted_join",
 ]
 
 __version__ = "0.1.0"
