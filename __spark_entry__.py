@@ -1110,6 +1110,14 @@ def q_snapshot_incremental_links(spark, sf_dir):
     )
 
 
+def q_text_lm_score(spark, sf_dir):
+    # Self-trained bigram LM quality score (pipeline/text.ngram_lm_score,
+    # the CCNet/KenLM-style signal): mean add-1-smoothed conditional
+    # log-prob over each doc's distinct bigrams.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return TX.ngram_lm_score(docs)
+
+
 def q_curate_split(spark, sf_dir):
     # Deterministic 80/10/10 train/val/test split: one codegen CASE
     # over md5-key hash ranges, zero shuffle; membership is a pure
@@ -1598,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_temperature_mixture": q_curate_temperature_mixture,
         "sketch_kmv_merged": q_sketch_kmv_merged,
         "curate_split": q_curate_split,
+        "text_lm_score": q_text_lm_score,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "snapshot_links_overwrite": q_snapshot_links_overwrite,
@@ -2936,6 +2945,42 @@ SELECT event_type, n_kept,
             ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
        END AS est_distinct
 FROM g
+""",
+        "text_lm_score": f"""
+WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(range(1, len(toks)),
+                          i -> toks[i] || ' ' || toks[i+1])
+         ELSE [] END AS bigrams,
+         toks
+  FROM t
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(toks) AS tok FROM bg) GROUP BY 1
+),
+big AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c2
+  FROM (SELECT unnest(bigrams) AS bigram FROM bg) GROUP BY 1
+),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+db AS (
+  SELECT DISTINCT doc_id, bigram FROM
+    (SELECT doc_id, unnest(bigrams) AS bigram FROM bg)
+),
+lp AS (
+  SELECT db.doc_id,
+         ln(CAST(big.c2 + 1 AS DOUBLE) / CAST(uni.c1 + v.v AS DOUBLE)) AS l
+  FROM db
+  JOIN big USING (bigram)
+  JOIN uni ON uni.tok = string_split(db.bigram, ' ')[1]
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(l), 4) AS lm_score
+FROM lp GROUP BY 1
 """,
         "curate_split": """
 SELECT doc_id,

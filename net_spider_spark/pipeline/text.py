@@ -277,3 +277,70 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
             "fingerprint"
         ),
     )
+
+
+def ngram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-trained bigram language-model quality score (the
+    CCNet/KenLM-style signal, self-trained on the corpus): for each
+    document, the mean add-1-smoothed conditional log-probability
+    ln((count(w1 w2) + 1) / (count(w1) + V)) over the document's
+    DISTINCT bigrams. Documents full of corpus-typical word
+    transitions score high; rare/garbled transitions score low.
+
+    Shape: two corpus count aggregates (unigrams with multiplicity,
+    bigrams with multiplicity — both map-side combinable) + one
+    distinct-bigram explode per doc + two equi-joins against the count
+    tables. Nothing is quadratic; the count tables are vocabulary-sized
+    and broadcast at typical scales. Scores round to 4 decimals so
+    cross-engine float-sum ordering cannot flip the hash.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    t = df.select(F.col(id_col), toks.alias("_toks"))
+    tk = F.col("_toks")
+    bigrams = F.when(
+        F.size(tk) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tk) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(tk, i), F.element_at(tk, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    uni = (
+        t.select(F.explode("_toks").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = (
+        t.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+
+    doc_b = t.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(bigrams)).alias("bigram"),
+    ).withColumn("w1", F.split(F.col("bigram"), " ").getItem(0))
+    scored = (
+        doc_b.join(big, "bigram")
+        .join(uni, doc_b.w1 == uni.tok)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("c2") + 1).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("_lp"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("_lp"), 4).alias("lm_score"),
+        )
+    )
