@@ -1569,6 +1569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c1_timestamp_format": q_c1_timestamp_format,
         "c8_direction_resolution": q_c8_direction_resolution,
         "curate_chunks": q_curate_chunks,
+        "curate_split": q_curate_split,
         "curate_topk_per_source": q_curate_topk_per_source,
         "multimodal_image_decode": q_multimodal_image_decode,
         "text_quality": q_text_quality,
@@ -1588,6 +1589,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "tpch_q18": q_tpch_q18,
         "a1_latest_finding_per_node": q_a1_latest_finding_per_node,
+        "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
+        "snapshot_incremental_links": q_snapshot_incremental_links,
         "curate_weighted_sample": q_curate_weighted_sample,
         "dedup_simhash": q_dedup_simhash,
         "events_session_stats": q_events_session_stats,
@@ -1601,19 +1604,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_asof_forward": q_temporal_asof_forward,
         "temporal_interval_join": q_temporal_interval_join,
         "events_funnel": q_events_funnel,
-        "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
-        "snapshot_incremental_links": q_snapshot_incremental_links,
-        "curate_temperature_mixture": q_curate_temperature_mixture,
-        "sketch_kmv_merged": q_sketch_kmv_merged,
-        "curate_split": q_curate_split,
-        "text_lm_score": q_text_lm_score,
         "sim_lsh_topk": q_sim_lsh_topk,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "sketch_kmv_merged": q_sketch_kmv_merged,
         "snapshot_links_overwrite": q_snapshot_links_overwrite,
         "snapshot_nodes_overwrite": q_snapshot_nodes_overwrite,
         "temporal_asof": q_temporal_asof,
         "text_bm25": q_text_bm25,
         "text_common_ngrams": q_text_common_ngrams,
+        "text_lm_score": q_text_lm_score,
         "graph_sssp": q_graph_sssp,
         "j5_reachability": q_j5_reachability,
         "multimodal_audio_decode": q_multimodal_audio_decode,
@@ -1633,6 +1632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_links_append": q_snapshot_links_append,
         "stream_dedup_digests": q_stream_dedup_digests,
         "curate_mixture_sample": q_curate_mixture_sample,
+        "curate_temperature_mixture": q_curate_temperature_mixture,
         "stream_sessionize": q_stream_sessionize,
         "tpch_q3_topk": q_tpch_q3_topk,
         "rpl_dio_merged": q_rpl_dio_merged,
