@@ -1543,6 +1543,11 @@ def q_stream_latest_link_per_pair(spark, sf_dir):
     findings = demo.events_findings_from(stream)
     out = stream_latest_link_per_pair(findings)
     res = _run_available_now(out, "stream_llp_sink", "update")
+    # Reduce update-mode emissions under the full batch-unify ordering
+    # (found_at, finding_id, link_pos), not found_at alone: with >1
+    # micro-batch (maxFilesPerTrigger, multi-file table), two emissions
+    # for a pair can tie on found_at and the winner must not depend on
+    # batch boundaries.
     return (
         res.groupBy("p1", "p2")
         .agg(
@@ -1550,7 +1555,7 @@ def q_stream_latest_link_per_pair(spark, sf_dir):
                 F.struct(
                     "subject_node", "target_node", "link_state", "found_at"
                 ),
-                "found_at",
+                F.struct("found_at", "finding_id", "link_pos"),
             ).alias("s")
         )
         .select("p1", "p2", "s.*")

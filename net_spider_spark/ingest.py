@@ -120,9 +120,12 @@ def compact_history(
     ``ceil(rows / target_rows_per_file)`` files, preserving the
     ``sortWithinPartitions(subject_node)`` clustering the layout
     promises. Atomicity note: this local implementation writes to a
-    sibling temp dir then renames; on a real deployment use a table
-    format's (Delta/Iceberg) rewrite so readers never see a partial
-    swap.
+    sibling temp dir, renames the live table aside, renames the temp
+    into place, then deletes the old copy — every intermediate state
+    keeps a complete table on disk (as ``path`` or ``path + ".old"``),
+    so a crash mid-swap loses nothing. Concurrent readers can still see
+    a brief gap between the two renames; on a real deployment use a
+    table format's (Delta/Iceberg) rewrite for reader-visible atomicity.
 
     Returns {"files_before": n, "files_after": m, "rows": r}.
     """
@@ -167,8 +170,12 @@ def compact_history(
         out = df.repartition(n_files).sortWithinPartitions("subject_node")
         writer = out.write.mode("overwrite")
     writer.parquet(tmp)
-    shutil.rmtree(path)
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     files_after = sum(
         len([f for f in fs if f.endswith(".parquet")])
         for _, _, fs in os.walk(path)

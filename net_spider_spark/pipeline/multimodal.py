@@ -136,11 +136,16 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     width, height, maxval = fields
     if maxval > 255:
         raise NotImplementedError("16-bit PPM")
-    return (
+    px = (
         np.frombuffer(payload, dtype=np.uint8, count=width * height * 3, offset=pos)
         .reshape(height, width, 3)
         .copy()
     )
+    if maxval != 255:
+        # P6 allows maxval < 255; rescale so downstream mean/thumb
+        # features see the full 0-255 range instead of biased samples.
+        px = (px.astype(np.uint16) * 255 // maxval).clip(0, 255).astype(np.uint8)
+    return px
 
 
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:

@@ -26,12 +26,17 @@ def salted_join(
     """Equi-join ``big ⋈ small`` on column ``on`` with the big side's
     hot keys scattered across ``salt`` shuffle partitions.
 
-    The big side gets a deterministic per-row salt (xxhash64 of the
-    whole row modulo ``salt`` — uniform, reproducible, no rand()); the
-    small side is exploded ``salt``× so every (key, salt) bucket finds
-    its match. Small-side replication costs salt× its size — keep for
-    genuinely small-vs-big joins (the broadcast-too-big, one-key-hot
-    middle ground).
+    The big side gets a per-row salt from ``monotonically_increasing_id()
+    % salt`` — uniform within every scan partition, defined for any
+    schema (hash expressions reject MapType columns such as the findings
+    tables' ``node_attrs``/``link_attrs``), and it scatters even
+    fully-duplicate rows, which a row-content hash would pile into one
+    bucket. The salt is not stable across runs, but join *results* are
+    identical either way — only task placement varies. The small side is
+    exploded ``salt``× so every (key, salt) bucket finds its match.
+    Small-side replication costs salt× its size — keep for genuinely
+    small-vs-big joins (the broadcast-too-big, one-key-hot middle
+    ground).
     """
     if salt < 1:
         raise ValueError(f"salt must be >= 1, got {salt}")
@@ -39,9 +44,7 @@ def salted_join(
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     b = big.withColumn(
         "_salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)
-        ).cast("int"),
+        F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"),
     )
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

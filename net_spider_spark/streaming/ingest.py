@@ -197,7 +197,8 @@ _LINK_STATE_SCHEMA = (
 )
 _LINK_OUT_SCHEMA = (
     "p1 STRING, p2 STRING, subject_node STRING, target_node STRING, "
-    "link_state STRING, found_at BIGINT, link_attrs MAP<STRING,STRING>"
+    "link_state STRING, found_at BIGINT, finding_id BIGINT, "
+    "link_pos INT, link_attrs MAP<STRING,STRING>"
 )
 
 
@@ -237,6 +238,11 @@ def _update_latest_link(
             best = cand
     state.update(tuple(best))
     doc = json.loads(best[3])
+    # Emit the full ordering key (found_at, finding_id, link_pos) so a
+    # multi-batch replay's update-mode sink can reduce emissions with
+    # the exact batch-unify comparison, not found_at alone — two
+    # emissions tied on found_at would otherwise make the sink's winner
+    # depend on micro-batch boundaries.
     yield pd.DataFrame(
         {
             "p1": [p1],
@@ -245,6 +251,8 @@ def _update_latest_link(
             "target_node": [doc["target_node"]],
             "link_state": [doc["link_state"]],
             "found_at": [best[0]],
+            "finding_id": [best[1]],
+            "link_pos": [best[2]],
             "link_attrs": [doc["link_attrs"]],
         }
     )

@@ -172,9 +172,17 @@ def make_bmp(pixels):
     return header + info + data
 
 
-def make_ppm(pixels):
+def make_ppm(pixels, maxval=255):
     h, w = pixels.shape[:2]
-    return f"P6\n# test\n{w} {h}\n255\n".encode() + pixels.tobytes()
+    return f"P6\n# test\n{w} {h}\n{maxval}\n".encode() + pixels.tobytes()
+
+
+def test_decode_ppm_rescales_small_maxval():
+    # P6 allows maxval < 255: samples must rescale to full range, not
+    # feed biased values into mean/thumb features.
+    px = np.array([[[0, 7, 15]]], dtype=np.uint8)
+    out = decode_ppm(make_ppm(px, maxval=15))
+    assert out.tolist() == [[[0, 119, 255]]]
 
 
 def test_decode_wav_sine_roundtrip():

@@ -42,12 +42,31 @@ def test_salted_join_scatters_hot_key(spark):
     )
     small = spark.createDataFrame([("hot", 1.0)], "k string, w double")
     b = big.withColumn(
-        "_salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(8)),
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(8))
     )
     n_buckets = b.select("_salt").distinct().count()
     assert n_buckets > 4  # the hot key really spreads across salts
     assert salted_join(big, small, "k", salt=8).count() == 100
+
+
+def test_salted_join_map_columns_and_duplicate_rows(spark):
+    # MapType columns break hash-based salting (AnalysisException), and a
+    # hot key made of *identical* rows must still scatter across salts.
+    big = spark.createDataFrame(
+        [("hot", {"a": "1"})] * 200, "k string, attrs map<string,string>"
+    ).repartition(4)
+    small = spark.createDataFrame([("hot", 7)], "k string, w int")
+    out = salted_join(big, small, "k", salt=8)
+    assert out.count() == 200
+    scatter = (
+        big.withColumn(
+            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(8))
+        )
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert scatter > 4
 
 
 def _count_files(path):

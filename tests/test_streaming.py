@@ -216,6 +216,9 @@ def test_stream_latest_link_per_pair_matches_batch(spark, tmp_path):
             for r in out2}
     assert got2[("a", "b")] == ("b", 3000)   # late row lost
     assert got2[("b", "c")] == ("c", 4000)   # newer row won
+    # Emissions carry the full ordering key so a multi-batch sink can
+    # reduce by (found_at, finding_id, link_pos), not found_at alone.
+    assert all("finding_id" in r and "link_pos" in r for r in out2)
 
     # Batch/stream agreement: replay everything through the batch
     # engine; the unify winners must match the maintained view.
