@@ -108,6 +108,24 @@ SQL_SHINGLES = (
     "list_transform(range(1, greatest(len(toks) - 1, 1)),"
     " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
 )
+# Shared by graph_components (guarded path) and graph_components_dist
+# (local_threshold=0, distributed label propagation): one answer contract.
+SQL_COMPONENTS = f"""
+WITH RECURSIVE {SQL_F},
+{SQL_KEPT_OVERWRITE},
+und AS (
+  SELECT subject_node AS src, target_node AS dst FROM kept
+  UNION
+  SELECT target_node AS src, subject_node AS dst FROM kept
+),
+reach(a, b) AS (
+  SELECT src AS a, src AS b FROM und
+  UNION
+  SELECT r.a, u.dst FROM reach r JOIN und u ON u.src = r.b
+)
+SELECT a AS node_id, min(b) AS component FROM reach GROUP BY a
+"""
+
 SQL_HEX16 = (
     "((position(substr(m, 1, 1) IN '0123456789abcdef') - 1) * 4096"
     " + (position(substr(m, 2, 1) IN '0123456789abcdef') - 1) * 256"
@@ -744,6 +762,23 @@ def q_graph_components(spark, sf_dir):
         F.col("subject_node").alias("src"), F.col("target_node").alias("dst")
     )
     return connected_components(edges)
+
+
+def q_graph_components_dist(spark, sf_dir):
+    # Same computation as graph_components but pinned to the
+    # DISTRIBUTED path (local_threshold=0): the iterative
+    # min-label-propagation join loop that runs at 100x scale, where
+    # the edge list no longer fits the driver-local fast path. Oracle
+    # is identical -- both paths must agree with the recursive SQL.
+    from net_spider_spark.findings import explode_link_samples
+    from net_spider_spark.graph.components import connected_components
+
+    findings = demo.events_findings(spark, sf_dir)
+    kept = latest_findings_per_node(findings)
+    edges = explode_link_samples(kept).select(
+        F.col("subject_node").alias("src"), F.col("target_node").alias("dst")
+    )
+    return connected_components(edges, local_threshold=0)
 
 
 def q_snapshot_links_multilink(spark, sf_dir):
@@ -1571,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Group 1: no driver CORRECTNESS entry yet (never sampled, or FAIL in
         # r2 and fixed since) -- run these first so round 4 attests them.
+        "graph_components_dist": q_graph_components_dist,
         "text_lm_score": q_text_lm_score,
         "graph_sssp": q_graph_sssp,
         "multimodal_audio_decode": q_multimodal_audio_decode,
@@ -2265,21 +2301,9 @@ sc AS (
 SELECT doc_id, lang, n_chars FROM sc
 WHERE n_chars >= 100 AND punct_ratio <= 0.2 AND alpha_ratio >= 0.5
 """,
-        "graph_components": f"""
-WITH RECURSIVE {SQL_F},
-{SQL_KEPT_OVERWRITE},
-und AS (
-  SELECT subject_node AS src, target_node AS dst FROM kept
-  UNION
-  SELECT target_node AS src, subject_node AS dst FROM kept
-),
-reach(a, b) AS (
-  SELECT src AS a, src AS b FROM und
-  UNION
-  SELECT r.a, u.dst FROM reach r JOIN und u ON u.src = r.b
-)
-SELECT a AS node_id, min(b) AS component FROM reach GROUP BY a
-""",
+        "graph_components": SQL_COMPONENTS,
+        # distributed-path pin: same answer contract, same oracle
+        "graph_components_dist": SQL_COMPONENTS,
         "dedup_representatives": f"""
 WITH RECURSIVE tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest({SQL_SHINGLES}) AS shingle FROM tok),
