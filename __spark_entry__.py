@@ -376,20 +376,23 @@ def q_dedup_exact(spark, sf_dir):
 
 def q_dedup_minhash(spark, sf_dir):
     docs = demo.read_table(spark, sf_dir, "documents")
-    sh = D.doc_shingles(docs)
-    return D.minhash_candidates(D.minhash_signatures(sh))
+    sets = D.doc_shingle_sets(docs)
+    return D.minhash_candidates(D.minhash_signatures_sets(sets))
 
 
 def q_dedup_jaccard(spark, sf_dir):
     # The scale path: MinHash-banded candidates, then exact Jaccard
     # verification restricted to those pairs (never the full
-    # inverted-index self-join).
+    # inverted-index self-join). All on per-doc shingle SETS: the
+    # signatures are narrow array expressions and the verify is two
+    # equi-joins + array_intersect -- the exploded (doc, shingle)
+    # table is never built, so the only shuffles are the joins'.
     docs = demo.read_table(spark, sf_dir, "documents")
-    # the shingle table feeds 4 consumers (signatures, sizes, both
-    # verify join sides) — persist it once instead of re-shingling
-    sh = D.doc_shingles(docs).persist()
-    cand = D.minhash_candidates(D.minhash_signatures(sh))
-    return D.jaccard_verify_candidates(cand, sh, threshold=0.2)
+    # the set table feeds 3 consumers (signatures, both verify join
+    # sides) -- persist it once instead of re-shingling
+    sets = D.doc_shingle_sets(docs).persist()
+    cand = D.minhash_candidates(D.minhash_signatures_sets(sets))
+    return D.jaccard_verify_sets(cand, sets, threshold=0.2)
 
 
 def q_dedup_simhash(spark, sf_dir):

@@ -62,17 +62,22 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def doc_shingles(
+def doc_shingle_sets(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
-    """One row per (doc, distinct shingle).
+    """One row per doc with its DISTINCT shingles as an array column.
 
-    The input is repartitioned to the session's default parallelism
-    first: document corpora often arrive as few large files, and the
-    shingling expression is compute-bound — without the repartition the
-    whole corpus shingles on as many tasks as input splits. The token
-    array is materialized in its own projection so Catalyst doesn't
-    inline (and re-evaluate) the tokenization per element access.
+    The narrow (never-exploded) shape: tokenize, window into n-gram
+    shingles, and dedup all inside one projection — zero shuffles, so
+    the per-doc set can feed MinHash (``array_min`` over a hash
+    ``transform``) and exact Jaccard (``array_intersect``) without the
+    wide (doc, shingle) table ever being built or shuffled. Documents
+    are bounded-size rows, so the array stays executor-local even when
+    the corpus is 100 TB. The input is repartitioned to the session's
+    default parallelism first: corpora often arrive as few large files,
+    and the shingling expression is compute-bound. The token array is
+    materialized in its own projection so Catalyst doesn't inline (and
+    re-evaluate) the tokenization per element access.
     """
     par = df.sparkSession.sparkContext.defaultParallelism
     toks = tokens_col(F.lower(F.col(text_col)))
@@ -87,8 +92,20 @@ def doc_shingles(
         ),
     ).otherwise(F.array().cast("array<string>"))
     return with_toks.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(shingles)).alias("shingle"),
+        F.col(id_col), F.array_distinct(shingles).alias("shingles")
+    )
+
+
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """One row per (doc, distinct shingle) — the exploded inverted-index
+    shape, for consumers that genuinely need it (the incremental
+    signature index, hot-shingle diagnostics). Batch pipelines should
+    prefer :func:`doc_shingle_sets`, which keeps the set per-row and
+    avoids shuffling the exploded table."""
+    return doc_shingle_sets(df, text_col=text_col, id_col=id_col, n=n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
 
 
@@ -119,6 +136,64 @@ def minhash_signatures(
         F.col(id_col),
         F.expr(f"stack({n_hashes}, {stack_args}) AS (band, sig)"),
     ).select(id_col, F.col("band").cast("int").alias("band"), "sig")
+
+
+def minhash_signatures_sets(
+    sets: DataFrame, n_hashes: int = 4, id_col: str = "doc_id"
+) -> DataFrame:
+    """MinHash signatures computed from :func:`doc_shingle_sets` rows —
+    bit-identical to :func:`minhash_signatures` (the lexicographic
+    ``array_min`` over ``md5(band || '|' || shingle)`` equals the
+    grouped ``min``), but entirely narrow: no groupBy, no shuffle — the
+    only shuffles in the whole candidate pipeline are the band
+    equi-join's. Docs with no shingles produce no signature rows, same
+    as the grouped path. Returns (doc_id, band, sig)."""
+    sig_cols = [
+        F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.md5(F.concat(F.lit(f"{b}|"), s)),
+            )
+        ).alias(f"_sig{b}")
+        for b in range(1, n_hashes + 1)
+    ]
+    wide = sets.where(F.size("shingles") > 0).select(F.col(id_col), *sig_cols)
+    stack_args = ", ".join(f"{b}, _sig{b}" for b in range(1, n_hashes + 1))
+    return wide.select(
+        F.col(id_col),
+        F.expr(f"stack({n_hashes}, {stack_args}) AS (band, sig)"),
+    ).select(id_col, F.col("band").cast("int").alias("band"), "sig")
+
+
+def jaccard_verify_sets(
+    candidates: DataFrame,
+    sets: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact Jaccard over candidate pairs from per-doc shingle arrays:
+    two equi-joins hang each side's set on the pair, then
+    ``array_intersect``/``array_union`` compute |A∩B| / |A∪B| in
+    codegen. Work is O(|candidates| × shingles-per-doc) like
+    :func:`jaccard_verify_candidates`, but with 2 shuffles instead of
+    5 — no exploded (pair, shingle) table, no shared-count aggregation,
+    no separate sizes join. Returns (doc_a, doc_b, jaccard) at/above
+    ``threshold``."""
+    a = sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sh_a"))
+    b = sets.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sh_b"))
+    return (
+        candidates.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("_sh_a", "_sh_b"))
+                / F.size(F.array_union("_sh_a", "_sh_b"))
+            ).cast("double").alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -482,15 +557,16 @@ def dedup_representatives(
     """
     from net_spider_spark.graph.components import connected_components
 
-    # 4 downstream consumers re-read the shingle table (signatures,
-    # sizes, both verify join sides): one persist beats re-running the
-    # tokenize+explode scan per consumer.
-    sh = doc_shingles(df, text_col=text_col, id_col=id_col, n=n).persist()
+    # 3 downstream consumers re-read the per-doc shingle sets
+    # (signatures, both verify join sides): one persist beats
+    # re-running the tokenize+shingle scan per consumer.
+    sets = doc_shingle_sets(df, text_col=text_col, id_col=id_col, n=n).persist()
     cand = minhash_candidates(
-        minhash_signatures(sh, n_hashes=n_hashes, id_col=id_col), id_col=id_col
+        minhash_signatures_sets(sets, n_hashes=n_hashes, id_col=id_col),
+        id_col=id_col,
     )
-    verified = jaccard_verify_candidates(
-        cand, sh, threshold=threshold, id_col=id_col
+    verified = jaccard_verify_sets(
+        cand, sets, threshold=threshold, id_col=id_col
     )
     edges = verified.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

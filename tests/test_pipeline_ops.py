@@ -116,6 +116,34 @@ def test_jaccard_verify_candidates_matches_full_on_candidates(docs):
     assert 0.5 < verified[(1, 3)] < 1.0
 
 
+def test_set_based_path_matches_exploded_path(docs):
+    # The narrow per-doc-set pipeline (doc_shingle_sets ->
+    # minhash_signatures_sets -> jaccard_verify_sets) must produce
+    # bit-identical signatures and jaccard values to the exploded
+    # inverted-index pipeline it replaces on the batch path.
+    sh = D.doc_shingles(docs)
+    sets = D.doc_shingle_sets(docs)
+    sig_old = {
+        (r["doc_id"], r["band"]): r["sig"]
+        for r in D.minhash_signatures(sh).collect()
+    }
+    sig_new = {
+        (r["doc_id"], r["band"]): r["sig"]
+        for r in D.minhash_signatures_sets(sets).collect()
+    }
+    assert sig_new == sig_old and len(sig_new) > 0
+    cand = D.minhash_candidates(D.minhash_signatures_sets(sets))
+    old = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_verify_candidates(cand, sh, threshold=0.1).collect()
+    }
+    new = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.jaccard_verify_sets(cand, sets, threshold=0.1).collect()
+    }
+    assert new == old and new[(1, 2)] == 1.0
+
+
 def test_embedding_lsh_default_matches_exact_groups(spark):
     # Banded sign-LSH candidates + exact verify (the default) must
     # produce the same near-dup groups as the all-pairs verifier on a
