@@ -137,3 +137,94 @@ def test_unifier_conf_shapes():
     assert dio.merge_samples is not None and dio.merge_output_schema is not None
     dao = dao_unifier_conf()
     assert dao.merge_samples is None  # stays on the pure-Catalyst path
+
+
+# ---------------------------------------------------------------------------
+# Combined-graph JSON wire codecs (JSONUtil.hs:24-46, Combined.hs:67-93)
+# ---------------------------------------------------------------------------
+
+def test_combined_node_json_wire_and_roundtrip(spark):
+    import json
+
+    from net_spider_spark.rpl.jsonutil import (
+        combined_nodes_from_json,
+        combined_nodes_to_json,
+    )
+
+    rows = [
+        ("fd00::1", {"dio_rank": "256", "dio_dio_interval": "12",
+                     "dao_dao_route_num": "3"}),
+        ("fd00::2", {"dio_rank": "512", "dio_dio_interval": "8"}),
+        ("fd00::3", {"dao_dao_route_num": "0"}),
+    ]
+    nodes = spark.createDataFrame(
+        rows, "node_id string, node_attrs map<string,string>"
+    )
+    enc = {r["node_id"]: json.loads(r["json"])
+           for r in combined_nodes_to_json(nodes).collect()}
+    # exact reference field names: optCombinedNode lowers + strips
+    # "attrs" (JSONUtil.hs:26-29); inner records are optSnake.
+    assert enc["fd00::1"] == {"dio": {"rank": 256, "dio_interval": 12},
+                              "dao": {"dao_route_num": 3}}
+    assert enc["fd00::2"] == {"dio": {"rank": 512, "dio_interval": 8},
+                              "dao": None}
+    assert enc["fd00::3"] == {"dio": None, "dao": {"dao_route_num": 0}}
+
+    back = {r["node_id"]: r["node_attrs"]
+            for r in combined_nodes_from_json(
+                combined_nodes_to_json(nodes)).collect()}
+    assert back == {nid: attrs for nid, attrs in rows}
+
+
+def test_combined_link_json_wire_and_roundtrip(spark):
+    import json
+
+    from net_spider_spark.rpl.jsonutil import (
+        combined_links_from_json,
+        combined_links_to_json,
+    )
+
+    rows = [
+        ("fd00::1", "fd00::2", True, 2000,
+         {"link_type": "dio",
+          "dio_source_neighbor_type": "preferred_parent",
+          "dio_source_neighbor_rank": "256",
+          "dio_source_metric": "128",
+          "dio_dest_neighbor_type": "other_neighbor",
+          "dio_dest_neighbor_rank": "512"}),
+        ("fd00::1", "fd00::3", True, 1500,
+         {"link_type": "dio",
+          "dio_source_neighbor_type": "parent_candidate",
+          "dio_source_neighbor_rank": "300"}),
+        ("fd00::2", "fd00::3", True, 1000,
+         {"link_type": "dao", "dao_path_lifetime_sec": "300"}),
+    ]
+    links = spark.createDataFrame(
+        rows,
+        "source_node string, dest_node string, is_directed boolean, "
+        "link_ts long, link_attrs map<string,string>",
+    )
+    enc = {(r["source_node"], r["dest_node"]): json.loads(r["json"])
+           for r in combined_links_to_json(links).collect()}
+    # TaggedObject wire: tagFieldName "link_type", contentsFieldName
+    # "link", tags lowercased to dio/dao (JSONUtil.hs:31-46).
+    assert enc[("fd00::1", "fd00::2")] == {
+        "link_type": "dio",
+        "link": {"from_source": {"neighbor_type": "preferred_parent",
+                                 "neighbor_rank": 256, "metric": 128},
+                 "from_dest": {"neighbor_type": "other_neighbor",
+                               "neighbor_rank": 512, "metric": None}},
+    }
+    assert enc[("fd00::1", "fd00::3")] == {
+        "link_type": "dio",
+        "link": {"from_source": {"neighbor_type": "parent_candidate",
+                                 "neighbor_rank": 300, "metric": None},
+                 "from_dest": None},
+    }
+    assert enc[("fd00::2", "fd00::3")] == {
+        "link_type": "dao", "link": {"path_lifetime_sec": 300}}
+
+    back = {(r["source_node"], r["dest_node"]): r["link_attrs"]
+            for r in combined_links_from_json(
+                combined_links_to_json(links)).collect()}
+    assert back == {(s, d): attrs for s, d, _, _, attrs in rows}
