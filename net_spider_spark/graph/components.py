@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from net_spider_spark.sizing import fits_in_driver
+
 
 # Same rationale as traverse._LOCAL_BFS_MAX_EDGES: below this size the
 # iterative rounds are pure scheduling overhead.
@@ -39,7 +41,7 @@ def connected_components(
         .persist()
     )
     n_edges = und.count()
-    if n_edges <= local_threshold:
+    if n_edges <= local_threshold and fits_in_driver(und, n_edges):
         try:
             return _local_components(und)
         finally:

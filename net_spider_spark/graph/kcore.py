@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from net_spider_spark.sizing import fits_in_driver
+
 
 # Driver-local fast path bound (see traverse/components/pagerank: the
 # snapshot graph is usually tiny next to its observation history).
@@ -66,7 +68,9 @@ def kcore(
         .distinct()
         .persist()
     )
-    if und.count() <= 2 * local_threshold:  # symmetric set = 2x edges
+    n_und = und.count()
+    # symmetric set = 2x edges
+    if n_und <= 2 * local_threshold and fits_in_driver(und, n_und):
         try:
             seen = set()
             for r in und.collect():

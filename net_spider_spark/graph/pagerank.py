@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from net_spider_spark.sizing import fits_in_driver
+
 #: fixed-point scale: 1.0 == 1e6 micro-units
 _SCALE = 1_000_000
 
@@ -86,7 +88,8 @@ def pagerank(
         .distinct()
         .persist()
     )
-    if e.count() <= local_threshold:
+    n_edges = e.count()
+    if n_edges <= local_threshold and fits_in_driver(e, n_edges):
         try:
             pairs = [(r["src"], r["dst"]) for r in e.collect()]
             return _local_pagerank(

@@ -24,6 +24,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from net_spider_spark.sizing import fits_in_driver
+
 # Same rationale as pagerank._LOCAL_PR_MAX_EDGES: below this many
 # distinct edges the per-round Spark jobs are pure scheduling overhead
 # and a driver-local loop (identical integer arithmetic) wins.
@@ -71,7 +73,7 @@ def shortest_paths(
     n_edges = e.count()
     spark = e.sparkSession
     id_type = e.schema["src"].dataType.simpleString()
-    if n_edges <= local_threshold:
+    if n_edges <= local_threshold and fits_in_driver(e, n_edges):
         try:
             rows = [(r["src"], r["dst"], r["weight"]) for r in e.collect()]
             return _local_sssp(spark, rows, list(sources), max_hops, id_type)

@@ -1,0 +1,61 @@
+"""Driver-local fast-path sizing guard.
+
+The iterative graph operators (traverse/components/pagerank/kcore/sssp)
+take a driver-local fast path when the deduplicated edge projection is
+small: one collect, zero iterative jobs. A row-count threshold alone
+mis-sizes wide rows — 2M edges of 16-byte node IDs is ~100 MB, but 2M
+edges of kilobyte URLs is gigabytes. The guard therefore ALSO estimates
+bytes from a bounded sample of actual row widths and refuses the local
+path when the estimate exceeds a driver budget, regardless of row
+count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Collecting more than this many estimated bytes to the driver is
+# refused even when the row count passes the operator's threshold.
+DRIVER_LOCAL_MAX_BYTES = 256 * 1024 * 1024
+
+_SAMPLE_ROWS = 4096
+
+
+def _row_width_expr(df: DataFrame):
+    """Column summing an approximate serialized width per row: actual
+    octet length for strings/binary, fixed widths for scalars."""
+    width = F.lit(16)  # per-row object overhead
+    for field in df.schema.fields:
+        c = F.col(field.name)
+        if isinstance(field.dataType, (T.StringType, T.BinaryType)):
+            width = width + F.coalesce(F.octet_length(c), F.lit(0)) + F.lit(8)
+        else:
+            width = width + F.lit(8)
+    return width
+
+
+def estimated_bytes(df: DataFrame, n_rows: int) -> int:
+    """Estimate the collected size of ``df`` (which has ``n_rows``
+    rows) from the mean row width of a bounded sample — one cheap job
+    over at most ``_SAMPLE_ROWS`` rows, no full scan beyond the count
+    the caller already ran."""
+    if n_rows <= 0:
+        return 0
+    row = (
+        df.limit(_SAMPLE_ROWS)
+        .select(
+            F.avg(_row_width_expr(df)).alias("avg_w"),
+        )
+        .collect()[0]
+    )
+    avg_w = row["avg_w"] or 0.0
+    return int(avg_w * n_rows)
+
+
+def fits_in_driver(
+    df: DataFrame, n_rows: int, max_bytes: int = DRIVER_LOCAL_MAX_BYTES
+) -> bool:
+    """True when collecting ``df`` is within the driver byte budget."""
+    return estimated_bytes(df, n_rows) <= max_bytes

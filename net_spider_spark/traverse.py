@@ -28,6 +28,8 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from net_spider_spark.sizing import fits_in_driver
+
 # Below this many frontier rows, broadcast it explicitly.
 _BROADCAST_FRONTIER_MAX = 1_000_000
 
@@ -62,7 +64,7 @@ def reachable_nodes(
         .persist()
     )
     n_edges = edges.count()
-    if n_edges <= local_threshold:
+    if n_edges <= local_threshold and fits_in_driver(edges, n_edges):
         try:
             return _local_bfs(edges, starts, max_hops)
         finally:
@@ -129,7 +131,7 @@ def reachable_with_levels(
         .persist()
     )
     n_edges = edges.count()
-    if n_edges <= local_threshold:
+    if n_edges <= local_threshold and fits_in_driver(edges, n_edges):
         try:
             adj: dict[str, list[str]] = {}
             for row in edges.collect():
