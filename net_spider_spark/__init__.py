@@ -37,6 +37,7 @@ from net_spider_spark.attributes import (
 from net_spider_spark.snapshot import (
     Query,
     get_snapshot,
+    get_snapshot_logged,
     get_snapshot_simple,
     graph_timestamp,
     snapshot_from_json,
@@ -81,6 +82,7 @@ __all__ = [
     "typed_findings_to_df",
     "Query",
     "get_snapshot",
+    "get_snapshot_logged",
     "get_snapshot_simple",
     "graph_timestamp",
     "snapshot_from_json",

@@ -187,15 +187,29 @@ def _node_states(node_src: DataFrame, already_latest: bool) -> DataFrame:
 
 
 def get_snapshot(
-    findings: DataFrame, query: Optional[Query] = None
+    findings: DataFrame, query: Optional[Query] = None,
+    log_sink: Optional[list] = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run the snapshot query; returns (snapshot_nodes, snapshot_links).
 
     Output schemas: model.SNAPSHOT_NODE_SCHEMA / SNAPSHOT_LINK_SCHEMA
     (``NetSpider/Snapshot/Internal.hs:34-114``).
+
+    ``log_sink``: optional list; when given, debug log lines in the
+    spirit of ``Weaver.getSnapshot'``'s ``[LogLine]`` channel
+    (Weaver.hs:156-160, Log.hs) are appended in place — policy choice,
+    traversal/boundary accounting, and unify group counts. The counts
+    run extra (cheap) actions over the persisted narrow intermediates,
+    so leave ``log_sink`` off on production paths; unlike the
+    reference's per-group lines the unify entry is an aggregate, which
+    is the only shape that survives a 10^9-pair graph.
     """
     query = query or Query()
     spark = findings.sparkSession
+
+    def _log(msg: str) -> None:
+        if log_sink is not None:
+            log_sink.append(msg)
 
     kept = findings.filter(query.time_interval.predicate(F.col("found_at")))
     overwrite = query.found_node_policy == POLICY_OVERWRITE
@@ -203,6 +217,10 @@ def get_snapshot(
         kept = latest_findings_per_node(kept)
     elif query.found_node_policy != POLICY_APPEND:
         raise ValueError(f"unknown found_node_policy: {query.found_node_policy}")
+    _log(
+        f"found-node policy: {query.found_node_policy}"
+        + (" (latest finding per subject)" if overwrite else " (full history)")
+    )
 
     # What gets persisted depends on the policy. Overwrite: `kept` is
     # the policy aggregate's output — bounded by node count, tiny —
@@ -271,6 +289,13 @@ def get_snapshot(
         node_ids = visited.withColumn("is_on_boundary", F.lit(False)).unionByName(
             boundary.withColumn("is_on_boundary", F.lit(True))
         )
+        if log_sink is not None:
+            _log(
+                f"traverse: starts_from={sorted(str(s) for s in query.starts_from)}"
+                f" max_hops={query.max_hops}:"
+                f" visited {visited.count()} nodes,"
+                f" {boundary.count()} past-bound targets on boundary"
+            )
     else:
         # Whole-graph (Weaver) mode: visited = subjects (+ explicit marks),
         # boundary = link targets never visited (Weaver.hs:120-129).
@@ -286,6 +311,15 @@ def get_snapshot(
         node_ids = visited.withColumn("is_on_boundary", F.lit(False)).unionByName(
             boundary.withColumn("is_on_boundary", flag)
         )
+        if log_sink is not None:
+            _log(
+                f"boundary (mode={query.boundary_mode}):"
+                f" {visited.count()} visited nodes,"
+                f" {boundary.count()} observed-only targets"
+                + (" marked on boundary"
+                   if query.boundary_mode == BOUNDARY_MARK
+                   else " included unmarked")
+            )
 
     # --- snapshot nodes -------------------------------------------------
     node_states = _node_states(node_src, already_latest=overwrite)
@@ -301,8 +335,33 @@ def get_snapshot(
     )
 
     # --- unify ----------------------------------------------------------
+    if log_sink is not None:
+        # Aggregate twin of Weaver.hs:186-191's per-group "Unify link
+        # [a]-[b]: from N samples" lines: total samples and distinct
+        # unify groups, both off the persisted narrow sample table.
+        n_samples = samples.count()
+        n_groups = (
+            samples.select(
+                F.least("subject_node", "target_node"),
+                F.greatest("subject_node", "target_node"),
+            )
+            .distinct()
+            .count()
+        )
+        _log(f"unify: {n_groups} link groups from {n_samples} samples")
     links = _unify_links(samples, nodes, query.unify)
     return nodes, links
+
+
+def get_snapshot_logged(
+    findings: DataFrame, query: Optional[Query] = None
+) -> tuple[DataFrame, DataFrame, list]:
+    """``Weaver.getSnapshot'`` (Weaver.hs:156-160): the snapshot plus
+    its debug-log channel. Returns (nodes, links, logs) where ``logs``
+    is a list of strings."""
+    logs: list = []
+    nodes, links = get_snapshot(findings, query, log_sink=logs)
+    return nodes, links, logs
 
 
 def _unify_links(

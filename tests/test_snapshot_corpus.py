@@ -343,3 +343,39 @@ def test_missing_starting_node(spark):
     nodes, links = run_case(spark, ONE_NEIGHBOR, "spider", ["no node"])
     assert nodes == []
     assert links == []
+
+
+def test_get_snapshot_logged_channel(spark):
+    # Weaver.getSnapshot' parity (Weaver.hs:156-160): snapshot + logs.
+    from net_spider_spark.findings import FoundLink, FoundNode, findings_to_df
+    from net_spider_spark.snapshot import (
+        BOUNDARY_MARK,
+        Query,
+        get_snapshot,
+        get_snapshot_logged,
+    )
+
+    findings = findings_to_df(spark, [
+        FoundNode("a", 1000, [FoundLink("b", "to_target", {})]),
+        FoundNode("a", 2000, [FoundLink("b", "to_target", {}),
+                              FoundLink("c", "to_target", {})]),
+        FoundNode("b", 1500, [FoundLink("a", "to_subject", {})]),
+    ])
+    q = Query(boundary_mode=BOUNDARY_MARK)
+    nodes, links, logs = get_snapshot_logged(findings, q)
+    # same result as the unlogged call
+    n0, l0 = get_snapshot(findings, q)
+    assert sorted(r["node_id"] for r in nodes.collect()) == \
+        sorted(r["node_id"] for r in n0.collect())
+    assert links.count() == l0.count()
+    # the three channels: policy, boundary accounting, unify groups
+    assert any("found-node policy: overwrite" in m for m in logs)
+    assert any("boundary (mode=mark): 2 visited nodes, 1 observed-only"
+               in m for m in logs)
+    assert any("unify: 2 link groups from 3 samples" in m for m in logs)
+
+    # traversal mode logs the visited/boundary split instead
+    _, _, logs2 = get_snapshot_logged(
+        findings, Query(starts_from=["a"], max_hops=1))
+    assert any(m.startswith("traverse: starts_from=['a'] max_hops=1")
+               for m in logs2)
