@@ -44,7 +44,7 @@ from net_spider_spark.snapshot import (
     snapshot_to_json,
 )
 from net_spider_spark.weaver import Weaver
-from net_spider_spark.graphml import write_graphml
+from net_spider_spark.graphml import write_graphml, write_graphml_file
 from net_spider_spark.pangraph import write_pangraph
 from net_spider_spark.ingest import (
     clear_all,
@@ -89,6 +89,7 @@ __all__ = [
     "snapshot_to_json",
     "Weaver",
     "write_graphml",
+    "write_graphml_file",
     "write_pangraph",
     "clear_all",
     "compact_history",

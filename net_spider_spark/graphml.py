@@ -43,6 +43,34 @@ def _escape(text: str) -> str:
     return "".join(out)
 
 
+def _narrow(possible: set, v: str) -> set:
+    """Intersect a running type-possibility set with the types one
+    value satisfies."""
+    if not possible:
+        return possible
+    sat = set()
+    if v in ("true", "false"):
+        sat.add("boolean")
+    try:
+        int(v)
+        sat.add("long")
+    except ValueError:
+        pass
+    try:
+        float(v)
+        sat.add("double")
+    except ValueError:
+        pass
+    return possible & sat
+
+
+def _pick(possible: set) -> str:
+    for t in ("boolean", "long", "double"):
+        if t in possible:
+            return t
+    return "string"
+
+
 def _infer_type(values: Iterable[str]) -> str:
     """Narrowest GraphML attr.type valid for EVERY value: the running
     set of types each value satisfies is intersected, so mixed inputs
@@ -50,43 +78,29 @@ def _infer_type(values: Iterable[str]) -> str:
     one of the data values violates."""
     possible = {"boolean", "long", "double"}
     for v in values:
-        if v is None or not possible:
-            continue
-        sat = set()
-        if v in ("true", "false"):
-            sat.add("boolean")
-        try:
-            int(v)
-            sat.add("long")
-        except ValueError:
-            pass
-        try:
-            float(v)
-            sat.add("double")
-        except ValueError:
-            pass
-        possible &= sat
-    for t in ("boolean", "long", "double"):
-        if t in possible:
-            return t
-    return "string"
+        if v is not None:
+            possible = _narrow(possible, v)
+    return _pick(possible)
 
 
 class _KeyStore:
-    """First-seen-ordered key registry (Writer.hs:207-246)."""
+    """First-seen-ordered key registry (Writer.hs:207-246). Holds only
+    the per-key type-possibility set, never the values — O(keys)
+    driver memory however many elements stream through."""
 
     def __init__(self) -> None:
         self._order: list[tuple[str, str]] = []  # (domain, name)
         self._index: dict[tuple[str, str], int] = {}
-        self._values: dict[tuple[str, str], list] = {}
+        self._possible: dict[tuple[str, str], set] = {}
 
     def add(self, domain: str, name: str, value) -> None:
         key = (domain, name)
         if key not in self._index:
             self._index[key] = len(self._order)
             self._order.append(key)
-            self._values[key] = []
-        self._values[key].append(value)
+            self._possible[key] = {"boolean", "long", "double"}
+        if value is not None:
+            self._possible[key] = _narrow(self._possible[key], str(value))
 
     def key_id(self, domain: str, name: str) -> str:
         return f"d{self._index[(domain, name)]}"
@@ -104,11 +118,7 @@ class _KeyStore:
             atype = (
                 forced_types.get(name)
                 or (schema_types or {}).get((domain, name))
-                or _infer_type(
-                    str(v)
-                    for v in self._values[(domain, name)]
-                    if v is not None
-                )
+                or _pick(self._possible[(domain, name)])
             )
             out.append(
                 f'<key id="{self.key_id(domain, name)}" for="{domain}"'
@@ -149,15 +159,37 @@ def _attr_items(value) -> list[tuple[str, str]]:
     return out
 
 
-def write_graphml(
-    nodes: DataFrame,
-    links: DataFrame,
-    default_directed: bool = True,
-) -> str:
-    """Serialize (snapshot_nodes, snapshot_links) DataFrames to a GraphML
-    document string (``writeGraphMLWith``). Struct-typed attr columns
-    declare their ``attr.type`` straight from the schema (typed scalars,
-    GraphML/Attribute.hs:29-35); map attrs fall back to inference."""
+def _node_data(row) -> list[tuple[str, str]]:
+    data = []
+    fields = row.__fields__
+    if row["node_ts"] is not None:
+        data.append(("@timestamp", str(row["node_ts"])))
+        # tz meta-properties ride with the timestamp
+        # (GraphML/Writer.hs:252-259 / Graph/Internal.hs:84-98)
+        if "tz_offset_min" in fields and row["tz_offset_min"] is not None:
+            data.append(("@tz_offset_min", str(row["tz_offset_min"])))
+            data.append(
+                ("@tz_summer_only", _bool_str(bool(row["tz_summer_only"])))
+            )
+            if "tz_name" in fields and row["tz_name"] is not None:
+                data.append(("@tz_name", row["tz_name"]))
+    data.append(("@is_on_boundary", _bool_str(row["is_on_boundary"])))
+    data.extend(_attr_items(row["node_attrs"]))
+    return data
+
+
+def _link_data(row) -> list[tuple[str, str]]:
+    data = [("@timestamp", str(row["link_ts"]))]
+    data.extend(_attr_items(row["link_attrs"]))
+    return data
+
+
+def _emit_graphml(nodes, links, write, rows_of, default_directed: bool) -> None:
+    """Two-pass emitter shared by the in-memory and streaming writers:
+    pass 1 registers keys (first-seen order + incremental type
+    narrowing, O(keys) memory), pass 2 writes elements through
+    ``write``. ``rows_of(df)`` supplies the row iterable and is called
+    once per pass per side."""
     from net_spider_spark.attributes import struct_attr_types
 
     schema_types: dict[tuple[str, str], str] = {}
@@ -167,73 +199,95 @@ def write_graphml(
     ):
         declared = struct_attr_types(df, col)
         if declared:
-            schema_types.update(
-                {(domain, k): t for k, t in declared.items()}
-            )
-
-    node_rows = nodes.collect()
-    link_rows = links.collect()
+            schema_types.update({(domain, k): t for k, t in declared.items()})
 
     store = _KeyStore()
-
-    def node_data(row) -> list[tuple[str, str]]:
-        data = []
-        fields = row.__fields__
-        if row["node_ts"] is not None:
-            data.append(("@timestamp", str(row["node_ts"])))
-            # tz meta-properties ride with the timestamp
-            # (GraphML/Writer.hs:252-259 / Graph/Internal.hs:84-98)
-            if "tz_offset_min" in fields and row["tz_offset_min"] is not None:
-                data.append(("@tz_offset_min", str(row["tz_offset_min"])))
-                data.append(
-                    ("@tz_summer_only", _bool_str(bool(row["tz_summer_only"])))
-                )
-                if "tz_name" in fields and row["tz_name"] is not None:
-                    data.append(("@tz_name", row["tz_name"]))
-        data.append(("@is_on_boundary", _bool_str(row["is_on_boundary"])))
-        data.extend(_attr_items(row["node_attrs"]))
-        return data
-
-    def link_data(row) -> list[tuple[str, str]]:
-        data = [("@timestamp", str(row["link_ts"]))]
-        data.extend(_attr_items(row["link_attrs"]))
-        return data
-
-    node_datas = [node_data(r) for r in node_rows]
-    link_datas = [link_data(r) for r in link_rows]
-    for d in node_datas:
-        for k, v in d:
+    for row in rows_of(nodes):
+        for k, v in _node_data(row):
             store.add("node", k, v)
-    for d in link_datas:
-        for k, v in d:
+    for row in rows_of(links):
+        for k, v in _link_data(row):
             store.add("edge", k, v)
 
-    parts = [
-        '<?xml version="1.0" encoding="UTF-8"?>\n',
-        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns"\n',
-        ' xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"\n',
+    write('<?xml version="1.0" encoding="UTF-8"?>\n')
+    write('<graphml xmlns="http://graphml.graphdrawing.org/xmlns"\n')
+    write(' xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"\n')
+    write(
         ' xsi:schemaLocation="http://graphml.graphdrawing.org/xmlns'
-        ' http://graphml.graphdrawing.org/xmlns/1.0/graphml.xsd">\n',
-        store.declarations(_FORCED_TYPES, schema_types),
-        f'<graph edgedefault="{"directed" if default_directed else "undirected"}">\n',
-    ]
-    for row, data in zip(node_rows, node_datas):
-        parts.append(f'  <node id="{_escape(row["node_id"])}">\n')
-        for k, v in data:
-            parts.append(
+        ' http://graphml.graphdrawing.org/xmlns/1.0/graphml.xsd">\n'
+    )
+    write(store.declarations(_FORCED_TYPES, schema_types))
+    write(
+        f'<graph edgedefault="{"directed" if default_directed else "undirected"}">\n'
+    )
+    for row in rows_of(nodes):
+        write(f'  <node id="{_escape(row["node_id"])}">\n')
+        for k, v in _node_data(row):
+            write(
                 f'    <data key="{store.key_id("node", k)}">{_escape(v)}</data>\n'
             )
-        parts.append("  </node>\n")
-    for row, data in zip(link_rows, link_datas):
-        parts.append(
+        write("  </node>\n")
+    for row in rows_of(links):
+        write(
             f'  <edge source="{_escape(row["source_node"])}"'
             f' target="{_escape(row["dest_node"])}"'
             f' directed="{_bool_str(row["is_directed"])}">\n'
         )
-        for k, v in data:
-            parts.append(
+        for k, v in _link_data(row):
+            write(
                 f'    <data key="{store.key_id("edge", k)}">{_escape(v)}</data>\n'
             )
-        parts.append("  </edge>\n")
-    parts.append("</graph>\n</graphml>\n")
-    return "".join(parts)
+        write("  </edge>\n")
+    write("</graph>\n</graphml>\n")
+
+
+def write_graphml(
+    nodes: DataFrame,
+    links: DataFrame,
+    default_directed: bool = True,
+) -> str:
+    """Serialize (snapshot_nodes, snapshot_links) DataFrames to a GraphML
+    document string (``writeGraphMLWith``). Struct-typed attr columns
+    declare their ``attr.type`` straight from the schema (typed scalars,
+    GraphML/Attribute.hs:29-35); map attrs fall back to inference."""
+    import io
+
+    node_rows = nodes.collect()
+    link_rows = links.collect()
+    buf = io.StringIO()
+    _emit_graphml(
+        nodes,
+        links,
+        buf.write,
+        lambda df: node_rows if df is nodes else link_rows,
+        default_directed,
+    )
+    return buf.getvalue()
+
+
+def write_graphml_file(
+    nodes: DataFrame,
+    links: DataFrame,
+    output_path: str,
+    default_directed: bool = True,
+) -> None:
+    """Streaming GraphML writer for snapshots too large for one driver
+    string: identical output to :func:`write_graphml`, but elements
+    stream through ``toLocalIterator`` straight to ``output_path`` —
+    driver memory stays constant (one partition in flight + the key
+    registry) however many nodes/links the snapshot has.
+
+    Each side is iterated twice (key pass + element pass), so callers
+    should ``persist()`` the inputs to avoid recomputation; iteration
+    order is partition order both times, keeping the two passes and the
+    in-memory writer consistent. (Reference S10 is inherently
+    driver-side single-document output; this is the scale-respecting
+    extension.)"""
+    with open(output_path, "w", encoding="utf-8") as f:
+        _emit_graphml(
+            nodes,
+            links,
+            f.write,
+            lambda df: df.toLocalIterator(),
+            default_directed,
+        )

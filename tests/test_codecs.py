@@ -232,3 +232,67 @@ def test_graphml_infer_type_no_widening():
     assert _infer_type(["1", "2"]) == "long"
     assert _infer_type(["1", "2.5"]) == "double"
     assert _infer_type(["1", "x"]) == "string"
+
+
+def test_graphml_file_writer_identical_output(spark, tmp_path):
+    from net_spider_spark.graphml import write_graphml_file
+
+    # golden shape: escaping, typed keys, tz meta-props, boundary
+    findings = [
+        FoundNode(
+            'n<&>"1', Timestamp(1000, 540, False, "JST"),
+            [FoundLink("n'2", "to_target", {"w": "1.5", "ok": "true"})],
+            {"label": "a<b&c>\nd"},
+        ),
+        FoundNode("n'2", 2000, [FoundLink("n3", "to_subject", {"m": "7"})]),
+    ]
+    nodes, links = get_snapshot(findings_to_df(spark, findings), Query())
+    nodes, links = nodes.persist(), links.persist()
+    in_memory = write_graphml(nodes, links)
+    out = tmp_path / "snap.graphml"
+    write_graphml_file(nodes, links, str(out))
+    assert out.read_text(encoding="utf-8") == in_memory
+    nodes.unpersist(); links.unpersist()
+
+
+def test_graphml_file_writer_many_nodes(spark, tmp_path):
+    # the streaming writer handles multi-partition frames whose rows
+    # never sit in one driver list; output matches the in-memory writer
+    from pyspark.sql import functions as F
+
+    from net_spider_spark.graphml import write_graphml_file
+
+    nodes = (
+        spark.range(2000)
+        .repartition(8)
+        .select(
+            F.concat(F.lit("node_"), F.col("id")).alias("node_id"),
+            F.lit(False).alias("is_on_boundary"),
+            (F.col("id") * 10).alias("node_ts"),
+            F.create_map(F.lit("k"), F.col("id").cast("string")).alias(
+                "node_attrs"
+            ),
+            F.lit(None).cast("int").alias("tz_offset_min"),
+            F.lit(None).cast("boolean").alias("tz_summer_only"),
+            F.lit(None).cast("string").alias("tz_name"),
+        )
+        .persist()
+    )
+    links = (
+        spark.range(1999)
+        .repartition(8)
+        .select(
+            F.concat(F.lit("node_"), F.col("id")).alias("source_node"),
+            F.concat(F.lit("node_"), (F.col("id") + 1)).alias("dest_node"),
+            F.lit(True).alias("is_directed"),
+            (F.col("id") * 10).alias("link_ts"),
+            F.create_map(F.lit("w"), F.lit("1.5")).alias("link_attrs"),
+        )
+        .persist()
+    )
+    out = tmp_path / "big.graphml"
+    write_graphml_file(nodes, links, str(out))
+    text = out.read_text(encoding="utf-8")
+    assert text == write_graphml(nodes, links)
+    assert text.count("<node ") == 2000 and text.count("<edge ") == 1999
+    nodes.unpersist(); links.unpersist()
