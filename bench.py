@@ -131,13 +131,18 @@ def main() -> None:
             f"# warm-up pass: {round(time.time() - t0, 1)}s (untimed)",
             file=sys.stderr,
         )
+    from net_spider_spark.metrics import counters_delta, executor_counters
+
     timings: dict[str, float] = {}
+    counters: dict[str, dict] = {}
     for name in HEADLINE:
         fn = qs[name]
+        before = executor_counters(spark)
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
+        counters[name] = counters_delta(executor_counters(spark), before)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         _reset(spark)
 
@@ -184,6 +189,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # variance-free twins of the seconds: shuffle/task/spill
+                # deltas per query from the app status store.
+                "counters": counters,
                 "ingest": {
                     "rows": ingest_rows,
                     "sec": ingest_sec,

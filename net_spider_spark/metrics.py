@@ -1,0 +1,54 @@
+"""Executor-side counters from Spark's AppStatusStore.
+
+Wall-clock on a shared box swings 2-5x run to run; shuffle bytes, task
+counts, and spill are functions of the PLAN and DATA only, so scaling
+claims cite them alongside (noisy) seconds. Reads the same store that
+backs the UI/REST status API — populated even with
+``spark.ui.enabled=false`` — via one py4j call; no listener
+registration, no extra jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+COUNTER_KEYS = (
+    "tasks",
+    "shuffle_read_bytes",
+    "shuffle_write_bytes",
+    "memory_spill_bytes",
+    "disk_spill_bytes",
+)
+
+
+def executor_counters(spark: SparkSession) -> dict:
+    """Cumulative counters over all completed stages of this app."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    store = sc._jsc.sc().statusStore()
+    # Spark 4 signature: stageList(statuses, details, withSummaries,
+    # quantiles, taskStatus); empty statuses list = no filter.
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        sc._gateway.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    tot = dict.fromkeys(COUNTER_KEYS, 0)
+    it = stages.iterator()
+    while it.hasNext():
+        s = it.next()
+        tot["tasks"] += s.numCompleteTasks()
+        tot["shuffle_read_bytes"] += s.shuffleReadBytes()
+        tot["shuffle_write_bytes"] += s.shuffleWriteBytes()
+        tot["memory_spill_bytes"] += s.memoryBytesSpilled()
+        tot["disk_spill_bytes"] += s.diskBytesSpilled()
+    return tot
+
+
+def counters_delta(after: dict, before: dict) -> dict:
+    """Per-query counters: the difference of two cumulative snapshots.
+    Clamped at 0 — the status store evicts old stages
+    (spark.ui.retainedStages), which can only shrink ``before``."""
+    return {k: max(0, after[k] - before[k]) for k in COUNTER_KEYS}

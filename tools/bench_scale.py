@@ -82,12 +82,17 @@ def main() -> None:
     )
     n = findings.count()
 
+    from net_spider_spark.metrics import counters_delta, executor_counters
+
     timings: dict[str, float] = {}
+    counters: dict[str, dict] = {}
 
     def timed(name, fn):
+        before = executor_counters(spark)
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+        counters[name] = counters_delta(executor_counters(spark), before)
 
     timed("latest_per_node", lambda: force(latest_findings_per_node(findings)))
     timed(
@@ -112,6 +117,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "counters": counters,
                 "rows": n,
                 "replicate": factor,
             }
