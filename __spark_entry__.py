@@ -784,6 +784,54 @@ def q_graph_components_dist(spark, sf_dir):
     return connected_components(edges, local_threshold=0)
 
 
+def q_j5_reachability_dist(spark, sf_dir):
+    # BFS pinned to the distributed frontier loop (local_threshold=0):
+    # one broadcast-join job per level against the pre-partitioned
+    # edges -- the plan that runs when the graph outgrows the driver.
+    findings = demo.events_findings(spark, sf_dir)
+    kept = latest_findings_per_node(
+        findings.filter(Interval.always().predicate())
+    )
+    from net_spider_spark.findings import explode_link_samples
+
+    samples = explode_link_samples(kept)
+    edges = samples.select(
+        F.col("subject_node").alias("src"), F.col("target_node").alias("dst")
+    )
+    starts = spark.createDataFrame([("1",), ("2",)], "node_id string")
+    return reachable_nodes(edges, starts, local_threshold=0)
+
+
+def q_graph_pagerank_dist(spark, sf_dir):
+    # Distributed-path pin: the integer fixed-point power iteration as
+    # repeated joins (graph/pagerank.py), never the driver fast path.
+    from net_spider_spark.graph.pagerank import pagerank
+
+    return pagerank(_kept_edges(spark, sf_dir), n_iter=10, local_threshold=0)
+
+
+def q_graph_sssp_dist(spark, sf_dir):
+    # Distributed-path pin of the bounded Bellman-Ford relaxation loop.
+    from net_spider_spark.graph.sssp import shortest_paths
+
+    ls = demo.events_link_samples(spark, sf_dir)
+    edges = ls.select(
+        F.col("subject_node").alias("src"),
+        F.col("target_node").alias("dst"),
+        (F.col("finding_id") % 10 + 1).alias("weight"),
+    )
+    return shortest_paths(edges, ["1", "2"], max_hops=6, local_threshold=0)
+
+
+def q_graph_kcore_dist(spark, sf_dir):
+    # Distributed-path pin of the iterative degree-peel loop.
+    from net_spider_spark.graph.kcore import kcore
+
+    return kcore(
+        _kept_edges(spark, sf_dir), k=2, max_rounds=15, local_threshold=0
+    )
+
+
 def q_snapshot_links_multilink(spark, sf_dir):
     # Multi-link findings (one observation = whole neighbor set, the
     # reference's natural shape) through the full default pipeline.
@@ -1610,6 +1658,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Group 1: no driver CORRECTNESS entry yet (never sampled, or FAIL in
         # r2 and fixed since) -- run these first so round 4 attests them.
         "graph_components_dist": q_graph_components_dist,
+        "j5_reachability_dist": q_j5_reachability_dist,
+        "graph_pagerank_dist": q_graph_pagerank_dist,
+        "graph_sssp_dist": q_graph_sssp_dist,
+        "graph_kcore_dist": q_graph_kcore_dist,
         "text_lm_score": q_text_lm_score,
         "graph_sssp": q_graph_sssp,
         "multimodal_audio_decode": q_multimodal_audio_decode,
@@ -1701,6 +1753,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    d = _oracle_sql_base()
+    # Distributed-path pins share their base query's answer contract:
+    # both plans must agree with the same SQL.
+    for dist, base in (
+        ("graph_components_dist", "graph_components"),
+        ("j5_reachability_dist", "j5_reachability"),
+        ("graph_pagerank_dist", "graph_pagerank"),
+        ("graph_sssp_dist", "graph_sssp"),
+        ("graph_kcore_dist", "graph_kcore"),
+    ):
+        d[dist] = d[base]
+    return d
+
+
+def _oracle_sql_base() -> dict[str, str]:
     return {
         "snapshot_links_overwrite": _links_sql(SQL_KEPT_OVERWRITE),
         "snapshot_links_append": _links_sql(SQL_KEPT_APPEND),
@@ -2305,8 +2372,6 @@ SELECT doc_id, lang, n_chars FROM sc
 WHERE n_chars >= 100 AND punct_ratio <= 0.2 AND alpha_ratio >= 0.5
 """,
         "graph_components": SQL_COMPONENTS,
-        # distributed-path pin: same answer contract, same oracle
-        "graph_components_dist": SQL_COMPONENTS,
         "dedup_representatives": f"""
 WITH RECURSIVE tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
 sh AS (SELECT DISTINCT doc_id, unnest({SQL_SHINGLES}) AS shingle FROM tok),
