@@ -4,8 +4,13 @@ Parity target: ``net-spider-rpl/src/NetSpider/RPL/Combined.hs`` — the
 combined graph is keyed by bare IPv6 (the dio://and dao:// node-ID
 namespaces collapse, Combined.hs:43-48); node attributes merge
 first-non-null after newest-first ordering (:99-125); links union with
-a type discriminator (:130-136). Attribute keys get ``dio_``/``dao_``
-prefixes (``withKeyPrefix``, DIO.hs:237-243).
+a ``link_type`` discriminator attribute (:80-85, :129-141). Attribute
+keys stay UNPREFIXED exactly like the reference's ``toAttributes``
+concatenation (Combined.hs:62-64): the DIO family owns ``rank``/
+``dio_interval``, DAO owns ``dao_route_num``, links carry
+``source_*``/``dest_*`` (merged DIO) or ``path_lifetime_sec`` (DAO) —
+disjoint by construction, so provenance stays recoverable from the key
+names (``rpl/jsonutil.py`` relies on this for the tagged JSON wire).
 """
 
 from __future__ import annotations
@@ -16,37 +21,21 @@ from pyspark.sql import functions as F
 from net_spider_spark.rpl.findingid import address_of
 
 
-def _prefixed_attrs(attrs, prefix: str):
-    return F.map_from_entries(
-        F.transform(
-            F.map_entries(attrs),
-            lambda e: F.struct(
-                F.concat(F.lit(prefix), e["key"]).alias("key"),
-                e["value"].alias("value"),
-            ),
-        )
-    )
-
-
 def combine_nodes(dio_nodes: DataFrame, dao_nodes: DataFrame) -> DataFrame:
     """``combineNodes``: union keyed by bare address; newest
     observation wins per attribute family; timestamps keep the max.
 
-    Output: (node_id = bare IPv6, is_on_boundary, node_ts, node_attrs
-    with dio_/dao_ key prefixes).
+    Output: (node_id = bare IPv6, is_on_boundary, node_ts, node_attrs).
     """
-    def prep(nodes: DataFrame, prefix: str) -> DataFrame:
+    def prep(nodes: DataFrame) -> DataFrame:
         return nodes.select(
             address_of(F.col("node_id")).alias("node_id"),
             "is_on_boundary",
             "node_ts",
-            F.when(
-                F.col("node_attrs").isNotNull(),
-                _prefixed_attrs(F.col("node_attrs"), prefix),
-            ).alias("node_attrs"),
+            "node_attrs",
         )
 
-    both = prep(dio_nodes, "dio_").unionByName(prep(dao_nodes, "dao_"))
+    both = prep(dio_nodes).unionByName(prep(dao_nodes))
     merged = both.groupBy("node_id").agg(
         F.min(F.col("is_on_boundary").cast("int")).cast("boolean").alias(
             "is_on_boundary"
@@ -88,7 +77,11 @@ def combine_nodes(dio_nodes: DataFrame, dao_nodes: DataFrame) -> DataFrame:
 
 def combine_links(dio_links: DataFrame, dao_links: DataFrame) -> DataFrame:
     """``combineLinks``: concatenation with a ``link_type`` attribute
-    discriminator; endpoints collapse to bare addresses."""
+    discriminator prepended (the reference's ``("link_type", "dio"|
+    "dao") : toAttributes ll``, Combined.hs:80-85); endpoints collapse
+    to bare addresses; payload attr keys stay as the family produced
+    them (``source_*``/``dest_*`` for merged DIO, ``path_lifetime_sec``
+    for DAO)."""
     def prep(links: DataFrame, link_type: str) -> DataFrame:
         return links.select(
             address_of(F.col("source_node")).alias("source_node"),
@@ -98,7 +91,7 @@ def combine_links(dio_links: DataFrame, dao_links: DataFrame) -> DataFrame:
             F.map_concat(
                 F.create_map(F.lit("link_type"), F.lit(link_type)),
                 F.coalesce(
-                    _prefixed_attrs(F.col("link_attrs"), f"{link_type}_"),
+                    F.col("link_attrs"),
                     F.map_from_arrays(
                         F.array().cast("array<string>"),
                         F.array().cast("array<string>"),

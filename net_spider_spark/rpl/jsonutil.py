@@ -25,10 +25,12 @@ Spark-first: both directions are single JVM-side projections —
 row.
 
 The DataFrame side of the codec is the repo's combined-graph shape
-(``rpl/combined.py``): flattened ``map<string,string>`` attrs with
-``dio_``/``dao_`` family prefixes on nodes and
-``dio_source_``/``dio_dest_``/``dao_`` prefixes + a ``link_type``
-discriminator on links.
+(``rpl/combined.py``): flattened ``map<string,string>`` attrs with the
+reference's own key names — ``rank``/``dio_interval``/
+``dao_route_num`` on nodes, ``source_*``/``dest_*``/
+``path_lifetime_sec`` + the ``link_type`` discriminator on links
+(disjoint by construction, Combined.hs:62-85), so family provenance is
+recoverable from the names alone.
 """
 
 from __future__ import annotations
@@ -53,18 +55,18 @@ def combined_nodes_to_json(nodes: DataFrame) -> DataFrame:
     wire document. A family is present iff any of its attrs survived
     the combine (mirrors ``Maybe DIONode`` / ``Maybe DAONode``)."""
     dio = F.when(
-        _attr("dio_rank").isNotNull(),
+        _attr("rank").isNotNull(),
         F.struct(
-            _attr("dio_rank").cast("long").alias("rank"),
-            _attr("dio_dio_interval").cast("long").alias("dio_interval"),
+            _attr("rank").cast("long").alias("rank"),
+            _attr("dio_interval").cast("long").alias("dio_interval"),
         ),
     )
-    dao_present = _attr("dao_dao_route_num").isNotNull() | _attr(
+    dao_present = _attr("dao_route_num").isNotNull() | _attr(
         "dao_present"
     ).isNotNull()
     dao = F.when(
         dao_present,
-        F.struct(_attr("dao_dao_route_num").cast("long").alias("dao_route_num")),
+        F.struct(_attr("dao_route_num").cast("long").alias("dao_route_num")),
     )
     return nodes.select(
         "node_id",
@@ -82,7 +84,7 @@ _NODE_WIRE_SCHEMA = (
 
 def combined_nodes_from_json(df: DataFrame, json_col: str = "json") -> DataFrame:
     """Inverse of :func:`combined_nodes_to_json`: (node_id, json) ->
-    (node_id, node_attrs) with the repo's flattened prefixed keys.
+    (node_id, node_attrs) with the reference's flat key names.
     A present-but-empty DAONode (``dao_route_num: null``) keeps a
     ``dao_present`` marker so presence round-trips."""
     doc = F.from_json(F.col(json_col), _NODE_WIRE_SCHEMA).alias("doc")
@@ -92,19 +94,19 @@ def combined_nodes_from_json(df: DataFrame, json_col: str = "json") -> DataFrame
         F.array(
             F.when(
                 F.col("doc.dio").isNotNull(),
-                entry("dio_rank", F.col("doc.dio.rank").cast("string")),
+                entry("rank", F.col("doc.dio.rank").cast("string")),
             ),
             F.when(
                 F.col("doc.dio").isNotNull(),
                 entry(
-                    "dio_dio_interval",
+                    "dio_interval",
                     F.col("doc.dio.dio_interval").cast("string"),
                 ),
             ),
             F.when(
                 F.col("doc.dao.dao_route_num").isNotNull(),
                 entry(
-                    "dao_dao_route_num",
+                    "dao_route_num",
                     F.col("doc.dao.dao_route_num").cast("string"),
                 ),
             ),
@@ -136,10 +138,10 @@ def combined_links_to_json(links: DataFrame) -> DataFrame:
         F.struct(
             F.lit("dio").alias("link_type"),
             F.struct(
-                _dio_link_side("dio_source_").alias("from_source"),
+                _dio_link_side("source_").alias("from_source"),
                 F.when(
-                    _lattr("dio_dest_neighbor_type").isNotNull(),
-                    _dio_link_side("dio_dest_"),
+                    _lattr("dest_neighbor_type").isNotNull(),
+                    _dio_link_side("dest_"),
                 ).alias("from_dest"),
             ).alias("link"),
         ),
@@ -149,7 +151,7 @@ def combined_links_to_json(links: DataFrame) -> DataFrame:
         F.struct(
             F.lit("dao").alias("link_type"),
             F.struct(
-                _lattr("dao_path_lifetime_sec")
+                _lattr("path_lifetime_sec")
                 .cast("long")
                 .alias("path_lifetime_sec")
             ).alias("link"),
@@ -213,12 +215,12 @@ def combined_links_from_json(df: DataFrame, json_col: str = "json") -> DataFrame
     entries = F.filter(
         F.array(
             entry(F.lit("link_type"), F.col("doc.link_type")),
-            *side_entries("from_source", "dio_source_"),
-            *side_entries("from_dest", "dio_dest_"),
+            *side_entries("from_source", "source_"),
+            *side_entries("from_dest", "dest_"),
             F.when(
                 F.col("doc.link.path_lifetime_sec").isNotNull(),
                 entry(
-                    F.lit("dao_path_lifetime_sec"),
+                    F.lit("path_lifetime_sec"),
                     F.col("doc.link.path_lifetime_sec").cast("string"),
                 ),
             ),

@@ -51,7 +51,7 @@ def test_cis_end_to_end(spark, tmp_path, capsys):
     assert xml.startswith('<?xml version="1.0"')
     assert "<node id=" in xml and "<edge source=" in xml
     # combined graph: bare-IPv6 ids, dio attrs prefixed
-    assert 'fd00::aaa:1:2:3' in xml and "dio_rank" in xml
+    assert 'fd00::aaa:1:2:3' in xml and 'attr.name="rank"' in xml
 
     # idempotent re-run (cis clears first)
     rc2 = main(
@@ -107,12 +107,13 @@ def test_cis_merged_dio_two_endpoints(spark, tmp_path, capsys):
         key_by_id[d.get("key")]: d.text for d in edges[0].findall("g:data", ns)
     }
     # winner (preferred_parent, A's sample) -> source_*; loser -> dest_*
-    assert attrs["dio_source_neighbor_type"] == "preferred_parent"
-    assert attrs["dio_dest_neighbor_type"] == "parent_candidate"
-    assert attrs["dio_source_neighbor_rank"] == "128"
-    assert attrs["dio_dest_neighbor_rank"] == "356"
-    assert attrs["dio_source_metric"] == "100"
-    assert attrs["dio_dest_metric"] == "110"
+    assert attrs["link_type"] == "dio"
+    assert attrs["source_neighbor_type"] == "preferred_parent"
+    assert attrs["dest_neighbor_type"] == "parent_candidate"
+    assert attrs["source_neighbor_rank"] == "128"
+    assert attrs["dest_neighbor_rank"] == "356"
+    assert attrs["source_metric"] == "100"
+    assert attrs["dest_metric"] == "110"
 
 
 def test_cli_compact(spark, tmp_path, capsys):

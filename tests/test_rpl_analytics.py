@@ -92,7 +92,9 @@ def test_combine_graphs(spark):
     assert set(node_rows) == {"fd00::1", "fd00::2", "fd00::3"}
     n1 = node_rows["fd00::1"]
     assert n1["node_ts"] == 200
-    assert n1["node_attrs"] == {"dio_rank": "128", "dao_dao_route_num": "2"}
+    # unprefixed keys, the reference's toAttributes concatenation
+    # (Combined.hs:62-64)
+    assert n1["node_attrs"] == {"rank": "128", "dao_route_num": "2"}
     link_rows = sorted(
         (r["source_node"], r["dest_node"], r["link_attrs"]["link_type"])
         for r in links.collect()

@@ -152,10 +152,10 @@ def test_combined_node_json_wire_and_roundtrip(spark):
     )
 
     rows = [
-        ("fd00::1", {"dio_rank": "256", "dio_dio_interval": "12",
-                     "dao_dao_route_num": "3"}),
-        ("fd00::2", {"dio_rank": "512", "dio_dio_interval": "8"}),
-        ("fd00::3", {"dao_dao_route_num": "0"}),
+        ("fd00::1", {"rank": "256", "dio_interval": "12",
+                     "dao_route_num": "3"}),
+        ("fd00::2", {"rank": "512", "dio_interval": "8"}),
+        ("fd00::3", {"dao_route_num": "0"}),
     ]
     nodes = spark.createDataFrame(
         rows, "node_id string, node_attrs map<string,string>"
@@ -187,17 +187,17 @@ def test_combined_link_json_wire_and_roundtrip(spark):
     rows = [
         ("fd00::1", "fd00::2", True, 2000,
          {"link_type": "dio",
-          "dio_source_neighbor_type": "preferred_parent",
-          "dio_source_neighbor_rank": "256",
-          "dio_source_metric": "128",
-          "dio_dest_neighbor_type": "other_neighbor",
-          "dio_dest_neighbor_rank": "512"}),
+          "source_neighbor_type": "preferred_parent",
+          "source_neighbor_rank": "256",
+          "source_metric": "128",
+          "dest_neighbor_type": "other_neighbor",
+          "dest_neighbor_rank": "512"}),
         ("fd00::1", "fd00::3", True, 1500,
          {"link_type": "dio",
-          "dio_source_neighbor_type": "parent_candidate",
-          "dio_source_neighbor_rank": "300"}),
+          "source_neighbor_type": "parent_candidate",
+          "source_neighbor_rank": "300"}),
         ("fd00::2", "fd00::3", True, 1000,
-         {"link_type": "dao", "dao_path_lifetime_sec": "300"}),
+         {"link_type": "dao", "path_lifetime_sec": "300"}),
     ]
     links = spark.createDataFrame(
         rows,
