@@ -594,3 +594,99 @@ def dedup_representatives(
             F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    n: int = 10,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document duplicated-SPAN removal (the "dedup the repeated
+    50-grams, not just whole documents" pass of large-scale training
+    pipelines; cf. Lee et al. 2021, "Deduplicating Training Data Makes
+    Language Models Better" — public paper, reimplemented here on
+    DataFrame expressions).
+
+    A span is any run of ``n`` consecutive tokens occurring in at least
+    ``min_docs`` distinct documents. Every token covered by at least one
+    such span is dropped; the survivors re-join in order. Returns
+    (doc_id, clean_text, n_tokens, n_removed).
+
+    Scale shape: per-doc token/n-gram arrays are built narrow (no
+    explode until the n-gram table, whose rows are (doc, start, gram) —
+    bounded by corpus token count); the duplicated-gram set comes from
+    one hash aggregate (distinct-doc count per gram); coverage is an
+    equi-join on the gram followed by a bounded ``sequence`` explode (n
+    positions per duplicated span) and a left-anti join — no range
+    join, nothing quadratic. The reconstruction groupBy carries (pos,
+    token) pairs only.
+    """
+    toks = tokens_col(F.lower(F.col(text_col)))
+    base = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select(F.col(id_col), toks.alias("_toks"))
+    t = F.col("_toks")
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size(t) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("_start0", "gram"),
+    ).select(
+        F.col(id_col), (F.col("_start0") + 1).alias("start"), "gram"
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
+        .where(F.col("_docs") >= min_docs)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup, "gram")
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    positions = base.select(
+        F.col(id_col),
+        F.posexplode(t).alias("_pos0", "tok"),
+    ).select(F.col(id_col), (F.col("_pos0") + 1).alias("pos"), "tok")
+    kept = positions.join(covered, [id_col, "pos"], "left_anti")
+    totals = base.select(F.col(id_col), F.size(t).alias("n_tokens"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", "tok"))
+                    ),
+                    lambda s: s["tok"],
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("_kept"),
+        )
+    )
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0))).alias(
+                "n_removed"
+            ),
+        )
+    )

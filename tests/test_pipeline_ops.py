@@ -244,3 +244,43 @@ def test_incremental_dedup_against_corpus(spark):
     }
     assert verified[(100, 1)] == 1.0
     assert 0.0 < verified[(101, 1)] < 1.0
+
+
+def test_remove_duplicate_spans(spark):
+    # Two docs share an 8-token run; a third is disjoint. The shared
+    # span must vanish from BOTH carriers, everything else survives.
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"intro one two {shared} outro one"),
+        (2, f"other opening {shared} closing words here"),
+        (3, "totally different text with no repeated run at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in D.remove_duplicate_spans(docs, n=8, min_docs=2).collect()
+    }
+    assert got[1]["clean_text"] == "intro one two outro one"
+    assert got[1]["n_removed"] == 8
+    assert got[2]["clean_text"] == "other opening closing words here"
+    assert got[2]["n_removed"] == 8
+    assert got[3]["n_removed"] == 0
+    assert got[3]["clean_text"] == rows[2][1]
+    # overlapping duplicated spans: a 9-token shared run covers 9
+    # tokens via two overlapping 8-gram hits, counted once each
+    nine = shared + " iota"
+    docs2 = spark.createDataFrame(
+        [(1, f"x {nine} y"), (2, f"p {nine} q")], "doc_id long, text string"
+    )
+    got2 = {
+        r["doc_id"]: r.asDict()
+        for r in D.remove_duplicate_spans(docs2, n=8, min_docs=2).collect()
+    }
+    assert got2[1]["clean_text"] == "x y" and got2[1]["n_removed"] == 9
+    # a doc shorter than n yields no grams and survives untouched
+    docs3 = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    got3 = {r["doc_id"]: r.asDict()
+            for r in D.remove_duplicate_spans(docs3, n=8, min_docs=2).collect()}
+    assert got3[1]["clean_text"] == "tiny doc" and got3[1]["n_removed"] == 0
