@@ -78,6 +78,9 @@ HEADLINE = [
     "multimodal_audio_decode",
     "stream_windowed_stats",
     "graph_sssp",
+    # round-4 additions: duplicated-span removal (Lee-et-al-style
+    # intra-corpus cleaning) over the narrow n-gram pipeline.
+    "dedup_span_removal",
     "events_funnel",
 ]
 
