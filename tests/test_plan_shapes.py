@@ -161,3 +161,25 @@ def test_incremental_links_single_aggregate(spark):
         pytest.skip("no testdata")
     plan = plan_of(em.q_snapshot_incremental_links(spark, sf_dir))
     assert "Join" not in plan  # union + aggregates only
+
+
+def test_set_based_dedup_never_explodes_shingles(docs):
+    # The batch near-dup path must stay on the narrow per-doc-set
+    # pipeline: the ONLY generator allowed is the signature unpivot
+    # (stack); an `explode` in the candidate or verify plan means the
+    # exploded (doc, shingle) inverted index crept back in, multiplying
+    # the dominant shuffle at corpus scale.
+    sets = D.doc_shingle_sets(docs)
+    cand = D.minhash_candidates(D.minhash_signatures_sets(sets))
+    plan = plan_of(cand)
+    assert "explode" not in plan
+    verify = D.jaccard_verify_sets(cand, sets, threshold=0.2)
+    assert "explode" not in plan_of(verify)
+
+
+def test_span_removal_no_range_join(docs):
+    # Coverage marking must be equi-join + bounded sequence explode,
+    # never a range/cartesian join of positions against spans.
+    plan = plan_of(D.remove_duplicate_spans(docs, n=3, min_docs=2))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
