@@ -101,13 +101,23 @@ def findings_from_json_lines(raw: DataFrame) -> DataFrame:
     )
 
 
-def stream_findings_json(spark: SparkSession, input_dir: str) -> DataFrame:
+def stream_findings_json(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """readStream of JSON-lines findings -> findings-shaped streaming
     DataFrame (finding_id = xxhash64 of content; the monotone ingest
-    id of the batch path is meaningless across an unbounded stream)."""
-    raw = spark.readStream.schema(
+    id of the batch path is meaningless across an unbounded stream).
+
+    ``max_files_per_trigger`` bounds each micro-batch to that many
+    source files — production replays use it for backpressure, and
+    tests use it to force MULTI-batch execution so cross-batch state
+    and sink-reduction semantics are actually exercised."""
+    reader = spark.readStream.schema(
         T.StructType([T.StructField("value", T.StringType())])
-    ).text(input_dir)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.text(input_dir)
     return findings_from_json_lines(raw)
 
 

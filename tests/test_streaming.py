@@ -250,3 +250,75 @@ def test_read_findings_json_batch_twin(spark, tmp_path):
     assert got[0]["found_at"] == 100
     assert got[0]["neighbor_links"][0]["target_node"] == "y"
     assert got[0]["node_attrs"] == {"s": "a"}
+
+
+def test_latest_link_multi_batch_single_replay(spark, tmp_path):
+    # maxFilesPerTrigger=1 forces one micro-batch PER FILE within a
+    # single availableNow replay: cross-batch state survives, and
+    # update-mode emissions tied on found_at must reduce by the full
+    # (found_at, finding_id, link_pos) ordering, batch-boundary-free.
+    from pyspark.sql import functions as F
+
+    from net_spider_spark.streaming.ingest import stream_latest_link_per_pair
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b1.jsonl", [
+        _finding("a", 1000, ["b"]),
+        _finding("c", 3000, ["b"]),
+    ])
+    _write_jsonl(src / "b2.jsonl", [
+        _finding("b", 3000, ["c"]),   # ties (b,c) on found_at
+        _finding("a", 2000, ["b"]),   # newer (a,b)
+    ])
+    out = []
+    q = (
+        stream_latest_link_per_pair(
+            stream_findings_json(spark, str(src), max_files_per_trigger=1))
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda d, _id: out.extend(
+            r.asDict(recursive=True) for r in d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # multiple batches really ran: (a,b) must have emitted twice
+    ab = [r for r in out if (r["p1"], r["p2"]) == ("a", "b")]
+    assert len(ab) >= 2
+    # reduce exactly like q_stream_latest_link_per_pair's sink
+    import pandas as pd
+
+    df = pd.DataFrame(out)
+    winners = (
+        df.sort_values(["found_at", "finding_id", "link_pos"])
+        .groupby(["p1", "p2"]).last()
+    )
+    assert winners.loc[("a", "b")]["found_at"] == 2000
+    # the (b,c) tie resolves deterministically by finding_id, matching
+    # the batch unify's ordering on the same data
+    from net_spider_spark.streaming.ingest import read_findings_json
+
+    batch = read_findings_json(spark, str(src))
+    samples = batch.select(
+        "subject_node", "found_at", "finding_id",
+        F.posexplode("neighbor_links").alias("link_pos", "nl"),
+    ).select(
+        F.least("subject_node", F.col("nl.target_node")).alias("p1"),
+        F.greatest("subject_node", F.col("nl.target_node")).alias("p2"),
+        "subject_node", "found_at", "finding_id", "link_pos",
+    )
+    expect = {
+        (r["p1"], r["p2"]): (r["w"]["found_at"], r["w"]["finding_id"])
+        for r in samples.groupBy("p1", "p2").agg(
+            F.max_by(
+                F.struct("found_at", "finding_id"),
+                F.struct("found_at", "finding_id", "link_pos"),
+            ).alias("w")
+        ).collect()
+    }
+    got = {
+        k: (int(v["found_at"]), int(v["finding_id"]))
+        for k, v in winners.iterrows()
+    }
+    assert got == expect
