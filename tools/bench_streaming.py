@@ -75,8 +75,12 @@ def main() -> None:
     # Warm the JVM so the first timed query isn't paying startup cost.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
+    from net_spider_spark.metrics import counters_delta, executor_counters
 
+    timings: dict[str, float] = {}
+    counters: dict[str, dict] = {}
+
+    before = executor_counters(spark)
     t0 = time.time()
     q = append_to_history(
         stream_findings_json(spark, in_dir),
@@ -85,9 +89,11 @@ def main() -> None:
     )
     q.awaitTermination()
     timings["ingest_parquet"] = round(time.time() - t0, 3)
+    counters["ingest_parquet"] = counters_delta(executor_counters(spark), before)
     got = spark.read.parquet(os.path.join(work, "history")).count()
     assert got == n, f"ingest wrote {got} rows, expected {n}"
 
+    before = executor_counters(spark)
     t0 = time.time()
     q = (
         stream_latest_per_node(stream_findings_json(spark, in_dir))
@@ -100,6 +106,7 @@ def main() -> None:
     )
     q.awaitTermination()
     timings["stateful_latest"] = round(time.time() - t0, 3)
+    counters["stateful_latest"] = counters_delta(executor_counters(spark), before)
     states = spark.table("latest_bench").count()
     assert states >= n_nodes, f"{states} states < {n_nodes} subjects"
 
@@ -110,6 +117,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "counters": counters,
                 "rows": n,
                 "rows_per_sec": {
                     k: round(n / v) for k, v in timings.items()
