@@ -1671,31 +1671,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # tools/check_oracles.py) to maximize coverage per budget.
     return {
         # Group 1: no driver CORRECTNESS entry yet (never sampled, or FAIL in
-        # r2 and fixed since) -- run these first so round 4 attests them.
-        "graph_components_dist": q_graph_components_dist,
-        "dedup_span_removal": q_dedup_span_removal,
-        "j5_reachability_dist": q_j5_reachability_dist,
-        "graph_pagerank_dist": q_graph_pagerank_dist,
-        "graph_sssp_dist": q_graph_sssp_dist,
-        "graph_kcore_dist": q_graph_kcore_dist,
-        "text_lm_score": q_text_lm_score,
-        "graph_sssp": q_graph_sssp,
-        "multimodal_audio_decode": q_multimodal_audio_decode,
+        "sim_knn_join": q_sim_knn_join,
         "temporal_rollup": q_temporal_rollup,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "curate_temperature_mixture": q_curate_temperature_mixture,
+        "graph_sssp": q_graph_sssp,
         "graph_pagerank": q_graph_pagerank,
         "graph_kcore": q_graph_kcore,
         "typed_attrs_links": q_typed_attrs_links,
         "stream_dedup_digests": q_stream_dedup_digests,
-        "curate_temperature_mixture": q_curate_temperature_mixture,
+        "multimodal_audio_decode": q_multimodal_audio_decode,
         "stream_sessionize": q_stream_sessionize,
-        "rpl_dio_merged": q_rpl_dio_merged,
-        "sim_knn_join": q_sim_knn_join,
         "stream_windowed_stats": q_stream_windowed_stats,
+        "text_lm_score": q_text_lm_score,
         "stream_latest_per_node": q_stream_latest_per_node,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "rpl_dio_merged": q_rpl_dio_merged,
         "stream_stream_join": q_stream_stream_join,
+        "graph_sssp_dist": q_graph_sssp_dist,
+        "graph_kcore_dist": q_graph_kcore_dist,
         "graph_triangles": q_graph_triangles,
+        "graph_pagerank_dist": q_graph_pagerank_dist,
+        "j5_reachability_dist": q_j5_reachability_dist,
         "stream_latest_link_per_pair": q_stream_latest_link_per_pair,
+        "dedup_span_removal": q_dedup_span_removal,
+        "graph_components_dist": q_graph_components_dist,
         # Group 2: last driver-green in r2; refresh their attestation next.
         "j5_reachability": q_j5_reachability,
         "a10_degree": q_a10_degree,
