@@ -147,12 +147,31 @@ def _do_snapshot(spark: SparkSession, args) -> int:
         return get_snapshot(subset, q)
 
     combined_nodes, combined_links = combine_graphs(run("dio"), run("dao"))
-    xml = write_graphml(combined_nodes, combined_links)
+    # Deterministic export order: snapshot row order is shuffle-derived,
+    # so without a sort two runs over the same history emit the same
+    # graph with different element/key order — undiffable. The snapshot
+    # is the small end product; the sort is cheap.
+    combined_nodes = combined_nodes.orderBy("node_id")
+    combined_links = combined_links.orderBy(
+        "source_node", "dest_node", "link_ts"
+    )
     if args.output == "-":
-        sys.stdout.write(xml)
+        sys.stdout.write(write_graphml(combined_nodes, combined_links))
     else:
-        with open(args.output, "w") as f:
-            f.write(xml)
+        # File output streams through toLocalIterator: identical bytes
+        # to the in-memory writer, constant driver memory for snapshots
+        # too large for one string. Persist: each side is read twice
+        # (key pass + element pass).
+        from net_spider_spark.graphml import write_graphml_file
+
+        combined_nodes, combined_links = (
+            combined_nodes.persist(), combined_links.persist()
+        )
+        try:
+            write_graphml_file(combined_nodes, combined_links, args.output)
+        finally:
+            combined_nodes.unpersist()
+            combined_links.unpersist()
     return 0
 
 

@@ -132,3 +132,24 @@ def test_cli_compact(spark, tmp_path, capsys):
     from net_spider_spark.ingest import read_findings
 
     assert read_findings(spark, db).count() == 9  # 3 appends x 3 findings
+
+
+def test_cis_file_output_streams_identically(spark, tmp_path, capsys):
+    # -o <path> routes through the streaming file writer; bytes must
+    # equal the stdout (in-memory) writer on the same history.
+    db = str(tmp_path / "history")
+    rc = main(
+        ["--db", db, "cis", f"{DATA}/syslog_sample.log",
+         "--format", "syslog", "--year", "2021"],
+        spark=spark,
+    )
+    assert rc == 0
+    stdout_xml = capsys.readouterr().out
+    out = tmp_path / "snap.graphml"
+    rc = main(
+        ["--db", db, "cis", f"{DATA}/syslog_sample.log",
+         "--format", "syslog", "--year", "2021", "-o", str(out)],
+        spark=spark,
+    )
+    assert rc == 0
+    assert out.read_text(encoding="utf-8") == stdout_xml
