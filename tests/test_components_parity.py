@@ -21,3 +21,18 @@ def test_components_local_vs_distributed(spark):
     )
     assert local == dist
     assert len(local) > 0
+
+
+def test_distributed_path_graph_converges_logarithmically(spark):
+    # A 200-node path is the worst case for pure min-label propagation
+    # (~200 rounds); pointer halving must converge it within ~log2
+    # rounds. max_iter=16 would fail without the halving step.
+    from net_spider_spark.graph.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(200)],
+        "src string, dst string",
+    )
+    got = connected_components(edges, max_iter=16, local_threshold=0)
+    comps = {r["component"] for r in got.collect()}
+    assert comps == {"n000"}  # single component, min-ID label
