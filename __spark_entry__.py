@@ -1670,7 +1670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the order stays cheapest-first (measured at sf0.01,
     # tools/check_oracles.py) to maximize coverage per budget.
     return {
-        # Group 1: no driver CORRECTNESS entry yet (never sampled, or FAIL in
+        # Group 1: no driver CORRECTNESS entry yet (never sampled, or FAIL
+        # in r2 and since fixed) -- run these first so round 4 attests them.
         "sim_knn_join": q_sim_knn_join,
         "temporal_rollup": q_temporal_rollup,
         "curate_temperature_mixture": q_curate_temperature_mixture,
@@ -2387,9 +2388,9 @@ SELECT doc_id, lang, n_chars FROM sc
 WHERE n_chars >= 100 AND punct_ratio <= 0.2 AND alpha_ratio >= 0.5
 """,
         "graph_components": SQL_COMPONENTS,
-        "dedup_span_removal": """
+        "dedup_span_removal": f"""
 WITH tok AS (
-  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+  SELECT doc_id, {SQL_TOKS} AS toks
   FROM documents
 ),
 grams AS (

@@ -152,8 +152,14 @@ def _do_snapshot(spark: SparkSession, args) -> int:
     # graph with different element/key order — undiffable. The snapshot
     # is the small end product; the sort is cheap.
     combined_nodes = combined_nodes.orderBy("node_id")
+    # link_type breaks the tie when a pair carries both a DIO and a DAO
+    # link observed at the same timestamp -- without it the sort key is
+    # not total and two runs can still swap those rows.
     combined_links = combined_links.orderBy(
-        "source_node", "dest_node", "link_ts"
+        "source_node",
+        "dest_node",
+        "link_ts",
+        F.col("link_attrs").getItem("link_type"),
     )
     if args.output == "-":
         sys.stdout.write(write_graphml(combined_nodes, combined_links))

@@ -36,22 +36,39 @@ def _row_width_expr(df: DataFrame):
     return width
 
 
+# Collected rows materialize as Python Row objects + str fields, which
+# cost a multiple of their serialized octet length on the driver heap.
+_PY_OVERHEAD = 3
+
+
 def estimated_bytes(df: DataFrame, n_rows: int) -> int:
-    """Estimate the collected size of ``df`` (which has ``n_rows``
-    rows) from the mean row width of a bounded sample — one cheap job
-    over at most ``_SAMPLE_ROWS`` rows, no full scan beyond the count
-    the caller already ran."""
+    """Estimate the DRIVER-HEAP size of collecting ``df`` (which has
+    ``n_rows`` rows): mean serialized row width from a sample, times
+    rows, times a Python-object overhead factor. Small frames average
+    every row; larger ones use ``sample()`` so the estimate draws from
+    all partitions instead of whichever partition ``limit`` happens to
+    satisfy itself from (row width can correlate with partition
+    contents). Callers persist the frame first, so the extra narrow
+    scan is cheap."""
     if n_rows <= 0:
         return 0
-    row = (
-        df.limit(_SAMPLE_ROWS)
-        .select(
-            F.avg(_row_width_expr(df)).alias("avg_w"),
-        )
-        .collect()[0]
+    probe = (
+        df
+        if n_rows <= _SAMPLE_ROWS
+        else df.sample(False, min(1.0, (4 * _SAMPLE_ROWS) / n_rows), seed=7)
     )
-    avg_w = row["avg_w"] or 0.0
-    return int(avg_w * n_rows)
+    row = probe.select(F.avg(_row_width_expr(df)).alias("avg_w")).collect()[0]
+    avg_w = row["avg_w"]
+    if avg_w is None:
+        # the sample happened to select zero rows — never let the
+        # estimate collapse to 0 and wave an oversized collect through
+        row = (
+            df.limit(_SAMPLE_ROWS)
+            .select(F.avg(_row_width_expr(df)).alias("avg_w"))
+            .collect()[0]
+        )
+        avg_w = row["avg_w"] or 0.0
+    return int(avg_w * n_rows * _PY_OVERHEAD)
 
 
 def fits_in_driver(

@@ -68,6 +68,8 @@ def main():
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     n_pass = n_fail = 0
+    import gc
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -80,6 +82,13 @@ def main():
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
+        finally:
+            # Queries persist() intermediates and rely on the caller to
+            # reset; 91 of them in one session would otherwise pin
+            # enough dead blocks to thrash the block manager (same
+            # rationale as bench.py's _reset).
+            spark.catalog.clearCache()
+            gc.collect()
         if name not in oracles:
             print(f"SKIP {name}: no oracle ({len(srows)} rows)")
             continue
