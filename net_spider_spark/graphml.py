@@ -280,14 +280,24 @@ def write_graphml_file(
     Each side is iterated twice (key pass + element pass), so callers
     should ``persist()`` the inputs to avoid recomputation; iteration
     order is partition order both times, keeping the two passes and the
-    in-memory writer consistent. (Reference S10 is inherently
-    driver-side single-document output; this is the scale-respecting
-    extension.)"""
-    with open(output_path, "w", encoding="utf-8") as f:
-        _emit_graphml(
-            nodes,
-            links,
-            f.write,
-            lambda df: df.toLocalIterator(),
-            default_directed,
-        )
+    in-memory writer consistent. The document is written to a sibling
+    temp file and renamed into place, so a failure mid-stream never
+    leaves a truncated file at ``output_path``. (Reference S10 is
+    inherently driver-side single-document output; this is the
+    scale-respecting extension.)"""
+    import os
+
+    tmp = output_path + ".tmp"
+    try:
+        with open(tmp, "w", encoding="utf-8") as f:
+            _emit_graphml(
+                nodes,
+                links,
+                f.write,
+                lambda df: df.toLocalIterator(),
+                default_directed,
+            )
+        os.replace(tmp, output_path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
