@@ -129,6 +129,7 @@ class _KeyStore:
 
 _FORCED_TYPES = {
     "@timestamp": "long",
+    "@timestamp_str": "string",
     "@tz_offset_min": "int",
     "@tz_summer_only": "boolean",
     "@tz_name": "string",
@@ -159,11 +160,29 @@ def _attr_items(value) -> list[tuple[str, str]]:
     return out
 
 
+def _ts_str(epoch_ms, row, fields) -> str:
+    # @timestamp_str: the reference's ISO rendering of the element
+    # timestamp (Timestamp.hs:105-111 ToAttributes -> showTimestamp),
+    # in the display zone when the row carries one.
+    from net_spider_spark.timestamp import Timestamp, format_timestamp
+
+    tz_off = row["tz_offset_min"] if "tz_offset_min" in fields else None
+    return format_timestamp(
+        Timestamp(
+            int(epoch_ms),
+            tz_off,
+            row["tz_summer_only"] if tz_off is not None else None,
+            row["tz_name"] if tz_off is not None else None,
+        )
+    )
+
+
 def _node_data(row) -> list[tuple[str, str]]:
     data = []
     fields = row.__fields__
     if row["node_ts"] is not None:
         data.append(("@timestamp", str(row["node_ts"])))
+        data.append(("@timestamp_str", _ts_str(row["node_ts"], row, fields)))
         # tz meta-properties ride with the timestamp
         # (GraphML/Writer.hs:252-259 / Graph/Internal.hs:84-98)
         if "tz_offset_min" in fields and row["tz_offset_min"] is not None:
@@ -179,7 +198,10 @@ def _node_data(row) -> list[tuple[str, str]]:
 
 
 def _link_data(row) -> list[tuple[str, str]]:
-    data = [("@timestamp", str(row["link_ts"]))]
+    data = [
+        ("@timestamp", str(row["link_ts"])),
+        ("@timestamp_str", _ts_str(row["link_ts"], row, row.__fields__)),
+    ]
     data.extend(_attr_items(row["link_attrs"]))
     return data
 

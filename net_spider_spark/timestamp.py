@@ -107,21 +107,21 @@ def add_sec(ts: Timestamp, seconds: float) -> Timestamp:
 
 def format_timestamp(ts: Timestamp) -> str:
     """Render as ISO-8601; with the display zone when present
-    (``showTimestamp``, Timestamp.hs:113-150)."""
+    (``showTimestamp``, Timestamp.hs:113-150). Matches the reference's
+    doctests exactly: milliseconds always print (``.000`` included),
+    and a zero-offset zone renders as ``Z``."""
     if ts.tz_offset_min is not None:
         tz = timezone(timedelta(minutes=ts.tz_offset_min))
         dt = datetime.fromtimestamp(ts.epoch_ms / 1000.0, tz)
         base = dt.strftime("%Y-%m-%dT%H:%M:%S")
-        if ts.epoch_ms % 1000:
-            base += f".{ts.epoch_ms % 1000:03d}"
+        base += f".{ts.epoch_ms % 1000:03d}"
         off = ts.tz_offset_min
+        if off == 0:
+            return base + "Z"
         sign = "+" if off >= 0 else "-"
         return f"{base}{sign}{abs(off) // 60:02d}:{abs(off) % 60:02d}"
     dt = datetime.fromtimestamp(ts.epoch_ms / 1000.0, timezone.utc)
-    base = dt.strftime("%Y-%m-%dT%H:%M:%S")
-    if ts.epoch_ms % 1000:
-        base += f".{ts.epoch_ms % 1000:03d}"
-    return base
+    return dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{ts.epoch_ms % 1000:03d}"
 
 
 def to_epoch_ms(value) -> int:

@@ -40,7 +40,11 @@ def test_timestamp_parse_variants():
 def test_timestamp_format_roundtrip():
     t = parse_timestamp("2018-12-01T10:00:30.123+09:00")
     assert format_timestamp(t) == "2018-12-01T10:00:30.123+09:00"
-    assert format_timestamp(Timestamp(1543658400000)) == "2018-12-01T10:00:00"
+    # reference doctests (Timestamp.hs:120-133): ms always printed,
+    # zero-offset zone renders Z
+    assert format_timestamp(Timestamp(1543658400000)) == "2018-12-01T10:00:00.000"
+    assert format_timestamp(Timestamp(922011060000, 0, False, "UTC")) == \
+        "1999-03-21T10:11:00.000Z"
     assert add_sec(Timestamp(1000), 2.5).epoch_ms == 3500
 
 
@@ -92,6 +96,11 @@ def test_graphml_escaping_and_types(spark):
     assert 'attr.name="w" attr.type="double"' in xml
     assert 'attr.name="ok" attr.type="boolean"' in xml
     assert 'attr.name="@timestamp" attr.type="long"' in xml
+    # @timestamp_str (Timestamp ToAttributes, Timestamp.hs:105-111;
+    # WriterSpec.hs:104-105 key order: right after @timestamp)
+    assert 'attr.name="@timestamp_str" attr.type="string"' in xml
+    assert xml.index('attr.name="@timestamp"') < xml.index(
+        'attr.name="@timestamp_str"')
     # per-edge directed attribute
     assert 'directed="true"' in xml
 
