@@ -305,3 +305,51 @@ def test_graphml_file_writer_many_nodes(spark, tmp_path):
     assert text == write_graphml(nodes, links)
     assert text.count("<node ") == 2000 and text.count("<edge ") == 1999
     nodes.unpersist(); links.unpersist()
+
+
+def test_graphml_reference_golden_document(spark):
+    # Byte-exact reproduction of the reference's writeGraphMLWith
+    # golden output (GraphML/WriterSpec.hs:226-281).
+    nodes = spark.createDataFrame(
+        [("n1", False, 200, None, None, None, None),
+         ("n2", False, None, None, None, None, None)],
+        "node_id string, is_on_boundary boolean, node_ts long, "
+        "node_attrs map<string,string>, tz_offset_min int, "
+        "tz_summer_only boolean, tz_name string",
+    )
+    links = spark.createDataFrame(
+        [("n1", "n2", True, 200, None)],
+        "source_node string, dest_node string, is_directed boolean, "
+        "link_ts long, link_attrs map<string,string>",
+    )
+    expected = "".join(s + "\n" for s in [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns"',
+        ' xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"',
+        ' xsi:schemaLocation="http://graphml.graphdrawing.org/xmlns'
+        ' http://graphml.graphdrawing.org/xmlns/1.0/graphml.xsd">',
+        '<key id="d0" for="node" attr.name="@timestamp" attr.type="long"/>',
+        '<key id="d1" for="node" attr.name="@timestamp_str" attr.type="string"/>',
+        '<key id="d2" for="node" attr.name="@is_on_boundary" attr.type="boolean"/>',
+        '<key id="d3" for="edge" attr.name="@timestamp" attr.type="long"/>',
+        '<key id="d4" for="edge" attr.name="@timestamp_str" attr.type="string"/>',
+        '<graph edgedefault="undirected">',
+        '  <node id="n1">',
+        '    <data key="d0">200</data>',
+        '    <data key="d1">1970-01-01T00:00:00.200</data>',
+        '    <data key="d2">false</data>',
+        '  </node>',
+        '  <node id="n2">',
+        '    <data key="d2">false</data>',
+        '  </node>',
+        '  <edge source="n1" target="n2" directed="true">',
+        '    <data key="d3">200</data>',
+        '    <data key="d4">1970-01-01T00:00:00.200</data>',
+        '  </edge>',
+        '</graph>',
+        '</graphml>',
+    ])
+    got = write_graphml(
+        nodes.orderBy("node_id"), links, default_directed=False
+    )
+    assert got == expected
