@@ -177,31 +177,44 @@ def _ts_str(epoch_ms, row, fields) -> str:
     )
 
 
+def _tz_items(row, fields) -> list[tuple[str, str]]:
+    # tz meta-properties ride with the timestamp
+    # (GraphML/Writer.hs:252-259 / Graph/Internal.hs:84-98); an empty
+    # tz name still emits (as an empty <data>), matching the
+    # reference's golden output (WriterSpec.hs:129).
+    if "tz_offset_min" not in fields or row["tz_offset_min"] is None:
+        return []
+    data = [
+        ("@tz_offset_min", str(row["tz_offset_min"])),
+        ("@tz_summer_only", _bool_str(bool(row["tz_summer_only"]))),
+    ]
+    if "tz_name" in fields and row["tz_name"] is not None:
+        data.append(("@tz_name", row["tz_name"]))
+    return data
+
+
 def _node_data(row) -> list[tuple[str, str]]:
     data = []
     fields = row.__fields__
     if row["node_ts"] is not None:
         data.append(("@timestamp", str(row["node_ts"])))
         data.append(("@timestamp_str", _ts_str(row["node_ts"], row, fields)))
-        # tz meta-properties ride with the timestamp
-        # (GraphML/Writer.hs:252-259 / Graph/Internal.hs:84-98)
-        if "tz_offset_min" in fields and row["tz_offset_min"] is not None:
-            data.append(("@tz_offset_min", str(row["tz_offset_min"])))
-            data.append(
-                ("@tz_summer_only", _bool_str(bool(row["tz_summer_only"])))
-            )
-            if "tz_name" in fields and row["tz_name"] is not None:
-                data.append(("@tz_name", row["tz_name"]))
+        data.extend(_tz_items(row, fields))
     data.append(("@is_on_boundary", _bool_str(row["is_on_boundary"])))
     data.extend(_attr_items(row["node_attrs"]))
     return data
 
 
 def _link_data(row) -> list[tuple[str, str]]:
+    fields = row.__fields__
     data = [
         ("@timestamp", str(row["link_ts"])),
-        ("@timestamp_str", _ts_str(row["link_ts"], row, row.__fields__)),
+        ("@timestamp_str", _ts_str(row["link_ts"], row, fields)),
     ]
+    # The engine's SNAPSHOT_LINK_SCHEMA carries no zone, but the
+    # reference's SnapshotLink timestamp can (WriterSpec.hs:136-141);
+    # an extended links frame with tz columns round-trips them.
+    data.extend(_tz_items(row, fields))
     data.extend(_attr_items(row["link_attrs"]))
     return data
 

@@ -353,3 +353,77 @@ def test_graphml_reference_golden_document(spark):
         nodes.orderBy("node_id"), links, default_directed=False
     )
     assert got == expected
+
+
+def test_graphml_reference_golden_with_tz_and_escaping(spark):
+    # Byte-exact reproduction of the reference's writeGraphML golden
+    # (GraphML/WriterSpec.hs:59-147): escaped ids, UTF-8 pass-through,
+    # +09:00 zone with EMPTY name on a node and an edge, mixed
+    # directedness.
+    ts_tz = 1537660132000  # 2018-09-23T08:48:52+09:00
+    nodes = spark.createDataFrame(
+        [('"the root"', False, 100, None, None, None, None),
+         ("☃", True, None, None, None, None, None),
+         ("<child>", False, ts_tz, None, 540, False, "")],
+        "node_id string, is_on_boundary boolean, node_ts long, "
+        "node_attrs map<string,string>, tz_offset_min int, "
+        "tz_summer_only boolean, tz_name string",
+    )
+    links = spark.createDataFrame(
+        [('"the root"', "☃", True, 100, None, None, None, None),
+         ("<child>", '"the root"', False, ts_tz, None, 540, False, "")],
+        "source_node string, dest_node string, is_directed boolean, "
+        "link_ts long, link_attrs map<string,string>, tz_offset_min int, "
+        "tz_summer_only boolean, tz_name string",
+    )
+    expected = "".join(s + "\n" for s in [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns"',
+        ' xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"',
+        ' xsi:schemaLocation="http://graphml.graphdrawing.org/xmlns'
+        ' http://graphml.graphdrawing.org/xmlns/1.0/graphml.xsd">',
+        '<key id="d0" for="node" attr.name="@timestamp" attr.type="long"/>',
+        '<key id="d1" for="node" attr.name="@timestamp_str" attr.type="string"/>',
+        '<key id="d2" for="node" attr.name="@is_on_boundary" attr.type="boolean"/>',
+        '<key id="d3" for="node" attr.name="@tz_offset_min" attr.type="int"/>',
+        '<key id="d4" for="node" attr.name="@tz_summer_only" attr.type="boolean"/>',
+        '<key id="d5" for="node" attr.name="@tz_name" attr.type="string"/>',
+        '<key id="d6" for="edge" attr.name="@timestamp" attr.type="long"/>',
+        '<key id="d7" for="edge" attr.name="@timestamp_str" attr.type="string"/>',
+        '<key id="d8" for="edge" attr.name="@tz_offset_min" attr.type="int"/>',
+        '<key id="d9" for="edge" attr.name="@tz_summer_only" attr.type="boolean"/>',
+        '<key id="d10" for="edge" attr.name="@tz_name" attr.type="string"/>',
+        '<graph edgedefault="directed">',
+        '  <node id="&quot;the root&quot;">',
+        '    <data key="d0">100</data>',
+        '    <data key="d1">1970-01-01T00:00:00.100</data>',
+        '    <data key="d2">false</data>',
+        '  </node>',
+        '  <node id="☃">',
+        '    <data key="d2">true</data>',
+        '  </node>',
+        '  <node id="&lt;child&gt;">',
+        '    <data key="d0">1537660132000</data>',
+        '    <data key="d1">2018-09-23T08:48:52.000+09:00</data>',
+        '    <data key="d3">540</data>',
+        '    <data key="d4">false</data>',
+        '    <data key="d5"></data>',
+        '    <data key="d2">false</data>',
+        '  </node>',
+        '  <edge source="&quot;the root&quot;" target="☃" directed="true">',
+        '    <data key="d6">100</data>',
+        '    <data key="d7">1970-01-01T00:00:00.100</data>',
+        '  </edge>',
+        '  <edge source="&lt;child&gt;" target="&quot;the root&quot;"'
+        ' directed="false">',
+        '    <data key="d6">1537660132000</data>',
+        '    <data key="d7">2018-09-23T08:48:52.000+09:00</data>',
+        '    <data key="d8">540</data>',
+        '    <data key="d9">false</data>',
+        '    <data key="d10"></data>',
+        '  </edge>',
+        '</graph>',
+        '</graphml>',
+    ])
+    got = write_graphml(nodes.coalesce(1), links.coalesce(1))
+    assert got == expected
