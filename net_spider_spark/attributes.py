@@ -121,9 +121,15 @@ def graphml_attr_type(dtype: T.DataType) -> str:
     attrTypeString, Writer.hs:150-166)."""
     if isinstance(dtype, T.BooleanType):
         return "boolean"
-    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+    # the reference distinguishes int/long and float/double
+    # (AttributeType, Writer.hs:140-170)
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType)):
+        return "int"
+    if isinstance(dtype, T.LongType):
         return "long"
-    if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+    if isinstance(dtype, T.FloatType):
+        return "float"
+    if isinstance(dtype, (T.DoubleType, T.DecimalType)):
         return "double"
     return "string"
 

@@ -148,9 +148,16 @@ def _attr_items(value) -> list[tuple[str, str]]:
     dropping Nothing fields (e.g. DIO.hs:215-222)."""
     if value is None:
         return []
-    d = value.asDict() if hasattr(value, "asDict") else dict(value)
+    if hasattr(value, "asDict"):
+        # struct attrs: keep schema field order, like the reference's
+        # per-type toAttributes ordering (WriterSpec.hs:180-220 goldens)
+        d = value.asDict()
+        keys = list(d)
+    else:
+        d = dict(value)
+        keys = sorted(d)
     out = []
-    for k in sorted(d):
+    for k in keys:
         v = d[k]
         if v is None:
             continue

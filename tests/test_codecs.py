@@ -427,3 +427,86 @@ def test_graphml_reference_golden_with_tz_and_escaping(spark):
     ])
     got = write_graphml(nodes.coalesce(1), links.coalesce(1))
     assert got == expected
+
+
+def test_graphml_reference_golden_typed_attributes(spark):
+    # Byte-exact reproduction of the reference's "with attributes"
+    # golden (GraphML/WriterSpec.hs:148-224): struct-typed attrs with
+    # int/string/boolean/double keys declared from the schema, record
+    # field order, empty-string datum, escaped newline.
+    from pyspark.sql import types as T
+
+    node_attrs = T.StructType([
+        T.StructField("hoge", T.IntegerType()),
+        T.StructField("foo", T.StringType()),
+        T.StructField("buzz", T.BooleanType()),
+    ])
+    link_attrs = T.StructType([
+        T.StructField("at2_huga", T.StringType()),
+        T.StructField("at2_quux", T.DoubleType()),
+    ])
+    nodes = spark.createDataFrame(
+        [("100", False, 155, (99, "new\nline", False), None, None, None),
+         ("200", False, None, (2099, "", True), None, None, None)],
+        T.StructType([
+            T.StructField("node_id", T.StringType()),
+            T.StructField("is_on_boundary", T.BooleanType()),
+            T.StructField("node_ts", T.LongType()),
+            T.StructField("node_attrs", node_attrs),
+            T.StructField("tz_offset_min", T.IntegerType()),
+            T.StructField("tz_summer_only", T.BooleanType()),
+            T.StructField("tz_name", T.StringType()),
+        ]),
+    )
+    links = spark.createDataFrame(
+        [("100", "200", True, 155, ("HUGA", 109.25))],
+        T.StructType([
+            T.StructField("source_node", T.StringType()),
+            T.StructField("dest_node", T.StringType()),
+            T.StructField("is_directed", T.BooleanType()),
+            T.StructField("link_ts", T.LongType()),
+            T.StructField("link_attrs", link_attrs),
+        ]),
+    )
+    expected = "".join(s + "\n" for s in [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns"',
+        ' xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"',
+        ' xsi:schemaLocation="http://graphml.graphdrawing.org/xmlns'
+        ' http://graphml.graphdrawing.org/xmlns/1.0/graphml.xsd">',
+        '<key id="d0" for="node" attr.name="@timestamp" attr.type="long"/>',
+        '<key id="d1" for="node" attr.name="@timestamp_str" attr.type="string"/>',
+        '<key id="d2" for="node" attr.name="@is_on_boundary" attr.type="boolean"/>',
+        '<key id="d3" for="node" attr.name="hoge" attr.type="int"/>',
+        '<key id="d4" for="node" attr.name="foo" attr.type="string"/>',
+        '<key id="d5" for="node" attr.name="buzz" attr.type="boolean"/>',
+        '<key id="d6" for="edge" attr.name="@timestamp" attr.type="long"/>',
+        '<key id="d7" for="edge" attr.name="@timestamp_str" attr.type="string"/>',
+        '<key id="d8" for="edge" attr.name="at2_huga" attr.type="string"/>',
+        '<key id="d9" for="edge" attr.name="at2_quux" attr.type="double"/>',
+        '<graph edgedefault="directed">',
+        '  <node id="100">',
+        '    <data key="d0">155</data>',
+        '    <data key="d1">1970-01-01T00:00:00.155</data>',
+        '    <data key="d2">false</data>',
+        '    <data key="d3">99</data>',
+        '    <data key="d4">new&#x0a;line</data>',
+        '    <data key="d5">false</data>',
+        '  </node>',
+        '  <node id="200">',
+        '    <data key="d2">false</data>',
+        '    <data key="d3">2099</data>',
+        '    <data key="d4"></data>',
+        '    <data key="d5">true</data>',
+        '  </node>',
+        '  <edge source="100" target="200" directed="true">',
+        '    <data key="d6">155</data>',
+        '    <data key="d7">1970-01-01T00:00:00.155</data>',
+        '    <data key="d8">HUGA</data>',
+        '    <data key="d9">109.25</data>',
+        '  </edge>',
+        '</graph>',
+        '</graphml>',
+    ])
+    got = write_graphml(nodes.coalesce(1).orderBy("node_id"), links)
+    assert got == expected

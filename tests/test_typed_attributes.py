@@ -127,8 +127,10 @@ def test_typed_schema_and_helpers(spark):
     assert schema["node_attrs"].dataType == NODE_SCHEMA
     nl = schema["neighbor_links"].dataType.elementType
     assert nl["link_attrs"].dataType == LINK_SCHEMA
-    assert graphml_attr_type(T.IntegerType()) == "long"
-    assert graphml_attr_type(T.FloatType()) == "double"
+    assert graphml_attr_type(T.IntegerType()) == "int"
+    assert graphml_attr_type(T.LongType()) == "long"
+    assert graphml_attr_type(T.FloatType()) == "float"
+    assert graphml_attr_type(T.DoubleType()) == "double"
     assert graphml_attr_type(T.StringType()) == "string"
     df = typed_findings_to_df(spark, [], node_attrs=NODE_SCHEMA)
     assert struct_attr_types(df, "node_attrs") == {
