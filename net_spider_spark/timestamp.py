@@ -87,7 +87,11 @@ def parse_timestamp(text: str) -> Timestamp:
     epoch_ms = int(base.timestamp() * 1000) + ms
     if tz_offset_min is not None:
         epoch_ms -= tz_offset_min * 60_000
-        return Timestamp(epoch_ms, tz_offset_min, False, None)
+        # zone name mirrors Data.Time's parser via the reference
+        # (TimestampSpec.hs:23-27): a literal Z names the zone "UTC",
+        # a numeric offset leaves the name empty.
+        tz_name = "UTC" if zone == "Z" else ""
+        return Timestamp(epoch_ms, tz_offset_min, False, tz_name)
     return Timestamp(epoch_ms)
 
 

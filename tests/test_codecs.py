@@ -510,3 +510,18 @@ def test_graphml_reference_golden_typed_attributes(spark):
     ])
     got = write_graphml(nodes.coalesce(1).orderBy("node_id"), links)
     assert got == expected
+
+
+def test_timestamp_reference_spec_cases():
+    # TimestampSpec.hs:16-40 golden parse/ToJSON pairs: a literal Z
+    # names the zone UTC, numeric offsets leave the name empty.
+    cases = [
+        ("2019-12-31T18:46", 1577817960000, None, None),
+        ("2019-12-31 18:46:11.037", 1577817971037, None, None),
+        ("2019-09-21T00:32Z", 1569025920000, 0, "UTC"),
+        ("2019-08-07 11:18:43+07:00", 1565151523000, 420, ""),
+        ("2020-08-07T11:18:43.112-02:30", 1596808123112, -150, ""),
+    ]
+    for text, ms, off, name in cases:
+        t = parse_timestamp(text)
+        assert (t.epoch_ms, t.tz_offset_min, t.tz_name) == (ms, off, name), text
