@@ -16,25 +16,52 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def make_vertices(nodes: DataFrame) -> DataFrame:
-    """``makeVertex``: (vertex_id, attributes incl. @timestamp text).
+def _empty_map():
+    return F.map_from_arrays(
+        F.array().cast("array<string>"), F.array().cast("array<string>")
+    )
 
-    Nodes without a timestamp get no @timestamp attribute
-    (Pangraph.hs skips absent values)."""
+
+def _show_bool(col) -> F.Column:
+    # toAtom Bool is Haskell `show`: "True"/"False" (PangraphSpec.hs:38)
+    return F.when(col, F.lit("True")).otherwise(F.lit("False"))
+
+
+def _tz_attr_map(df: DataFrame):
+    """``timestampAttributes``' tz tail (Pangraph.hs:60-69): emitted
+    only when the frame carries a zone."""
+    if "tz_offset_min" not in df.columns:
+        return _empty_map()
+    return F.when(
+        F.col("tz_offset_min").isNotNull(),
+        F.create_map(
+            F.lit("@tz_offset_min"), F.col("tz_offset_min").cast("string"),
+            F.lit("@tz_summer_only"), _show_bool(F.col("tz_summer_only")),
+            F.lit("@tz_name"), F.coalesce(F.col("tz_name"), F.lit("")),
+        ),
+    ).otherwise(_empty_map())
+
+
+def make_vertices(nodes: DataFrame) -> DataFrame:
+    """``makeVertex`` (Pangraph.hs:75-88): (vertex_id, attributes) with
+    ``@timestamp`` (+ tz attrs) when observed, ``@is_on_boundary``
+    always, then the node attributes. Nodes without a timestamp get no
+    @timestamp attribute."""
     base = F.when(
         F.col("node_ts").isNotNull(),
-        F.create_map(F.lit("@timestamp"), F.col("node_ts").cast("string")),
-    ).otherwise(F.map_from_arrays(
-        F.array().cast("array<string>"), F.array().cast("array<string>")
-    ))
+        F.map_concat(
+            F.create_map(
+                F.lit("@timestamp"), F.col("node_ts").cast("string")
+            ),
+            _tz_attr_map(nodes),
+        ),
+    ).otherwise(_empty_map())
     attrs = F.map_concat(
         base,
-        F.coalesce(
-            F.col("node_attrs"),
-            F.map_from_arrays(
-                F.array().cast("array<string>"), F.array().cast("array<string>")
-            ),
+        F.create_map(
+            F.lit("@is_on_boundary"), _show_bool(F.col("is_on_boundary"))
         ),
+        F.coalesce(F.col("node_attrs"), _empty_map()),
     )
     return nodes.select(
         F.col("node_id").alias("vertex_id"), attrs.alias("attributes")
@@ -42,15 +69,16 @@ def make_vertices(nodes: DataFrame) -> DataFrame:
 
 
 def make_edges(links: DataFrame) -> DataFrame:
-    """``makeEdge``: (source, target, attributes incl. @timestamp)."""
+    """``makeEdge`` (Pangraph.hs:90-103): (source, target, attributes)
+    with ``@timestamp`` (+ tz attrs when carried), ``@is_directed``,
+    then the link attributes."""
     attrs = F.map_concat(
         F.create_map(F.lit("@timestamp"), F.col("link_ts").cast("string")),
-        F.coalesce(
-            F.col("link_attrs"),
-            F.map_from_arrays(
-                F.array().cast("array<string>"), F.array().cast("array<string>")
-            ),
+        _tz_attr_map(links),
+        F.create_map(
+            F.lit("@is_directed"), _show_bool(F.col("is_directed"))
         ),
+        F.coalesce(F.col("link_attrs"), _empty_map()),
     )
     return links.select(
         F.col("source_node").alias("source"),

@@ -17,12 +17,21 @@ def test_pangraph_export(spark):
     findings = [
         FoundNode("a", 1500, [FoundLink("b", "to_target", {"w": "3"})]),
     ]
-    nodes, links = get_snapshot(findings_to_df(spark, findings), Query())
+    from net_spider_spark.snapshot import BOUNDARY_MARK
+
+    nodes, links = get_snapshot(
+        findings_to_df(spark, findings), Query(boundary_mode=BOUNDARY_MARK)
+    )
     verts = {r["vertex_id"]: r["attributes"] for r in make_vertices(nodes).collect()}
+    # PangraphSpec.hs:27-58: @is_on_boundary always present (Haskell
+    # show rendering), @timestamp only when observed
     assert verts["a"]["@timestamp"] == "1500"
+    assert verts["a"]["@is_on_boundary"] == "False"
     assert "@timestamp" not in verts["b"]  # never observed
+    assert verts["b"]["@is_on_boundary"] == "True"
     edges = make_edges(links).collect()
-    assert edges[0]["attributes"] == {"@timestamp": "1500", "w": "3"}
+    assert edges[0]["attributes"] == {
+        "@timestamp": "1500", "@is_directed": "True", "w": "3"}
     xml = write_pangraph(nodes, links)
     assert 'attr.type="string"' in xml and "<edge source=\"a\"" in xml
 
