@@ -87,16 +87,33 @@ def _snapshot_args(p: argparse.ArgumentParser) -> None:
 
 
 def _interval(args) -> Interval:
+    # --duration semantics follow the reference's parserSnapshotQuery
+    # (net-spider-cli, CLI/Snapshot.hs; SnapshotSpec.hs:74-96):
+    # duration + time-from -> [from, from+d); duration + time-to ->
+    # [to-d, to...); all three together, or duration alone, is an
+    # error.
+    from net_spider_spark.timestamp import to_epoch_ms
+
+    if args.duration is not None:
+        if args.time_from and args.time_to:
+            raise SystemExit(
+                "all --time-to, --time-from and --duration is not allowed"
+            )
+        if not args.time_from and not args.time_to:
+            raise SystemExit(
+                "--duration requires either --time-from or --time-to"
+            )
     lower, lower_inc = NEG_INF, True
     upper, upper_inc = POS_INF, True
     if args.time_to:
         upper, upper_inc = Interval.parse_end(args.time_to)
+        if args.duration is not None:
+            lower = to_epoch_ms(upper) - int(args.duration * 1000)
     if args.time_from:
         lower, lower_inc = Interval.parse_end(args.time_from)
-    elif args.duration is not None and args.time_to:
-        from net_spider_spark.timestamp import to_epoch_ms
-
-        lower = to_epoch_ms(upper) - int(args.duration * 1000)
+        if args.duration is not None:
+            upper = to_epoch_ms(lower) + int(args.duration * 1000)
+            upper_inc = False
     return Interval(lower, upper, lower_inc, upper_inc)
 
 

@@ -153,3 +153,31 @@ def test_cis_file_output_streams_identically(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert out.read_text(encoding="utf-8") == stdout_xml
+
+
+def test_duration_interval_semantics():
+    # SnapshotSpec.hs:74-96: duration pairs with exactly one bound
+    import argparse
+
+    import pytest
+
+    from net_spider_spark.cli import _interval
+
+    def ns(**kw):
+        base = dict(time_from=None, time_to=None, duration=None)
+        base.update(kw)
+        return argparse.Namespace(**base)
+
+    iv = _interval(ns(time_from="i2019-04-30T19:03:33", duration=3600))
+    assert iv.lower == 1556651013000 and iv.lower_inclusive
+    assert iv.upper == 1556651013000 + 3600000 and not iv.upper_inclusive
+
+    iv = _interval(ns(time_to="x2019-04-30T19:03:33", duration=600))
+    assert iv.upper == 1556651013000 and not iv.upper_inclusive
+    assert iv.lower == 1556651013000 - 600000 and iv.lower_inclusive
+
+    with pytest.raises(SystemExit):
+        _interval(ns(time_from="i2019-04-30T19:03:33",
+                     time_to="x2019-04-30T20:03:33", duration=600))
+    with pytest.raises(SystemExit):
+        _interval(ns(duration=600))
