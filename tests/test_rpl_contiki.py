@@ -246,3 +246,13 @@ def test_reference_golden_syslog_interleaving(spark):
          ("dio://[fd00::212:eeaa:9977:13ba]", "unused", "parent_candidate", "263", "152")],
     )]
     assert _collect(dao) == []
+
+
+def test_reference_ipv6_prefix_spec():
+    # IPv6Spec.hs:12-20 exact values
+    from net_spider_spark.rpl.ipv6 import get_prefix, parse_ipv6, set_prefix
+
+    addr = parse_ipv6("fe00:12:4310:20:aa9d:d393:aa00:49be")
+    assert get_prefix(addr) == 0xFE00001243100020
+    got = set_prefix(0xF055AA0D00329391, addr)
+    assert got == parse_ipv6("f055:aa0d:32:9391:aa9d:d393:aa00:49be")
