@@ -185,25 +185,56 @@ def main() -> None:
     )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # variance-free twins of the seconds: shuffle/task/spill
-                # deltas per query from the app status store.
-                "counters": counters,
-                "ingest": {
-                    "rows": ingest_rows,
-                    "sec": ingest_sec,
-                    "rows_per_sec": ingest_rps,
-                },
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    ingest = {
+        "rows": ingest_rows,
+        "sec": ingest_sec,
+        "rows_per_sec": ingest_rps,
+    }
+
+    # Full detail (per-query counters: shuffle bytes, tasks, spill — the
+    # variance-free twins of the wall seconds) goes to a sidecar file and
+    # stderr, NOT stdout: the driver captures only a bounded tail of
+    # stdout, and a >2000-char line is unparseable there (round-4 lesson).
+    detail = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "counters": counters,
+        "ingest": ingest,
+        "sf": sf_val,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(detail, f, indent=1, sort_keys=True)
+        print(f"# detail written to {detail_path}", file=sys.stderr)
+    except OSError as exc:  # read-only checkout: detail still on stderr
+        print(f"# could not write sidecar: {exc}", file=sys.stderr)
+    print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
+
+    # The ONE stdout JSON line, kept compact enough to survive a
+    # tail-capture of stdout. Per-query seconds are included at reduced
+    # precision only while the line stays well under the capture bound;
+    # otherwise they live in the sidecar and stderr alone.
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "ingest": ingest,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1600:
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
     spark.stop()
 
 

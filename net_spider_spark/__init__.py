@@ -45,7 +45,7 @@ from net_spider_spark.snapshot import (
 )
 from net_spider_spark.weaver import Weaver
 from net_spider_spark.graphml import write_graphml, write_graphml_file
-from net_spider_spark.pangraph import write_pangraph
+from net_spider_spark.pangraph import write_pangraph, write_pangraph_file
 from net_spider_spark.ingest import (
     clear_all,
     compact_history,
@@ -91,6 +91,7 @@ __all__ = [
     "write_graphml",
     "write_graphml_file",
     "write_pangraph",
+    "write_pangraph_file",
     "clear_all",
     "compact_history",
     "read_findings",

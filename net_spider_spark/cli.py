@@ -88,12 +88,11 @@ def _snapshot_args(p: argparse.ArgumentParser) -> None:
 
 def _interval(args) -> Interval:
     # --duration semantics follow the reference's parserSnapshotQuery
-    # (net-spider-cli, CLI/Snapshot.hs; SnapshotSpec.hs:74-96):
-    # duration + time-from -> [from, from+d); duration + time-to ->
-    # [to-d, to...); all three together, or duration alone, is an
-    # error.
-    from net_spider_spark.timestamp import to_epoch_ms
-
+    # (net-spider-cli, CLI/Snapshot.hs:78-82): duration + time-from ->
+    # secSince, duration + time-to -> secUntil (Interval.hs:148-185) —
+    # the derived far end's inclusivity is the NEGATION of the parsed
+    # anchor's, and an infinite anchor yields the empty interval. All
+    # three options together, or duration alone, is an error.
     if args.duration is not None:
         if args.time_from and args.time_to:
             raise SystemExit(
@@ -103,17 +102,17 @@ def _interval(args) -> Interval:
             raise SystemExit(
                 "--duration requires either --time-from or --time-to"
             )
+        if args.time_to:
+            upper, upper_inc = Interval.parse_end(args.time_to)
+            return Interval.sec_until(upper, args.duration, upper_inc)
+        lower, lower_inc = Interval.parse_end(args.time_from)
+        return Interval.sec_since(lower, args.duration, lower_inc)
     lower, lower_inc = NEG_INF, True
     upper, upper_inc = POS_INF, True
     if args.time_to:
         upper, upper_inc = Interval.parse_end(args.time_to)
-        if args.duration is not None:
-            lower = to_epoch_ms(upper) - int(args.duration * 1000)
     if args.time_from:
         lower, lower_inc = Interval.parse_end(args.time_from)
-        if args.duration is not None:
-            upper = to_epoch_ms(lower) + int(args.duration * 1000)
-            upper_inc = False
     return Interval(lower, upper, lower_inc, upper_inc)
 
 

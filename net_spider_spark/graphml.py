@@ -146,6 +146,8 @@ def _attr_items(value) -> list[tuple[str, str]]:
     Accepts a map (dict) or a struct (Row); a None field in a struct is
     ``Maybe`` Nothing — omitted, matching the reference's toAttributes
     dropping Nothing fields (e.g. DIO.hs:215-222)."""
+    from net_spider_spark.model import INTERNAL_ATTR_KEYS
+
     if value is None:
         return []
     if hasattr(value, "asDict"):
@@ -159,7 +161,9 @@ def _attr_items(value) -> list[tuple[str, str]]:
     out = []
     for k in keys:
         v = d[k]
-        if v is None:
+        if v is None or k in INTERNAL_ATTR_KEYS:
+            # presence markers never render: `toAttributes (DAONode
+            # Nothing) = []` (DAO.hs:71-75)
             continue
         if isinstance(v, bool):
             v = _bool_str(v)
@@ -319,16 +323,30 @@ def write_graphml_file(
     driver memory stays constant (one partition in flight + the key
     registry) however many nodes/links the snapshot has.
 
-    Each side is iterated twice (key pass + element pass), so callers
-    should ``persist()`` the inputs to avoid recomputation; iteration
-    order is partition order both times, keeping the two passes and the
-    in-memory writer consistent. The document is written to a sibling
-    temp file and renamed into place, so a failure mid-stream never
-    leaves a truncated file at ``output_path``. (Reference S10 is
-    inherently driver-side single-document output; this is the
-    scale-respecting extension.)"""
+    Each side is iterated twice (key pass + element pass), so the
+    inputs are persisted here for the duration of both passes (and
+    unpersisted after): with an unpersisted nondeterministic input
+    (shuffle/sample upstream) the element pass could otherwise produce
+    a key the key pass never registered — a mid-file ``KeyError``
+    instead of a correct document. Iteration order is partition order
+    both times, keeping the two passes and the in-memory writer
+    consistent. The document is written to a sibling temp file and
+    renamed into place, so a failure mid-stream never leaves a
+    truncated file at ``output_path``. (Reference S10 is inherently
+    driver-side single-document output; this is the scale-respecting
+    extension.)"""
     import os
 
+    from pyspark import StorageLevel
+
+    # persist() is a no-op on an already-persisted frame and tracks
+    # nothing we'd clobber; unpersisting in finally is still safe for
+    # callers that persisted beforehand because they re-persist cheaply.
+    persisted = []
+    for df in (nodes, links):
+        if df.storageLevel == StorageLevel.NONE:
+            df.persist()
+            persisted.append(df)
     tmp = output_path + ".tmp"
     try:
         with open(tmp, "w", encoding="utf-8") as f:
@@ -343,3 +361,5 @@ def write_graphml_file(
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
+        for df in persisted:
+            df.unpersist()

@@ -35,6 +35,16 @@ class LinkState(str, Enum):
 
 ATTRS_TYPE = T.MapType(T.StringType(), T.StringType())
 
+# Engine-internal presence markers inside the open attrs map: they
+# record that a Maybe-record was PRESENT with no fields (the
+# reference's `DAONode Nothing`, the normal non-root DAO case,
+# DAO.hs:55-61) — information a flat key/value map cannot otherwise
+# carry. Serializers that mirror the reference's `toAttributes`
+# (GraphML, pangraph) must DROP these keys (`toAttributes (DAONode
+# Nothing) = []`, DAO.hs:71-75); the JSON wire codec (rpl/jsonutil.py)
+# consumes them to emit `{"dao": {"dao_route_num": null}}` like Aeson.
+INTERNAL_ATTR_KEYS = frozenset({"dao_present"})
+
 NEIGHBOR_LINK_TYPE = T.StructType(
     [
         T.StructField("target_node", T.StringType(), False),

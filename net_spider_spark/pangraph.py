@@ -56,12 +56,20 @@ def make_vertices(nodes: DataFrame) -> DataFrame:
             _tz_attr_map(nodes),
         ),
     ).otherwise(_empty_map())
+    from net_spider_spark.model import INTERNAL_ATTR_KEYS
+
+    public_attrs = F.map_filter(
+        F.coalesce(F.col("node_attrs"), _empty_map()),
+        # presence markers never render: `toAttributes (DAONode
+        # Nothing) = []` (DAO.hs:71-75)
+        lambda k, _: ~k.isin(*INTERNAL_ATTR_KEYS),
+    )
     attrs = F.map_concat(
         base,
         F.create_map(
             F.lit("@is_on_boundary"), _show_bool(F.col("is_on_boundary"))
         ),
-        F.coalesce(F.col("node_attrs"), _empty_map()),
+        public_attrs,
     )
     return nodes.select(
         F.col("node_id").alias("vertex_id"), attrs.alias("attributes")
@@ -88,60 +96,97 @@ def make_edges(links: DataFrame) -> DataFrame:
     )
 
 
+def _emit_pangraph(verts: DataFrame, edges: DataFrame, write, rows_of) -> None:
+    """Two-pass emitter shared by the in-memory and streaming writers
+    (same structure as ``graphml._emit_graphml``): pass 1 registers
+    keys in first-seen order (O(keys) memory), pass 2 writes elements
+    through ``write``. ``rows_of(df)`` supplies the row iterable and is
+    called once per pass per side."""
+    keys: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
+    for domain, df in (("node", verts), ("edge", edges)):
+        for row in rows_of(df):
+            for k in row["attributes"]:
+                dk = (domain, k)
+                if dk not in seen:
+                    seen.add(dk)
+                    keys.append(dk)
+    key_id = {dk: f"d{i}" for i, dk in enumerate(keys)}
+    write('<?xml version="1.0" encoding="UTF-8"?>\n')
+    write('<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n')
+    for domain, name in keys:
+        write(
+            f'<key id="{key_id[(domain, name)]}" for="{domain}"'
+            f' attr.name="{_esc(name)}" attr.type="string"/>\n'
+        )
+    write('<graph edgedefault="directed">\n')
+    for row in rows_of(verts):
+        write(f'  <node id="{_esc(row["vertex_id"])}">\n')
+        for k in sorted(row["attributes"]):
+            write(
+                f'    <data key="{key_id[("node", k)]}">'
+                f'{_esc(row["attributes"][k])}</data>\n'
+            )
+        write("  </node>\n")
+    for row in rows_of(edges):
+        write(
+            f'  <edge source="{_esc(row["source"])}" target="{_esc(row["target"])}">\n'
+        )
+        for k in sorted(row["attributes"]):
+            write(
+                f'    <data key="{key_id[("edge", k)]}">'
+                f'{_esc(row["attributes"][k])}</data>\n'
+            )
+        write("  </edge>\n")
+    write("</graph>\n</graphml>\n")
+
+
 def write_pangraph(nodes: DataFrame, links: DataFrame) -> str:
     """``writePangraph``: GraphML text via the pangraph-model tables.
 
     Attribute typing in this path is all-string (pangraph stores
     ByteStrings), unlike graphml.write_graphml's inferred types."""
-    verts = make_vertices(nodes).collect()
-    edges = make_edges(links).collect()
-    parts = [
-        '<?xml version="1.0" encoding="UTF-8"?>\n',
-        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">\n',
-    ]
-    keys: list[str] = []
-    for row in verts:
-        for k in row["attributes"]:
-            if ("node", k) not in [(d, n) for d, n in _pairs(keys)]:
-                keys.append(f"node\x00{k}")
-    for row in edges:
-        for k in row["attributes"]:
-            if ("edge", k) not in [(d, n) for d, n in _pairs(keys)]:
-                keys.append(f"edge\x00{k}")
-    key_id = {dk: f"d{i}" for i, dk in enumerate(keys)}
-    for dk in keys:
-        domain, name = dk.split("\x00", 1)
-        parts.append(
-            f'<key id="{key_id[dk]}" for="{domain}" attr.name="{_esc(name)}"'
-            ' attr.type="string"/>\n'
-        )
-    parts.append('<graph edgedefault="directed">\n')
-    for row in verts:
-        parts.append(f'  <node id="{_esc(row["vertex_id"])}">\n')
-        for k in sorted(row["attributes"]):
-            parts.append(
-                f'    <data key="{key_id["node" + chr(0) + k]}">'
-                f'{_esc(row["attributes"][k])}</data>\n'
-            )
-        parts.append("  </node>\n")
-    for row in edges:
-        parts.append(
-            f'  <edge source="{_esc(row["source"])}" target="{_esc(row["target"])}">\n'
-        )
-        for k in sorted(row["attributes"]):
-            parts.append(
-                f'    <data key="{key_id["edge" + chr(0) + k]}">'
-                f'{_esc(row["attributes"][k])}</data>\n'
-            )
-        parts.append("  </edge>\n")
-    parts.append("</graph>\n</graphml>\n")
-    return "".join(parts)
+    import io
+
+    verts_df, edges_df = make_vertices(nodes), make_edges(links)
+    vrows, erows = verts_df.collect(), edges_df.collect()
+    buf = io.StringIO()
+    _emit_pangraph(
+        verts_df,
+        edges_df,
+        buf.write,
+        lambda df: vrows if df is verts_df else erows,
+    )
+    return buf.getvalue()
 
 
-def _pairs(keys: list[str]):
-    for dk in keys:
-        domain, name = dk.split("\x00", 1)
-        yield domain, name
+def write_pangraph_file(nodes: DataFrame, links: DataFrame, output_path: str) -> None:
+    """Streaming pangraph writer for exports too large for one driver
+    string: identical bytes to :func:`write_pangraph`, but elements
+    stream through ``toLocalIterator`` straight to ``output_path`` —
+    driver memory stays constant (one partition in flight + the key
+    registry). Mirrors ``graphml.write_graphml_file``: the converted
+    frames are persisted here for the duration of the two passes (key
+    pass + element pass) so a nondeterministic upstream can't produce
+    an unregistered key mid-file, and the document lands via temp file
+    + rename so a failure never leaves a truncated export."""
+    import os
+
+    verts_df, edges_df = make_vertices(nodes), make_edges(links)
+    verts_df.persist()
+    edges_df.persist()
+    tmp = output_path + ".tmp"
+    try:
+        with open(tmp, "w", encoding="utf-8") as f:
+            _emit_pangraph(
+                verts_df, edges_df, f.write, lambda df: df.toLocalIterator()
+            )
+        os.replace(tmp, output_path)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
+        verts_df.unpersist()
+        edges_df.unpersist()
 
 
 def _esc(text) -> str:

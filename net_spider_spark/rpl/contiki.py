@@ -415,8 +415,13 @@ def parse_contiki_logs(
                 ),
             )
             .otherwise(
+                # Non-root: `DAONode Nothing` (DAO.hs:55-61). The
+                # presence marker (model.INTERNAL_ATTR_KEYS) keeps
+                # "DAONode with no route count" distinguishable from
+                # "no DAONode" through combine_nodes and the JSON wire;
+                # GraphML/pangraph drop it like `toAttributes = []`.
                 F.map_from_arrays(
-                    F.array().cast("array<string>"), F.array().cast("array<string>")
+                    F.array(F.lit("dao_present")), F.array(F.lit("true"))
                 )
             )
             .alias("node_attrs"),

@@ -111,19 +111,25 @@ def add_sec(ts: Timestamp, seconds: float) -> Timestamp:
 
 def format_timestamp(ts: Timestamp) -> str:
     """Render as ISO-8601; with the display zone when present
-    (``showTimestamp``, Timestamp.hs:113-150). Matches the reference's
-    doctests exactly: milliseconds always print (``.000`` included),
-    and a zero-offset zone renders as ``Z``."""
+    (``showTimestamp``, Timestamp.hs:120-151). Zone suffix branches on
+    the zone NAME like the reference's ``formatZone``: an empty name
+    renders the numeric offset (``+00:00`` included — what a literal
+    ``+00:00`` input parses to), the exact UTC zone (name ``UTC``,
+    offset 0, not summer-only) renders ``Z``, and any other named zone
+    renders its name (``%Z``). Milliseconds always print."""
     if ts.tz_offset_min is not None:
         tz = timezone(timedelta(minutes=ts.tz_offset_min))
         dt = datetime.fromtimestamp(ts.epoch_ms / 1000.0, tz)
         base = dt.strftime("%Y-%m-%dT%H:%M:%S")
         base += f".{ts.epoch_ms % 1000:03d}"
         off = ts.tz_offset_min
-        if off == 0:
+        name = ts.tz_name or ""
+        if name == "":
+            sign = "+" if off >= 0 else "-"
+            return f"{base}{sign}{abs(off) // 60:02d}:{abs(off) % 60:02d}"
+        if name == "UTC" and off == 0 and not ts.tz_summer_only:
             return base + "Z"
-        sign = "+" if off >= 0 else "-"
-        return f"{base}{sign}{abs(off) // 60:02d}:{abs(off) % 60:02d}"
+        return base + name
     dt = datetime.fromtimestamp(ts.epoch_ms / 1000.0, timezone.utc)
     return dt.strftime("%Y-%m-%dT%H:%M:%S") + f".{ts.epoch_ms % 1000:03d}"
 

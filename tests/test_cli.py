@@ -168,13 +168,30 @@ def test_duration_interval_semantics():
         base.update(kw)
         return argparse.Namespace(**base)
 
+    # secSince/secUntil (Interval.hs:148-185): the derived far end's
+    # inclusivity is the NEGATION of the anchor's — all four polarities.
     iv = _interval(ns(time_from="i2019-04-30T19:03:33", duration=3600))
     assert iv.lower == 1556651013000 and iv.lower_inclusive
     assert iv.upper == 1556651013000 + 3600000 and not iv.upper_inclusive
 
+    iv = _interval(ns(time_from="x2019-04-30T19:03:33", duration=3600))
+    assert iv.lower == 1556651013000 and not iv.lower_inclusive
+    assert iv.upper == 1556651013000 + 3600000 and iv.upper_inclusive
+
+    iv = _interval(ns(time_to="i2019-04-30T19:03:33", duration=600))
+    assert iv.upper == 1556651013000 and iv.upper_inclusive
+    assert iv.lower == 1556651013000 - 600000 and not iv.lower_inclusive
+
     iv = _interval(ns(time_to="x2019-04-30T19:03:33", duration=600))
     assert iv.upper == 1556651013000 and not iv.upper_inclusive
     assert iv.lower == 1556651013000 - 600000 and iv.lower_inclusive
+
+    # Infinite anchor + duration -> the empty interval, not a crash
+    # (secSince/secUntil doctest: `60 secSince (PosInf, False)` = empty).
+    for spec in ({"time_from": "-inf"}, {"time_from": "i+inf"},
+                 {"time_to": "+inf"}, {"time_to": "x-inf"}):
+        iv = _interval(ns(duration=600, **spec))
+        assert not iv.contains(0) and not iv.contains(1556651013000)
 
     with pytest.raises(SystemExit):
         _interval(ns(time_from="i2019-04-30T19:03:33",

@@ -45,6 +45,16 @@ def test_timestamp_format_roundtrip():
     assert format_timestamp(Timestamp(1543658400000)) == "2018-12-01T10:00:00.000"
     assert format_timestamp(Timestamp(922011060000, 0, False, "UTC")) == \
         "1999-03-21T10:11:00.000Z"
+    # formatZone (Timestamp.hs:138-146) branches on the zone NAME:
+    # an empty-named zero-offset zone (what '...+00:00' parses to)
+    # renders the offset, NOT 'Z'; a non-UTC named zone renders its
+    # name; a 'UTC'-named non-zero/summer-only zone is not utc either.
+    assert format_timestamp(parse_timestamp("2018-12-01T10:00+00:00")) == \
+        "2018-12-01T10:00:00.000+00:00"
+    assert format_timestamp(Timestamp(922011060000, 540, False, "JST")) == \
+        "1999-03-21T19:11:00.000JST"
+    assert format_timestamp(Timestamp(922011060000, 0, True, "UTC")) == \
+        "1999-03-21T10:11:00.000UTC"
     assert add_sec(Timestamp(1000), 2.5).epoch_ms == 3500
 
 

@@ -36,6 +36,60 @@ def test_pangraph_export(spark):
     assert 'attr.type="string"' in xml and "<edge source=\"a\"" in xml
 
 
+def test_pangraph_file_writer_identical_output(spark, tmp_path):
+    # S11 streaming symmetry with graphml.write_graphml_file: the
+    # toLocalIterator file writer emits byte-identical output to the
+    # in-memory writer (driver memory stays constant — one partition in
+    # flight + the key registry — however large the export).
+    from net_spider_spark.pangraph import write_pangraph_file
+
+    findings = [
+        FoundNode('v<&>"1', 1500, [FoundLink("v'2", "to_target", {"w": "3"})],
+                  {"label": "a<b&c>"}),
+        FoundNode("v'2", 2500, [FoundLink("v3", "to_subject", {"m": "7"})]),
+    ]
+    nodes, links = get_snapshot(findings_to_df(spark, findings), Query())
+    # persist: snapshot row order is shuffle-derived, so the in-memory
+    # writer's collect and the file writer's iterator must read the
+    # same materialization to compare byte-for-byte
+    nodes, links = nodes.persist(), links.persist()
+    in_memory = write_pangraph(nodes, links)
+    out = tmp_path / "snap.pangraph.graphml"
+    write_pangraph_file(nodes, links, str(out))
+    assert out.read_text(encoding="utf-8") == in_memory
+    nodes.unpersist(); links.unpersist()
+
+    # multi-partition frames whose rows never sit in one driver list
+    big_nodes = (
+        spark.range(500)
+        .repartition(8)
+        .select(
+            F.concat(F.lit("p"), F.col("id")).alias("node_id"),
+            F.lit(False).alias("is_on_boundary"),
+            (F.col("id") * 7).alias("node_ts"),
+            F.create_map(F.lit("k"), F.col("id").cast("string")).alias(
+                "node_attrs"
+            ),
+        )
+    )
+    big_links = (
+        spark.range(499)
+        .repartition(8)
+        .select(
+            F.concat(F.lit("p"), F.col("id")).alias("source_node"),
+            F.concat(F.lit("p"), (F.col("id") + 1)).alias("dest_node"),
+            F.lit(True).alias("is_directed"),
+            (F.col("id") * 7).alias("link_ts"),
+            F.create_map(F.lit("w"), F.lit("2")).alias("link_attrs"),
+        )
+    )
+    out2 = tmp_path / "big.pangraph.graphml"
+    write_pangraph_file(big_nodes, big_links, str(out2))
+    text = out2.read_text(encoding="utf-8")
+    assert text == write_pangraph(big_nodes, big_links)
+    assert text.count("<node ") == 500 and text.count("<edge ") == 499
+
+
 def test_connected_components(spark):
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("x", "y"), ("z", "z")],

@@ -57,7 +57,9 @@ def test_syslog_parse(spark):
     ]
     assert root["neighbor_links"][0]["link_attrs"] == {"path_lifetime_sec": "1080"}
     mid = by_subject["dao://[fd00::bbb:4:5:6]"]
-    assert mid["node_attrs"] == {}
+    # non-root: `DAONode Nothing` — presence marker only (DAO.hs:55-61),
+    # dropped by the GraphML/pangraph writers, consumed by the JSON wire
+    assert mid["node_attrs"] == {"dao_present": "true"}
     assert [l["target_node"] for l in mid["neighbor_links"]] == [
         "dao://[fd00::ccc:7:8:9]",
         "dao://[::42]",              # compact 6G-0042 -> low-16-bit address

@@ -176,6 +176,49 @@ def test_combined_node_json_wire_and_roundtrip(spark):
     assert back == {nid: attrs for nid, attrs in rows}
 
 
+def test_nonroot_dao_node_encodes_present_dao(spark):
+    # The normal non-root DAO case is `Just (DAONode Nothing)`
+    # (DAO.hs:55-61): contiki's non-root branch emits the dao_present
+    # marker, combine_nodes carries it, and the wire document must be
+    # {"dao": {"dao_route_num": null}} — NOT dao-absent. The marker
+    # itself never round-trips into serializer output.
+    import json
+
+    from net_spider_spark.graphml import write_graphml
+    from net_spider_spark.pangraph import make_vertices
+    from net_spider_spark.rpl.combined import combine_nodes
+    from net_spider_spark.rpl.jsonutil import combined_nodes_to_json
+
+    dio_nodes = spark.createDataFrame(
+        [("dio://[fd00::2]", False, 1000,
+          {"rank": "512", "dio_interval": "8"})],
+        "node_id string, is_on_boundary boolean, node_ts long, "
+        "node_attrs map<string,string>",
+    )
+    dao_nodes = spark.createDataFrame(
+        [("dao://[fd00::2]", False, 2000, {"dao_present": "true"})],
+        "node_id string, is_on_boundary boolean, node_ts long, "
+        "node_attrs map<string,string>",
+    )
+    combined = combine_nodes(dio_nodes, dao_nodes)
+    enc = json.loads(combined_nodes_to_json(combined).collect()[0]["json"])
+    assert enc == {"dio": {"rank": 512, "dio_interval": 8},
+                   "dao": {"dao_route_num": None}}
+
+    # GraphML hides the marker (`toAttributes (DAONode Nothing) = []`)
+    empty_links = spark.createDataFrame(
+        [],
+        "source_node string, dest_node string, is_directed boolean, "
+        "link_ts long, link_attrs map<string,string>",
+    )
+    xml = write_graphml(combined, empty_links)
+    assert "dao_present" not in xml
+    assert "rank" in xml
+    # ... and so does the pangraph vertex conversion
+    vat = make_vertices(combined).collect()[0]["attributes"]
+    assert "dao_present" not in vat and vat["rank"] == "512"
+
+
 def test_combined_link_json_wire_and_roundtrip(spark):
     import json
 
