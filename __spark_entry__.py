@@ -1664,107 +1664,107 @@ def q_stream_latest_link_per_pair(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so a time-budgeted driver gate attests the queries with the
-    # weakest evidence first: group 1 = no green CORRECTNESS_r* entry yet,
-    # group 2 = last green in r2, group 3 = green in r3. Within each group
-    # the order stays cheapest-first (measured at sf0.01,
-    # tools/check_oracles.py) to maximize coverage per budget.
+    # Ordered so a time-budgeted driver gate attests the queries with
+    # the weakest evidence first (groups recomputed each round from the
+    # latest CORRECTNESS_r{N}.json, cheapest-first within each group at
+    # measured sf0.01 cost so the budget covers as many as possible):
+    # group 1 = last driver-green in r3 (stale; the driver's 50-query
+    # r4 budget did not re-sample them), group 2 = driver-green in r4
+    # (freshest signal). New queries always join the FRONT of group 1.
     return {
-        # Group 1: no driver CORRECTNESS entry yet (never sampled, or FAIL
-        # in r2 and since fixed) -- run these first so round 4 attests them.
-        "sim_knn_join": q_sim_knn_join,
-        "temporal_rollup": q_temporal_rollup,
-        "curate_temperature_mixture": q_curate_temperature_mixture,
-        "graph_sssp": q_graph_sssp,
-        "graph_pagerank": q_graph_pagerank,
-        "graph_kcore": q_graph_kcore,
-        "typed_attrs_links": q_typed_attrs_links,
-        "stream_dedup_digests": q_stream_dedup_digests,
-        "multimodal_audio_decode": q_multimodal_audio_decode,
-        "stream_sessionize": q_stream_sessionize,
-        "stream_windowed_stats": q_stream_windowed_stats,
-        "text_lm_score": q_text_lm_score,
-        "stream_latest_per_node": q_stream_latest_per_node,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "rpl_dio_merged": q_rpl_dio_merged,
-        "stream_stream_join": q_stream_stream_join,
-        "graph_sssp_dist": q_graph_sssp_dist,
-        "graph_kcore_dist": q_graph_kcore_dist,
-        "graph_triangles": q_graph_triangles,
-        "graph_pagerank_dist": q_graph_pagerank_dist,
-        "j5_reachability_dist": q_j5_reachability_dist,
-        "stream_latest_link_per_pair": q_stream_latest_link_per_pair,
-        "dedup_span_removal": q_dedup_span_removal,
-        "graph_components_dist": q_graph_components_dist,
-        # Group 2: last driver-green in r2; refresh their attestation next.
-        "j5_reachability": q_j5_reachability,
-        "a10_degree": q_a10_degree,
-        "dedup_jaccard": q_dedup_jaccard,
-        "snapshot_timeline": q_snapshot_timeline,
-        "curate_decontaminate": q_curate_decontaminate,
-        "graph_components": q_graph_components,
-        "j6_boundary_nodes": q_j6_boundary_nodes,
-        "snapshot_links_append_interval": q_snapshot_links_append_interval,
-        "text_fingerprint": q_text_fingerprint,
-        "snapshot_links_append": q_snapshot_links_append,
-        "curate_mixture_sample": q_curate_mixture_sample,
-        "tpch_q3_topk": q_tpch_q3_topk,
-        "dedup_representatives": q_dedup_representatives,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "dedup_embedding": q_dedup_embedding,
-        "snapshot_links_multilink": q_snapshot_links_multilink,
-        "curate_hash_sample": q_curate_hash_sample,
-        # Group 3: driver-green in r3 (freshest signal); cheapest-first within.
-        "embed_truncate": q_embed_truncate,
-        "f2_node_lookup": q_f2_node_lookup,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "a4_pair_group_stats": q_a4_pair_group_stats,
-        "c1_timestamp_format": q_c1_timestamp_format,
-        "c8_direction_resolution": q_c8_direction_resolution,
-        "curate_chunks": q_curate_chunks,
-        "curate_split": q_curate_split,
-        "curate_topk_per_source": q_curate_topk_per_source,
-        "multimodal_image_decode": q_multimodal_image_decode,
-        "text_quality": q_text_quality,
-        "text_quality_filter": q_text_quality_filter,
+        # Group 1: last driver-green in r3 — re-attest these first.
         "text_token_stats": q_text_token_stats,
-        "tpch_q1": q_tpch_q1,
         "curate_stratified_sample": q_curate_stratified_sample,
         "dedup_exact": q_dedup_exact,
-        "embed_quantize_int8": q_embed_quantize_int8,
-        "events_quantiles": q_events_quantiles,
-        "f1_interval_filter": q_f1_interval_filter,
         "curate_pii_scrub": q_curate_pii_scrub,
         "curate_shuffle_shards": q_curate_shuffle_shards,
-        "dedup_minhash": q_dedup_minhash,
+        "a7_graph_timestamp": q_a7_graph_timestamp,
+        "f1_interval_filter": q_f1_interval_filter,
+        "u2_union_links": q_u2_union_links,
+        "curate_pack": q_curate_pack,
+        "text_quality": q_text_quality,
+        "text_quality_filter": q_text_quality_filter,
+        "tpch_q1": q_tpch_q1,
+        "embed_quantize_int8": q_embed_quantize_int8,
+        "events_quantiles": q_events_quantiles,
         "events_sessionize": q_events_sessionize,
         "j9_combine_nodes": q_j9_combine_nodes,
         "text_lang_id": q_text_lang_id,
+        "curate_weighted_sample": q_curate_weighted_sample,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
         "tpch_q18": q_tpch_q18,
         "a1_latest_finding_per_node": q_a1_latest_finding_per_node,
-        "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
-        "snapshot_incremental_links": q_snapshot_incremental_links,
-        "curate_weighted_sample": q_curate_weighted_sample,
-        "dedup_simhash": q_dedup_simhash,
-        "events_session_stats": q_events_session_stats,
-        "tpch_region_revenue": q_tpch_region_revenue,
-        "u2_union_links": q_u2_union_links,
-        "a7_graph_timestamp": q_a7_graph_timestamp,
-        "curate_pack": q_curate_pack,
-        "curate_repetition": q_curate_repetition,
-        "dedup_exact_incremental": q_dedup_exact_incremental,
         "sim_topk": q_sim_topk,
-        "temporal_asof_forward": q_temporal_asof_forward,
         "temporal_interval_join": q_temporal_interval_join,
         "events_funnel": q_events_funnel,
-        "sim_lsh_topk": q_sim_lsh_topk,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "sketch_kmv_merged": q_sketch_kmv_merged,
-        "snapshot_links_overwrite": q_snapshot_links_overwrite,
-        "snapshot_nodes_overwrite": q_snapshot_nodes_overwrite,
+        "multimodal_image_decode": q_multimodal_image_decode,
+        "dedup_minhash": q_dedup_minhash,
+        "events_session_stats": q_events_session_stats,
+        "curate_repetition": q_curate_repetition,
+        "temporal_asof_forward": q_temporal_asof_forward,
+        "tpch_region_revenue": q_tpch_region_revenue,
+        "snapshot_incremental_links": q_snapshot_incremental_links,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "dedup_simhash": q_dedup_simhash,
+        "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
         "temporal_asof": q_temporal_asof,
         "text_bm25": q_text_bm25,
+        "snapshot_links_overwrite": q_snapshot_links_overwrite,
         "text_common_ngrams": q_text_common_ngrams,
+        "snapshot_nodes_overwrite": q_snapshot_nodes_overwrite,
+        # Group 2: driver-green in r4 (freshest); cheapest-first within.
+        "curate_hash_sample": q_curate_hash_sample,
+        "f2_node_lookup": q_f2_node_lookup,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "curate_split": q_curate_split,
+        "embed_truncate": q_embed_truncate,
+        "curate_chunks": q_curate_chunks,
+        "curate_topk_per_source": q_curate_topk_per_source,
+        "text_fingerprint": q_text_fingerprint,
+        "a4_pair_group_stats": q_a4_pair_group_stats,
+        "c1_timestamp_format": q_c1_timestamp_format,
+        "c8_direction_resolution": q_c8_direction_resolution,
+        "curate_mixture_sample": q_curate_mixture_sample,
+        "tpch_q3_topk": q_tpch_q3_topk,
+        "dedup_jaccard": q_dedup_jaccard,
+        "multimodal_audio_decode": q_multimodal_audio_decode,
+        "j6_boundary_nodes": q_j6_boundary_nodes,
+        "snapshot_timeline": q_snapshot_timeline,
+        "curate_decontaminate": q_curate_decontaminate,
+        "graph_sssp": q_graph_sssp,
+        "dedup_span_removal": q_dedup_span_removal,
+        "stream_windowed_stats": q_stream_windowed_stats,
+        "snapshot_links_append_interval": q_snapshot_links_append_interval,
+        "stream_dedup_digests": q_stream_dedup_digests,
+        "graph_components": q_graph_components,
+        "stream_sessionize": q_stream_sessionize,
+        "a10_degree": q_a10_degree,
+        "graph_pagerank": q_graph_pagerank,
+        "snapshot_links_append": q_snapshot_links_append,
+        "snapshot_links_multilink": q_snapshot_links_multilink,
+        "graph_kcore": q_graph_kcore,
+        "typed_attrs_links": q_typed_attrs_links,
+        "text_lm_score": q_text_lm_score,
+        "stream_latest_per_node": q_stream_latest_per_node,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_representatives": q_dedup_representatives,
+        "curate_temperature_mixture": q_curate_temperature_mixture,
+        "temporal_rollup": q_temporal_rollup,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "stream_stream_join": q_stream_stream_join,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "graph_triangles": q_graph_triangles,
+        "j5_reachability_dist": q_j5_reachability_dist,
+        "rpl_dio_merged": q_rpl_dio_merged,
+        "graph_sssp_dist": q_graph_sssp_dist,
+        "stream_latest_link_per_pair": q_stream_latest_link_per_pair,
+        "graph_pagerank_dist": q_graph_pagerank_dist,
+        "graph_kcore_dist": q_graph_kcore_dist,
+        "j5_reachability": q_j5_reachability,
+        "sim_knn_join": q_sim_knn_join,
+        "graph_components_dist": q_graph_components_dist,
     }
 
 
