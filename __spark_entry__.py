@@ -1433,6 +1433,57 @@ def q_multimodal_image_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_png_decode(spark, sf_dir):
+    # REAL PNG decode through image_features: synthesize 8-bit PNGs
+    # (zlib deflate + per-row filter) with a vertical gradient so the
+    # Up/Sub/Average/Paeth unfilter paths all reconstruct non-trivial
+    # predictions, cycling color type (gray/RGB/RGBA) and filter type
+    # per event. Width/height/channel means are analytically
+    # predictable, so any unfilter or channel-order bug fails the hash.
+    import numpy as np
+    import pandas as pd
+
+    from net_spider_spark.pipeline import multimodal as MM
+
+    ev = (
+        _events_typed(spark, sf_dir)
+        .where(F.col("event_id") % 25 == 13)
+        .select("event_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                w, h = 4 + eid % 6, 3 + eid % 5
+                base = eid % 199
+                channels = (1, 3, 4)[eid % 3]
+                y = np.arange(h, dtype=np.uint8)[:, None, None]
+                c = np.arange(channels, dtype=np.uint8)[None, None, :]
+                img = np.broadcast_to(
+                    base + 10 * c + y, (h, w, channels)
+                ).astype(np.uint8)
+                payloads.append(MM.encode_png(img, filter_type=eid % 5))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["event_id"],
+                    "mime": "image/png",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth,
+        schema="media_id bigint, mime string, payload binary, "
+        "meta map<string,string>",
+    )
+    return MM.image_features(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 def _run_available_now(stream_df, name: str, output_mode: str):
     """Run a streaming DataFrame to completion with availableNow into a
     memory sink and return the sink contents as a batch DataFrame.
@@ -1672,7 +1723,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # r4 budget did not re-sample them), group 2 = driver-green in r4
     # (freshest signal). New queries always join the FRONT of group 1.
     return {
-        # Group 1: last driver-green in r3 — re-attest these first.
+        # Group 1: no attestation yet (new this round) or last
+        # driver-green in r3 — re-attest these first.
+        "multimodal_png_decode": q_multimodal_png_decode,
         "text_token_stats": q_text_token_stats,
         "curate_stratified_sample": q_curate_stratified_sample,
         "dedup_exact": q_dedup_exact,
@@ -2867,6 +2920,19 @@ walk(node_id, dist, hops) AS (
   WHERE w.hops < 6
 )
 SELECT node_id, min(dist) AS dist FROM walk GROUP BY 1
+""",
+        "multimodal_png_decode": """
+SELECT event_id AS media_id,
+       CAST(4 + event_id % 6 AS INT) AS width,
+       CAST(3 + event_id % 5 AS INT) AS height,
+       (event_id % 199) + ((3 + event_id % 5) - 1) / 2.0 AS mean_r,
+       (event_id % 199)
+         + CASE WHEN event_id % 3 = 0 THEN 0 ELSE 10 END
+         + ((3 + event_id % 5) - 1) / 2.0 AS mean_g,
+       (event_id % 199)
+         + CASE WHEN event_id % 3 = 0 THEN 0 ELSE 20 END
+         + ((3 + event_id % 5) - 1) / 2.0 AS mean_b
+FROM events WHERE event_id % 25 = 13
 """,
         "multimodal_image_decode": """
 SELECT event_id AS media_id,

@@ -82,6 +82,9 @@ HEADLINE = [
     # intra-corpus cleaning) over the narrow n-gram pipeline.
     "dedup_span_removal",
     "events_funnel",
+    # round-5 addition: real PNG decode (zlib inflate + unfilter)
+    # through the mapInPandas image-feature extractor.
+    "multimodal_png_decode",
 ]
 
 

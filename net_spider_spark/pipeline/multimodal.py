@@ -6,15 +6,17 @@ beside typed metadata (mime, width/height, duration, sample rate). The
 Spark-side contract here is real and tested — schema, partition-size
 control, ``mapInPandas`` batch shape, error channels.
 
-Decode is REAL for codec-free container formats, implemented in pure
+Decode is REAL for stdlib-decodable formats, implemented in pure
 numpy (:func:`decode_wav` PCM 8/16-bit, :func:`decode_bmp` uncompressed
-24/32-bit, :func:`decode_ppm` binary P6), as are nearest-neighbor
-resize and the audio/image feature extractors built on them. Formats
-that genuinely need a codec library (jpeg/png/mp3/video) raise
-``NotImplementedError`` from :func:`decode_media`; inside the Spark
-operators that lands in the per-row ``error`` column, so a corpus with
-mixed formats still processes everything decodable (install pillow /
-torchaudio and pass ``decoder=`` to extend coverage in production).
+24/32-bit, :func:`decode_ppm` binary P6, :func:`decode_png` 8-bit
+non-interlaced via zlib inflate + per-row unfilter), as are
+nearest-neighbor resize and the audio/image feature extractors built
+on them. Formats that genuinely need a codec library (jpeg/gif/mp3/
+video) raise ``NotImplementedError`` from :func:`decode_media`; inside
+the Spark operators that lands in the per-row ``error`` column, so a
+corpus with mixed formats still processes everything decodable
+(install pillow / torchaudio and pass ``decoder=`` to extend coverage
+in production).
 """
 
 from __future__ import annotations
@@ -148,6 +150,173 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return px
 
 
+def _png_paeth_predictor(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec §9, filter type 4)."""
+    a32, b32, c32 = (x.astype(np.int32) for x in (a, b, c))
+    p = a32 + b32 - c32
+    pa, pb, pc = np.abs(p - a32), np.abs(p - b32), np.abs(p - c32)
+    return np.where((pa <= pb) & (pa <= pc), a32, np.where(pb <= pc, b32, c32))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Decode an 8-bit-depth non-interlaced PNG into an RGB uint8 array
+    of shape (height, width, 3) — pure stdlib + numpy (``zlib`` inflate
+    of the IDAT stream, then per-row unfilter per PNG spec §9).
+
+    Supported: color types 0 (gray, replicated to RGB), 2 (RGB),
+    3 (palette via PLTE), 4 (gray+alpha) and 6 (RGBA) — alpha is
+    dropped. 16-bit depth, sub-byte depths, and Adam7 interlacing raise
+    ``NotImplementedError`` into the operators' per-row error channel.
+
+    Filters 0-2 and the lane-wise Sub cumsum are vectorized; Average/
+    Paeth reconstruction is inherently sequential along a row (each
+    byte needs the already-reconstructed left neighbor), so those rows
+    run a per-byte Python loop — fine for thumbnails and test corpora;
+    point ``decoder=`` at a codec library for bulk photographic data.
+    """
+    import zlib
+
+    if payload is None or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + payload + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, filt_method, interlace = ihdr
+    if comp != 0 or filt_method != 0:
+        raise ValueError("nonstandard compression/filter method")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG")
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit-depth PNG")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if channels is None:
+        raise ValueError(f"PNG color type {color}")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    scan = np.frombuffer(raw, np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters, data = scan[:, 0], scan[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(h):
+        f, row = int(filters[y]), data[y]
+        if f == 0:
+            cur = row.copy()
+        elif f == 1:  # Sub: cumulative sum along each bpp byte-lane
+            cur = (
+                np.cumsum(row.reshape(w, bpp).astype(np.int64), axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            cur = row + prev  # uint8 wraps mod 256 by construction
+        elif f in (3, 4):  # Average / Paeth: sequential along the row
+            vals = row.tolist()
+            pr = prev.tolist()
+            for x in range(stride):
+                left = vals[x - bpp] if x >= bpp else 0
+                if f == 3:
+                    pred = (left + pr[x]) >> 1
+                else:
+                    up, ul = pr[x], (pr[x - bpp] if x >= bpp else 0)
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (
+                        up if pb <= pc else ul
+                    )
+                vals[x] = (vals[x] + pred) & 0xFF
+            cur = np.asarray(vals, dtype=np.uint8)
+        else:
+            raise ValueError(f"PNG filter type {f}")
+        recon[y] = cur
+        prev = cur
+    if color == 2:
+        return recon.reshape(h, w, 3).copy()
+    if color == 6:
+        return recon.reshape(h, w, 4)[:, :, :3].copy()
+    if color == 0:
+        return np.repeat(recon.reshape(h, w, 1), 3, axis=2)
+    if color == 4:
+        return np.repeat(recon.reshape(h, w, 2)[:, :, :1], 3, axis=2)
+    # color == 3: palette lookup
+    if plte is None:
+        raise ValueError("palette PNG without PLTE")
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    idx = recon.reshape(h, w)
+    if idx.max(initial=0) >= len(pal):
+        raise ValueError("palette index out of range")
+    return pal[idx].copy()
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode a uint8 array as an 8-bit non-interlaced PNG (corpus/test
+    sink for :func:`decode_png`; also writes real thumbnails). Accepts
+    (h, w) or (h, w, 1) for gray (color type 0), (h, w, 3) RGB (2),
+    (h, w, 4) RGBA (6); ``filter_type`` 0-4 applies that filter to
+    every scanline (encoding predictors use raw neighbor values, so all
+    five vectorize)."""
+    import zlib
+
+    img = np.ascontiguousarray(np.asarray(img, dtype=np.uint8))
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, channels = img.shape
+    color_type = {1: 0, 3: 2, 4: 6}[channels]
+    bpp = channels
+    flat = img.reshape(h, w * bpp).astype(np.int32)
+    zero = np.zeros((h, w * bpp), dtype=np.int32)
+    left = np.concatenate([zero[:, : bpp], flat[:, :-bpp]], axis=1)
+    up = np.concatenate([zero[:1], flat[:-1]], axis=0)
+    upleft = np.concatenate([zero[:, : bpp], up[:, :-bpp]], axis=1)
+    if filter_type == 0:
+        pred = zero
+    elif filter_type == 1:
+        pred = left
+    elif filter_type == 2:
+        pred = up
+    elif filter_type == 3:
+        pred = (left + up) // 2
+    elif filter_type == 4:
+        pred = _png_paeth_predictor(left, up, upleft)
+    else:
+        raise ValueError(f"PNG filter type {filter_type}")
+    filtered = ((flat - pred) % 256).astype(np.uint8)
+    scan = np.concatenate(
+        [np.full((h, 1), filter_type, dtype=np.uint8), filtered], axis=1
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize via integer index maps (pure numpy)."""
     h, w = img.shape[:2]
@@ -170,8 +339,9 @@ def decode_media(payload: bytes, mime: str):
         return decode_bmp(payload)
     if payload[:2] == b"P6":
         return decode_ppm(payload)
+    if payload[:4] == b"\x89PNG":
+        return decode_png(payload)
     for magic, name in (
-        (b"\x89PNG", "png"),
         (b"\xff\xd8\xff", "jpeg"),
         (b"GIF8", "gif"),
         (b"ID3", "mp3"),

@@ -210,10 +210,97 @@ def test_resize_nearest():
 def test_decode_media_honest_about_codecs():
     import pytest
 
+    # jpeg genuinely needs a codec library; a malformed PNG is a data
+    # error (decode_png is real now), both land in the error channel
     with pytest.raises(NotImplementedError):
+        decode_media(b"\xff\xd8\xffjpegdata", "image/jpeg")
+    with pytest.raises(ValueError):
         decode_media(b"\x89PNG\r\n\x1a\nxxxx", "image/png")
     with pytest.raises(ValueError):
         decode_media(b"garbage!", None)
+
+
+def test_png_roundtrip_all_filters_and_colortypes():
+    # decode(encode(img)) == img for every scanline filter (0-4) and
+    # gray/RGB/RGBA, on random pixels — a wrong Sub/Up/Average/Paeth
+    # reconstruction cannot survive random data.
+    from net_spider_spark.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for channels in (1, 3, 4):
+        for ft in range(5):
+            img = rng.integers(0, 256, size=(9, 5, channels), dtype=np.uint8)
+            got = decode_png(encode_png(img, filter_type=ft))
+            want = (
+                np.repeat(img, 3, axis=2) if channels == 1
+                else img[:, :, :3]
+            )
+            assert np.array_equal(got, want), (channels, ft)
+
+
+def test_png_matches_bmp_on_identical_pixels():
+    # Same pixels through the PNG and BMP paths give identical arrays
+    # (and identical decode_media dispatch results).
+    from net_spider_spark.pipeline.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    from_png = decode_png(encode_png(px, filter_type=4))
+    from_bmp = decode_bmp(make_bmp(px))
+    assert np.array_equal(from_png, from_bmp)
+    assert np.array_equal(decode_media(encode_png(px), "image/png"), px)
+
+
+def test_png_palette_and_unsupported_variants():
+    import zlib
+
+    import pytest
+
+    from net_spider_spark.pipeline.multimodal import decode_png
+
+    def chunk(t, b):
+        return (struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # color type 3: palette lookup
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    scan = bytes([0, 0, 1, 0, 2, 0])
+    doc = (sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(scan)) + chunk(b"IEND", b""))
+    assert decode_png(doc).tolist() == [
+        [[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]]
+    # 16-bit depth and Adam7 interlace honestly refuse
+    for depth, interlace in ((16, 0), (8, 1)):
+        ihdr_bad = struct.pack(">IIBBBBB", 1, 1, depth, 2, 0, 0, interlace)
+        bad = (sig + chunk(b"IHDR", ihdr_bad)
+               + chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+               + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            decode_png(bad)
+
+
+def test_image_features_spark_png(spark):
+    # PNG payloads flow through the same mapInPandas feature extractor
+    # as BMP/PPM, magic-sniffed (the mime column is only a hint).
+    from net_spider_spark.pipeline.multimodal import encode_png
+
+    px = np.zeros((4, 6, 3), dtype=np.uint8)
+    px[:, :, 1] = 120  # green-ish
+    rows = [
+        (1, "application/octet-stream", bytearray(encode_png(px, 2)), None),
+        (2, "image/png", bytearray(b"\x89PNG\r\n\x1a\ntruncated"), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary, "
+        "meta map<string,string>"
+    )
+    got = {r["media_id"]: r for r in image_features(df, thumb_size=2).collect()}
+    ok = got[1]
+    assert ok["error"] is None and (ok["width"], ok["height"]) == (6, 4)
+    assert ok["mean_g"] == 120.0 and ok["mean_r"] == 0.0
+    assert got[2]["error"] is not None  # corrupt PNG -> error channel
 
 
 def test_audio_features_spark(spark):
