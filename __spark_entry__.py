@@ -1714,6 +1714,57 @@ def q_stream_latest_link_per_pair(spark, sf_dir):
     )
 
 
+def q_stream_rpl_dio_merged(spark, sf_dir):
+    # The reference's flagship CUSTOM unifier (dioUnifierConf two-
+    # endpoint merge, DIO.hs:255-279) maintained incrementally
+    # (streaming/ingest.py stream_unified_link_per_pair): state = each
+    # side's latest sample, re-merged per micro-batch. Emissions are
+    # reduced by the monotone _state_ord key (the merged row's found_at
+    # is NOT monotone — a winner flip can adopt the other side's older
+    # timestamp). Oracle = the batch rpl_dio_merged SQL WITHOUT the
+    # overwrite `kept` CTE: the stream folds over every sample in the
+    # history (per-side latest across all findings — append policy),
+    # not just each node's newest finding.
+    from net_spider_spark.rpl.dio import dio_unifier_conf
+    from net_spider_spark.streaming.ingest import stream_unified_link_per_pair
+
+    ev, stream = _events_stream(spark, sf_dir)
+    findings = demo.events_findings_dio_from(stream)
+    out = stream_unified_link_per_pair(findings, dio_unifier_conf())
+    res = _run_available_now(out, "stream_dio_sink", "update")
+    final = (
+        res.groupBy("p1", "p2")
+        .agg(
+            F.max_by(
+                F.struct(
+                    "subject_node", "target_node", "link_state",
+                    "found_at", "link_attrs",
+                ),
+                F.col("_state_ord"),
+            ).alias("s")
+        )
+        .select("s.*")
+        .where(F.col("link_state") == "to_target")
+    )
+    a = F.col("link_attrs")
+
+    def attr(k):
+        return F.coalesce(a.getItem(k), F.lit("")).alias(k)
+
+    return final.select(
+        F.col("subject_node").alias("source_node"),
+        F.col("target_node").alias("dest_node"),
+        F.lit(True).alias("is_directed"),
+        F.col("found_at").alias("link_ts"),
+        attr("source_neighbor_type"),
+        attr("source_neighbor_rank"),
+        attr("source_metric"),
+        attr("dest_neighbor_type"),
+        attr("dest_neighbor_rank"),
+        attr("dest_metric"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so a time-budgeted driver gate attests the queries with
     # the weakest evidence first (groups recomputed each round from the
@@ -1726,6 +1777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Group 1: no attestation yet (new this round) or last
         # driver-green in r3 — re-attest these first.
         "multimodal_png_decode": q_multimodal_png_decode,
+        "stream_rpl_dio_merged": q_stream_rpl_dio_merged,
         "text_token_stats": q_text_token_stats,
         "curate_stratified_sample": q_curate_stratified_sample,
         "dedup_exact": q_dedup_exact,
@@ -2278,6 +2330,66 @@ WHERE link_state <> 'unused'
         # -> pair groups -> per-side latest -> neighbor-type precedence
         # pick (left endpoint breaks ties) -> source_/dest_ attr split
         # -> drop unused. Mirrors demo.events_findings_dio + rpl/dio.py.
+        "stream_rpl_dio_merged": """
+WITH f AS (
+  SELECT event_id AS finding_id,
+         CAST(user_id % 50 AS VARCHAR) AS subject_node,
+         CAST(CASE WHEN user_id % 50 < 30
+              THEN CASE WHEN user_id % 50 % 2 = 0
+                   THEN user_id % 50 + 1 ELSE user_id % 50 - 1 END
+              ELSE (user_id % 50 + 1 + (event_id * 7) % 49) % 50
+              END AS VARCHAR) AS target_node,
+         epoch_ms(ts) AS found_at,
+         CASE (user_id + event_id) % 3
+           WHEN 0 THEN 'preferred_parent'
+           WHEN 1 THEN 'parent_candidate'
+           ELSE 'other_neighbor' END AS neighbor_type,
+         CAST((user_id + 2 * event_id) % 1024 AS VARCHAR) AS neighbor_rank,
+         CASE WHEN event_id % 3 <> 0 THEN CAST(event_id % 100 AS VARCHAR) END AS metric
+  FROM events
+),
+s AS (
+  SELECT *,
+         CASE WHEN neighbor_type = 'preferred_parent'
+              THEN 'to_target' ELSE 'unused' END AS link_state,
+         least(subject_node, target_node) AS p1,
+         greatest(subject_node, target_node) AS p2
+  FROM f
+),
+latest AS (
+  SELECT * FROM (
+    SELECT s.*, row_number() OVER (
+      PARTITION BY p1, p2, subject_node
+      ORDER BY found_at DESC, finding_id DESC) AS side_rn
+    FROM s) q
+  WHERE side_rn = 1
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY p1, p2
+    ORDER BY CASE neighbor_type
+               WHEN 'preferred_parent' THEN 0
+               WHEN 'parent_candidate' THEN 1
+               ELSE 2 END ASC,
+             CASE WHEN subject_node = p1 THEN 0 ELSE 1 END ASC
+  ) AS mrank
+  FROM latest
+)
+SELECT m.subject_node AS source_node,
+       m.target_node AS dest_node,
+       true AS is_directed,
+       m.found_at AS link_ts,
+       m.neighbor_type AS source_neighbor_type,
+       m.neighbor_rank AS source_neighbor_rank,
+       coalesce(m.metric, '') AS source_metric,
+       coalesce(d.neighbor_type, '') AS dest_neighbor_type,
+       coalesce(d.neighbor_rank, '') AS dest_neighbor_rank,
+       coalesce(d.metric, '') AS dest_metric
+FROM (SELECT * FROM ranked WHERE mrank = 1) m
+LEFT JOIN (SELECT * FROM ranked WHERE mrank = 2) d
+  ON d.p1 = m.p1 AND d.p2 = m.p2
+WHERE m.link_state = 'to_target'
+""",
         "rpl_dio_merged": """
 WITH f AS (
   SELECT event_id AS finding_id,

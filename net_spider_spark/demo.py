@@ -170,7 +170,12 @@ def events_findings_dio(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions of (user_id, event_id) so a SQL oracle can mirror every
     column; subjects are folded mod 50 so both endpoints of many pairs
     actually observe each other (the MergedDIOLink case)."""
-    ev = read_table(spark, sf_dir, "events")
+    return events_findings_dio_from(read_table(spark, sf_dir, "events"))
+
+
+def events_findings_dio_from(ev: DataFrame) -> DataFrame:
+    """The same DIO findings projection over an already-loaded events
+    DataFrame — batch or streaming (the projection is stateless)."""
     subject = F.col("user_id") % 50
     # Subjects < 30 pair up mutually (0<->1, 2<->3, ...) so both
     # endpoints observe the same physical link — the MergedDIOLink

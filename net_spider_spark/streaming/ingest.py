@@ -280,6 +280,20 @@ def stream_latest_link_per_pair(findings_stream: DataFrame) -> DataFrame:
     holds the same link rows the batch ``get_snapshot`` would produce
     on full replay (before negation, which needs the node view and
     stays a batch join over the two small maintained views)."""
+    keyed = _explode_link_samples(findings_stream)
+    return keyed.groupBy("p1", "p2").applyInPandasWithState(
+        _update_latest_link,
+        outputStructType=_LINK_OUT_SCHEMA,
+        stateStructType=_LINK_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+_UNIFIED_STATE_SCHEMA = "left STRING, right STRING"
+
+
+def _explode_link_samples(findings_stream: DataFrame) -> DataFrame:
     samples = findings_stream.select(
         "subject_node",
         "found_at",
@@ -294,13 +308,119 @@ def stream_latest_link_per_pair(findings_stream: DataFrame) -> DataFrame:
         F.col("nl.link_state").alias("link_state"),
         F.col("nl.link_attrs").alias("link_attrs"),
     )
-    keyed = samples.withColumn(
+    return samples.withColumn(
         "p1", F.least("subject_node", "target_node")
     ).withColumn("p2", F.greatest("subject_node", "target_node"))
-    return keyed.groupBy("p1", "p2").applyInPandasWithState(
-        _update_latest_link,
-        outputStructType=_LINK_OUT_SCHEMA,
-        stateStructType=_LINK_STATE_SCHEMA,
+
+
+def stream_unified_link_per_pair(findings_stream: DataFrame, conf) -> DataFrame:
+    """Custom-unifier incremental link view: the streaming twin of the
+    batch ``_unify_links`` custom-merge path (``snapshot.py``), keyed by
+    (pair, sub-ID) with ``applyInPandasWithState``.
+
+    State per key = the LATEST sample from each endpoint side (under
+    the batch ordering (found_at, finding_id, link_pos)); each
+    micro-batch folds its per-side argmax into the slots and re-runs
+    ``conf.merge_samples`` on the (<= 2)-row group — so replaying the
+    stream emits exactly what the batch ``applyInPandas`` merge
+    produces over the full sample history, late data included.
+
+    CONTRACT: faithful for unifiers whose merge depends only on each
+    endpoint's latest sample — the reference's flagship
+    ``dioUnifierConf`` (DIO.hs:255-279, "take each endpoint's latest,
+    pick the more parent-ish as base") and anything built like
+    ``latestLinkSample``. A merge that needs deeper per-pair history
+    (e.g. averaging all samples) cannot be maintained from this state
+    and must run the batch path on replay; pass it here and the result
+    reflects only each side's latest sample.
+
+    With ``conf.merge_samples is None`` this degrades to
+    :func:`stream_latest_link_per_pair` (ignoring ``sub_id``-less
+    default-merge configs' negation, which needs the node view and
+    stays a batch join downstream, as with the default path).
+    """
+    if conf.merge_samples is None:
+        return stream_latest_link_per_pair(findings_stream)
+    if conf.merge_output_schema is None:
+        raise ValueError("merge_output_schema required with merge_samples")
+    merge = conf.merge_samples
+    # The merged row's own found_at is NOT monotone across batches (a
+    # winner flip can adopt the other side's older timestamp), so each
+    # emission carries ``_state_ord`` — the two slot ordering tuples,
+    # which only ever advance — and a multi-batch update-mode sink
+    # reduces with max_by(_state_ord) to recover the final view
+    # independent of micro-batch boundaries.
+    out_schema = T.StructType(
+        list(conf.merge_output_schema.fields)
+        + [T.StructField("_state_ord", T.ArrayType(T.LongType()))]
+    )
+
+    keyed = _explode_link_samples(findings_stream)
+    sub_id = conf.sub_id() if conf.sub_id is not None else F.lit("")
+    keyed = keyed.withColumn("sub_id", sub_id)
+
+    _ORDER = ["found_at", "finding_id", "link_pos"]
+    _DOC_COLS = [
+        "subject_node", "target_node", "link_state",
+        "found_at", "finding_id", "link_pos",
+    ]
+
+    def update(key, pdf_iter: Iterable[pd.DataFrame], state: GroupState):
+        p1, p2, sid = key
+        if state.exists:
+            left, right = (
+                json.loads(s) if s is not None else None for s in state.get
+            )
+        else:
+            left, right = None, None
+        slots = [left, right]
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            for side, mask in enumerate(
+                (pdf["subject_node"] == p1, pdf["subject_node"] != p1)
+            ):
+                part = pdf[mask]
+                if not len(part):
+                    continue
+                i = part.sort_values(_ORDER).index[-1]
+                cand = {c: part[c].loc[i] for c in _DOC_COLS}
+                cand["found_at"] = int(cand["found_at"])
+                cand["finding_id"] = int(cand["finding_id"])
+                cand["link_pos"] = int(cand["link_pos"])
+                cand["link_attrs"] = dict(part["link_attrs"].loc[i] or {})
+                cur = slots[side]
+                if cur is None or (
+                    cand["found_at"], cand["finding_id"], cand["link_pos"]
+                ) > (cur["found_at"], cur["finding_id"], cur["link_pos"]):
+                    slots[side] = cand
+        state.update(
+            tuple(json.dumps(s) if s is not None else None for s in slots)
+        )
+        rows = [s for s in slots if s is not None]
+        group = pd.DataFrame(
+            [
+                {"p1": p1, "p2": p2, "sub_id": sid, **s}
+                for s in rows
+            ]
+        )
+        ord_vals = [
+            v
+            for s in slots
+            for v in (
+                (s["found_at"], s["finding_id"], s["link_pos"])
+                if s is not None
+                else (-1, -1, -1)
+            )
+        ]
+        mdf = merge(group)
+        mdf = mdf.assign(_state_ord=[list(ord_vals)] * len(mdf))
+        yield mdf
+
+    return keyed.groupBy("p1", "p2", "sub_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=_UNIFIED_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
