@@ -76,30 +76,63 @@ def _by_line_no(left, right):
     )
 
 
+_ADDR_HALVES_TYPE = T.StructType(
+    [
+        T.StructField("hi", T.LongType()),
+        T.StructField("lo", T.LongType()),
+        T.StructField("ok", T.BooleanType()),
+    ]
+)
+
+
+@F.pandas_udf(_ADDR_HALVES_TYPE)
+def _addr_halves(addr: pd.Series) -> pd.DataFrame:
+    """Address text (incl. compact 6G- forms) -> 2×Long halves (SURVEY
+    C4): Arrow batch in, pure numpy/pandas string kernels, NO per-row
+    Python loop (ipv6.parse_ipv6_halves). ok=False = unparseable (the
+    halves stay non-null int64 — nullable ints decay to float64 across
+    Arrow and round the low bits)."""
+    return ipv6.parse_ipv6_halves(addr)
+
+
 @F.pandas_udf(T.StringType())
-def _canon_addr(addr: pd.Series) -> pd.Series:
-    """Canonicalize an address (incl. compact 6G- forms); None if bad."""
+def _halves_to_addr(hi: pd.Series, lo: pd.Series) -> pd.Series:
+    """2×Long halves -> canonical RFC 5952 text, vectorized
+    (ipv6.format_ipv6_halves)."""
+    import numpy as np
 
-    def conv(a):
-        if a is None:
-            return None
-        try:
-            return ipv6.format_ipv6(ipv6.parse_ipv6(a))
-        except (ValueError, Exception):
-            return None
-
-    return addr.map(conv)
+    return ipv6.format_ipv6_halves(
+        hi.to_numpy(dtype=np.int64), lo.to_numpy(dtype=np.int64)
+    )
 
 
-@F.pandas_udf(T.StringType())
-def _resolve_neighbor_addr(subject: pd.Series, neighbor: pd.Series) -> pd.Series:
+def _canon_addr(col) -> F.Column:
+    """Canonicalize an address column through the 2×Long form."""
+    h = _addr_halves(col)
+    return F.when(
+        h.getField("ok"),
+        _halves_to_addr(h.getField("hi"), h.getField("lo")),
+    )
+
+
+def _resolve_neighbor_addr(subject, neighbor) -> F.Column:
     """Neighbor resolution: compact decode + link-local prefix
-    substitution with the subject's global prefix + canonicalize."""
-    return pd.Series(
-        [
-            ipv6.resolve_neighbor(s, n) if (s is not None and n is not None) else None
-            for s, n in zip(subject, neighbor)
-        ]
+    substitution + canonicalize. The address MATH is Catalyst bitwise
+    on the hi/lo-64 columns — link-local test = top 10 bits of the
+    high half (``isLinkLocal``, IPv6.hs:26-31), prefix substitution =
+    replace the whole high half with the subject's
+    (``setNonLocalPrefix``, ContikiNG.hs:239-243) — with Python only at
+    the text<->halves edges (both vectorized)."""
+    s = _addr_halves(subject)
+    n = _addr_halves(neighbor)
+    link_local = (
+        F.shiftrightunsigned(n.getField("hi"), 54)
+        == F.lit(ipv6.LINK_LOCAL_PREFIX)
+    )
+    hi = F.when(link_local, s.getField("hi")).otherwise(n.getField("hi"))
+    return F.when(
+        s.getField("ok") & n.getField("ok"),
+        _halves_to_addr(hi, n.getField("lo")),
     )
 
 
