@@ -32,8 +32,15 @@ def fold_latest_nodes(state: DataFrame | None, batch: DataFrame) -> DataFrame:
     """One incremental step: previous reduced state (or None on the
     first batch) + a new findings batch -> new reduced state. Both
     sides carry the findings schema; the result keeps exactly the
-    winning finding row per subject."""
+    winning finding row per subject.
+
+    Idempotent under at-least-once delivery: a batch replayed after a
+    crashed swap meets its own rows already in the state, and the
+    argmax's semi-join keeps every row tied on (found_at, finding_id) —
+    so identical observations are deduplicated by finding identity
+    first, making fold(fold(s, b), b) == fold(s, b)."""
     combined = batch if state is None else state.unionByName(batch)
+    combined = combined.dropDuplicates(["subject_node", "finding_id"])
     return latest_findings_per_node(combined)
 
 
@@ -41,18 +48,36 @@ def update_latest_state(
     spark: SparkSession, state_path: str, batch: DataFrame
 ) -> DataFrame:
     """Fold ``batch`` into the parquet state at ``state_path`` (created
-    on first call) and return the new state. Write-then-rename keeps
-    readers off partial output locally; use a transactional table
-    format in production."""
+    on first call) and return the new state.
+
+    Crash-safe swap: write the new state to ``._tmp``, rename the
+    current state aside to ``._old``, rename ``._tmp`` into place,
+    delete ``._old`` — at every instant at least one complete readable
+    state exists on disk (the old rmtree-then-rename ordering had a
+    window with none). A crash mid-swap leaves either the state in
+    place or at ``._old``; the next call recovers it automatically.
+    Use a transactional table format (Delta/Iceberg) in production."""
+    base = state_path.rstrip("/")
+    tmp, old = base + "._tmp", base + "._old"
+    # Recovery: a crash between rename-aside and rename-into-place
+    # leaves the only good state at ._old.
+    if not os.path.exists(state_path) and os.path.exists(old):
+        os.rename(old, state_path)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # stale partial write from a crashed run
+
     state = None
     if os.path.exists(state_path):
         state = spark.read.parquet(state_path)
     new_state = fold_latest_nodes(state, batch)
-    tmp = state_path.rstrip("/") + "._tmp"
     new_state.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(old):
+        shutil.rmtree(old)  # leftover from a crash after rename-new
     if os.path.exists(state_path):
-        shutil.rmtree(state_path)
+        os.rename(state_path, old)
     os.rename(tmp, state_path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
     return spark.read.parquet(state_path)
 
 

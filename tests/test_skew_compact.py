@@ -141,3 +141,68 @@ def test_update_latest_state_parquet_fold(spark, tmp_path):
     assert sorted(
         (r["subject_node"], r["finding_id"]) for r in full.collect()
     ) == sorted((r["subject_node"], r["finding_id"]) for r in got.collect())
+
+
+def test_update_latest_state_crash_windows(spark, tmp_path, monkeypatch):
+    # VERDICT r4 #9: the swap is write-new -> rename-aside -> rename-new
+    # -> delete-old, so a kill at ANY point leaves a complete readable
+    # state on disk (in place or at ._old) and the next call recovers.
+    import shutil as _shutil
+
+    import pytest
+
+    import net_spider_spark.incremental as inc
+
+    schema = (
+        "finding_id long, subject_node string, found_at long, "
+        "tz_offset_min int, tz_summer_only boolean, tz_name string, "
+        "node_attrs map<string,string>, "
+        "neighbor_links array<struct<target_node:string,link_state:string,"
+        "link_attrs:map<string,string>>>"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a", 100, None, None, None, {}, [])], schema)
+    b2 = spark.createDataFrame(
+        [(2, "a", 900, None, None, None, {}, [])], schema)
+    sp = str(tmp_path / "state")
+    inc.update_latest_state(spark, sp, b1)
+
+    # Kill in the window AFTER rename-aside, BEFORE rename-into-place —
+    # the exact spot the old rmtree ordering left zero readable state.
+    real_rename = os.rename
+
+    def dying_rename(src, dst):
+        real_rename(src, dst)
+        if src == sp:  # just moved the live state aside
+            raise RuntimeError("killed mid-swap")
+
+    monkeypatch.setattr(inc.os, "rename", dying_rename)
+    with pytest.raises(RuntimeError, match="killed mid-swap"):
+        inc.update_latest_state(spark, sp, b2)
+    monkeypatch.setattr(inc.os, "rename", real_rename)
+    # a complete state survives (aside), and recovery folds correctly
+    assert os.path.exists(sp + "._old") and not os.path.exists(sp)
+    got = inc.update_latest_state(spark, sp, b2)
+    assert [r["found_at"] for r in got.collect()] == [900]
+    assert not os.path.exists(sp + "._old")
+    assert not os.path.exists(sp + "._tmp")
+
+    # Kill AFTER rename-into-place, BEFORE delete-old: state_path wins,
+    # the stale aside copy is cleaned on the next call.
+    b3 = spark.createDataFrame(
+        [(3, "a", 950, None, None, None, {}, [])], schema)
+    real_rmtree = _shutil.rmtree
+
+    def dying_rmtree(path, *a, **kw):
+        if path == sp + "._old":
+            raise RuntimeError("killed before delete-old")
+        return real_rmtree(path, *a, **kw)
+
+    monkeypatch.setattr(inc.shutil, "rmtree", dying_rmtree)
+    with pytest.raises(RuntimeError, match="killed before delete-old"):
+        inc.update_latest_state(spark, sp, b3)
+    monkeypatch.setattr(inc.shutil, "rmtree", real_rmtree)
+    assert os.path.exists(sp) and os.path.exists(sp + "._old")
+    got = inc.update_latest_state(spark, sp, b3)
+    assert [r["found_at"] for r in got.collect()] == [950]
+    assert not os.path.exists(sp + "._old")
