@@ -41,6 +41,7 @@ def snapshot(
     interval=None,
     starts_from: Optional[Sequence[str]] = None,
     negation: bool = True,
+    negates=None,
 ):
     """Returns (nodes, links): nodes = {node_id: (is_boundary=False,
     node_ts|None, attrs|None)}; links = set of (source, dest,
@@ -113,10 +114,16 @@ def snapshot(
         winner = max(grp, key=lambda s: (s[3], s[4], s[5]))
         subject, target, state, ts, _, _ = winner
         if negation:
+            # negates: optional custom rule (the spec-side analogue of
+            # unify.NegatesExpr), called as (end_id, end_ts, sample_subject,
+            # sample_found_at) -> bool; None = defNegatesLinkSample.
             negated = False
             for end in pair:
                 end_ts = nodes.get(end, (False, None, None))[1]
-                if end_ts is not None and ts < end_ts and subject != end:
+                if negates is not None:
+                    if negates(end, end_ts, subject, ts):
+                        negated = True
+                elif end_ts is not None and ts < end_ts and subject != end:
                     negated = True
             if negated:
                 continue

@@ -112,6 +112,54 @@ def test_traversal_matches_spec(spark, fs, starts):
     check(spark, fs, "overwrite", starts_from=starts)
 
 
+@given(
+    fs=findings_st,
+    policy=st.sampled_from(["overwrite", "append"]),
+    grace=st.integers(min_value=0, max_value=10),
+    exempt_subject=st.booleans(),
+)
+@_settings
+def test_custom_negates_matches_spec(spark, fs, policy, grace, exempt_subject):
+    """A USER-SUPPLIED negates rule (not the default strict-< of
+    Unify.hs:213-217) through engine vs spec: negate when an endpoint's
+    node timestamp is newer than the link's by MORE than a grace
+    period, optionally without the reporter-subject exemption. Fuzzing
+    grace and the exemption covers a family of custom rules including
+    ones stricter and laxer than the default."""
+    from pyspark.sql import functions as F
+
+    from net_spider_spark.unify import UnifyConfig
+
+    def py_rule(end, end_ts, subject, ts):
+        if end_ts is None:
+            return False
+        if exempt_subject and subject == end:
+            return False
+        return ts + grace < end_ts
+
+    def engine_rule(node_id, node_ts):
+        cond = node_ts.isNotNull() & (
+            F.col("found_at") + F.lit(grace) < node_ts
+        )
+        if exempt_subject:
+            cond = cond & (F.col("subject_node") != node_id)
+        return cond
+
+    exp_nodes, exp_links = py_snapshot(fs, policy=policy, negates=py_rule)
+    got_nodes, got_links = run_engine(
+        spark,
+        fs,
+        found_node_policy=policy,
+        unify=UnifyConfig(negates=engine_rule),
+    )
+    assert got_nodes == {
+        n: (b, ts) for n, (b, ts, _) in exp_nodes.items()
+    }, f"nodes differ for {fs} grace={grace} exempt={exempt_subject}"
+    assert got_links == exp_links, (
+        f"links differ for {fs} grace={grace} exempt={exempt_subject}"
+    )
+
+
 def test_hub_skew_shape(spark):
     """A mega-hub (every node observes the same target) must neither
     break correctness nor stall: the pair groups stay per-counterpart,
