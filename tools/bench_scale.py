@@ -109,6 +109,137 @@ def main() -> None:
     ).select("src", F.col("nl.target_node").alias("dst"))
     starts = findings.select(F.col("subject_node").alias("node_id")).limit(1)
     timed("bfs_reachability", lambda: force(reachable_nodes(edges, starts)))
+    findings.unpersist()
+
+    # ---- round-4/5 headline families over replicated corpora ----
+    from net_spider_spark.pipeline import dedup as D
+    from net_spider_spark.pipeline import temporal as TP
+
+    # Documents replicated verbatim with distinct ids: the duplicated-
+    # gram set joins each gram OCCURRENCE against the distinct dup set
+    # (never pairwise), so replication scales the gram table linearly
+    # while driving duplication density up — the hostile-but-linear case.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    docs_rep = (
+        docs.crossJoin(rep)
+        .withColumn("doc_id", F.col("doc_id") * factor + F.col("_r"))
+        .drop("_r")
+        .persist()
+    )
+    n_docs = docs_rep.count()
+    timed(
+        "dedup_span_removal",
+        lambda: force(D.remove_duplicate_spans(docs_rep, n=10)),
+    )
+    docs_rep.unpersist()
+
+    ev = demo.read_table(spark, sf_dir, "events")
+    ev_rep = (
+        ev.crossJoin(rep)
+        .select(
+            (F.col("event_id") * factor + F.col("_r")).alias("event_id"),
+            "user_id",
+            "event_type",
+            "value",
+            (demo.ts_epoch_ms(ev) + F.col("_r")).alias("ts_ms"),
+        )
+        .persist()
+    )
+    n_events = ev_rep.count()
+    clicks = ev_rep.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_ms"
+    )
+    errors = (
+        ev_rep.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts_ms")
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    timed(
+        "temporal_asof",
+        lambda: force(
+            TP.asof_join(
+                clicks, errors, on="ts_ms", by=["user_id"], ref_cols=["err_id"]
+            )
+        ),
+    )
+    # Interval join against synthesized hour-wide incident windows (the
+    # operator under test is the bucket-chunked range join; the window
+    # list derivation is kept O(distinct hours) on purpose).
+    incidents = (
+        ev_rep.where(F.col("event_type") == "error")
+        .select((F.col("ts_ms") - F.col("ts_ms") % 3_600_000).alias("w_start"))
+        .distinct()
+        .select(
+            F.col("w_start"),
+            (F.col("w_start") + 3_599_999).alias("w_end"),
+            F.col("w_start").alias("incident_id"),
+        )
+    )
+    timed(
+        "temporal_interval_join",
+        lambda: force(
+            TP.interval_join(
+                clicks, incidents, point_ts="ts_ms",
+                start_col="w_start", end_col="w_end",
+            )
+        ),
+    )
+    timed(
+        "temporal_rollup",
+        lambda: force(
+            TP.time_rollup(ev_rep, resolutions=(3_600_000, 86_400_000))
+        ),
+    )
+
+    # Watermarked streaming window over the replicated events, replayed
+    # through a real file-source stream (write untimed, stream timed).
+    import shutil
+    import tempfile
+
+    from net_spider_spark.streaming.windows import stream_windowed_stats
+
+    stream_dir = tempfile.mkdtemp(prefix="nss_scale_stream_")
+    try:
+        ev_rep.repartition(int(cpus)).write.mode("overwrite").parquet(
+            f"{stream_dir}/events"
+        )
+        ev_rep.unpersist()
+
+        def run_stream():
+            src = (
+                spark.readStream.schema(
+                    spark.read.parquet(f"{stream_dir}/events").schema
+                ).parquet(f"{stream_dir}/events")
+            )
+            evs = src.select(
+                "event_type",
+                "value",
+                F.timestamp_millis(F.col("ts_ms")).alias("event_time"),
+            )
+            out = stream_windowed_stats(
+                evs,
+                ts_col="event_time",
+                group_cols=("event_type",),
+                value_col="value",
+                window="1 hour",
+                watermark="2 hours",
+            )
+            ckpt = tempfile.mkdtemp(prefix="nss_scale_ckpt_")
+            q = (
+                out.writeStream.format("memory")
+                .queryName("scale_ws_sink")
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            spark.table("scale_ws_sink").count()
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+        timed("stream_windowed_stats", run_stream)
+    finally:
+        shutil.rmtree(stream_dir, ignore_errors=True)
 
     print(
         json.dumps(
@@ -119,6 +250,8 @@ def main() -> None:
                 "queries": timings,
                 "counters": counters,
                 "rows": n,
+                "docs": n_docs,
+                "events": n_events,
                 "replicate": factor,
             }
         )
