@@ -44,7 +44,7 @@ from net_spider_spark.snapshot import (
     snapshot_to_json,
 )
 from net_spider_spark.weaver import Weaver
-from net_spider_spark.graphml import write_graphml, write_graphml_file
+from net_spider_spark.graphml import to_node_id, write_graphml, write_graphml_file
 from net_spider_spark.pangraph import write_pangraph, write_pangraph_file
 from net_spider_spark.ingest import (
     clear_all,
@@ -88,6 +88,7 @@ __all__ = [
     "snapshot_from_json",
     "snapshot_to_json",
     "Weaver",
+    "to_node_id",
     "write_graphml",
     "write_graphml_file",
     "write_pangraph",

@@ -21,6 +21,93 @@ from typing import Iterable, Optional
 from pyspark.sql import DataFrame
 
 
+def haskell_show_real(x, single: bool = False) -> str:
+    """Haskell's ``show`` for Double/Float (``nodeIDByShow``,
+    GraphML/Writer.hs:73-74): shortest round-tripping digits, fixed
+    notation for 0.1 <= |x| < 10^7, otherwise ``d.ddde±n`` scientific
+    (no ``+`` sign, e.g. ``1.0e-2`` / ``1.2345678e7``). ``single``
+    renders 32-bit float semantics (shortest digits for the float32
+    value, like ``show (x :: Float)``)."""
+    import math
+
+    if x is None:
+        return None
+    x = float(x)
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "-Infinity" if x < 0 else "Infinity"
+    if x == 0.0:
+        return "-0.0" if math.copysign(1.0, x) < 0 else "0.0"
+    neg = x < 0
+    a = abs(x)
+    if single:
+        import numpy as np
+
+        rep = np.format_float_scientific(
+            np.float32(a), unique=True, trim="-"
+        )
+    else:
+        rep = repr(a)
+    # shortest digits D and exponent E with value == 0.D * 10^E
+    mant, _, e_part = rep.partition("e")
+    e = int(e_part) if e_part else 0
+    ip, _, fp = mant.partition(".")
+    alldig = ip + fp
+    stripped = alldig.lstrip("0")
+    exp10 = len(ip) + e - (len(alldig) - len(stripped))
+    digits = stripped.rstrip("0") or "0"
+    if 0.1 <= a < 1e7:
+        if exp10 >= len(digits):
+            whole, frac = digits + "0" * (exp10 - len(digits)), ""
+        elif exp10 > 0:
+            whole, frac = digits[:exp10], digits[exp10:]
+        else:
+            whole, frac = "", "0" * (-exp10) + digits
+        body = (whole or "0") + "." + (frac or "0")
+    else:
+        body = digits[0] + "." + (digits[1:] or "0") + "e" + str(exp10 - 1)
+    return ("-" if neg else "") + body
+
+
+def to_node_id(df: DataFrame, column: str):
+    """``ToNodeID`` (GraphML/Writer.hs:66-124): adapt a typed node-ID
+    column to the GraphML NodeID text the reference renders — identity
+    for strings, decimal for the integral instances (``nodeIDByShow``),
+    lowercase ``true``/``false`` for Bool (its special instance, NOT
+    Haskell ``show``), and Haskell-``show`` notation for Float/Double.
+    Returns a string Column; apply before ``write_graphml`` when node
+    IDs are not already strings."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dtype = df.schema[column].dataType
+    col = F.col(column)
+    if isinstance(dtype, T.StringType):
+        return col
+    if isinstance(
+        dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    ):
+        return col.cast("string")
+    if isinstance(dtype, T.BooleanType):
+        return (
+            F.when(col.isNull(), F.lit(None).cast("string"))
+            .when(col, "true")
+            .otherwise("false")
+        )
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        single = isinstance(dtype, T.FloatType)
+
+        @F.pandas_udf(T.StringType())
+        def show_real(v):
+            return v.map(lambda x: haskell_show_real(x, single=single))
+
+        return show_real(col)
+    raise TypeError(
+        f"no ToNodeID rendering for column {column!r} of type {dtype}"
+    )
+
+
 def _escape(text: str) -> str:
     out = []
     for c in str(text):

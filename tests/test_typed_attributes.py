@@ -154,3 +154,79 @@ def test_typed_attrs_unknown_key_rejected(spark):
             [FoundNode("n1", 1, [], {"bogus": 1})],
             node_attrs=NODE_SCHEMA,
         )
+
+
+def test_to_node_id_typed_renderings(spark):
+    # ToNodeID (GraphML/Writer.hs:66-124): integral -> decimal, Bool ->
+    # lowercase true/false (its special instance), Float/Double ->
+    # Haskell `show` (fixed inside [0.1, 1e7), else d.ddde±n).
+    from pyspark.sql import functions as F
+
+    from net_spider_spark.graphml import haskell_show_real, to_node_id
+
+    df = spark.createDataFrame(
+        [(100, True, 0.01, 2.5), (-7, False, 123456789.0, 0.1)],
+        "i int, b boolean, d double, f float",
+    )
+    rows = df.select(
+        to_node_id(df, "i").alias("i"),
+        to_node_id(df, "b").alias("b"),
+        to_node_id(df, "d").alias("d"),
+        to_node_id(df, "f").alias("f"),
+    ).orderBy(F.col("i").cast("int").desc()).collect()
+    assert [tuple(r) for r in rows] == [
+        ("100", "true", "1.0e-2", "2.5"),
+        ("-7", "false", "1.23456789e8", "0.1"),
+    ]
+
+    # Haskell `show` pin-set (doctest-style, incl. the scientific
+    # thresholds and signed zero)
+    for v, want in [
+        (0.01, "1.0e-2"), (100.0, "100.0"), (1e7, "1.0e7"),
+        (9999999.0, "9999999.0"), (0.0015, "1.5e-3"), (1e-5, "1.0e-5"),
+        (1.5e20, "1.5e20"), (0.099, "9.9e-2"), (-2.5, "-2.5"),
+        (0.0, "0.0"), (-0.0, "-0.0"), (float("inf"), "Infinity"),
+    ]:
+        assert haskell_show_real(v) == want, v
+    # Float semantics: shortest digits for the float32 value
+    assert haskell_show_real(0.1, single=True) == "0.1"
+    assert haskell_show_real(16777217.0, single=True) == "1.6777216e7"
+
+    import pytest
+
+    with pytest.raises(TypeError):
+        arr = spark.createDataFrame([([1],)], "x array<int>")
+        to_node_id(arr, "x")
+
+
+def test_int_node_ids_render_like_reference_golden(spark):
+    # WriterSpec.hs:149-208 uses Int node IDs rendered "100"/"200";
+    # to_node_id + write_graphml reproduces that id rendering.
+    from pyspark.sql import functions as F
+
+    from net_spider_spark.graphml import to_node_id, write_graphml
+
+    nodes = spark.createDataFrame(
+        [(100, False, 200), (200, True, None)],
+        "nid int, is_on_boundary boolean, node_ts long",
+    )
+    nodes = nodes.select(
+        to_node_id(nodes, "nid").alias("node_id"),
+        "is_on_boundary",
+        "node_ts",
+        F.lit(None).cast("map<string,string>").alias("node_attrs"),
+    )
+    links = spark.createDataFrame(
+        [(100, 200, True, 100)],
+        "s int, d int, is_directed boolean, link_ts long",
+    )
+    links = links.select(
+        to_node_id(links, "s").alias("source_node"),
+        to_node_id(links, "d").alias("dest_node"),
+        "is_directed",
+        "link_ts",
+        F.lit(None).cast("map<string,string>").alias("link_attrs"),
+    )
+    xml = write_graphml(nodes, links)
+    assert '<node id="100">' in xml and '<node id="200">' in xml
+    assert '<edge source="100" target="200"' in xml
