@@ -618,11 +618,19 @@ def remove_duplicate_spans(
     explode until the n-gram table, whose rows are (doc, start, gram) —
     bounded by corpus token count); the duplicated-gram set comes from
     one hash aggregate (distinct-doc count per gram); coverage is an
-    equi-join on the gram followed by a bounded ``sequence`` explode (n
-    positions per duplicated span) and a left-anti join — no range
-    join, nothing quadratic. The reconstruction groupBy carries (pos,
-    token) pairs only.
+    equi-join on the gram, then duplicated-span STARTS merge into
+    disjoint per-doc intervals with a gaps-and-islands window (rows =
+    covered starts, never exploded positions), and reconstruction
+    filters each doc's token array against its interval list inside
+    whole-stage codegen — no range join, no position explosion, no
+    distinct, no anti-join, nothing quadratic. (The earlier explode-
+    positions → distinct → anti-join → re-collect pipeline spilled
+    ~115 GB at 51 M maximally-duplicated docs on one box; this shape's
+    biggest shuffle is the covered-starts window, a strict subset of
+    the gram table.)
     """
+    from pyspark.sql.window import Window
+
     toks = tokens_col(F.lower(F.col(text_col)))
     base = df.repartition(
         df.sparkSession.sparkContext.defaultParallelism
@@ -648,45 +656,65 @@ def remove_duplicate_spans(
         .where(F.col("_docs") >= min_docs)
         .select("gram")
     )
-    covered = (
-        grams.join(dup, "gram")
-        .select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("start"), F.col("start") + (n - 1))
-            ).alias("pos"),
+    # Covered starts are unique per (doc, start) by construction; merge
+    # overlapping/adjacent equal-length spans: a span overlaps-or-abuts
+    # its predecessor (in start order) iff start <= prev_start + n.
+    w = Window.partitionBy(id_col).orderBy("start")
+    starts = grams.join(dup, "gram").select(F.col(id_col), "start")
+    islands = (
+        starts.withColumn(
+            "_brk",
+            F.when(
+                F.lag("start").over(w).isNull()
+                | (F.col("start") > F.lag("start").over(w) + n),
+                1,
+            ).otherwise(0),
         )
-        .distinct()
-    )
-    positions = base.select(
-        F.col(id_col),
-        F.posexplode(t).alias("_pos0", "tok"),
-    ).select(F.col(id_col), (F.col("_pos0") + 1).alias("pos"), "tok")
-    kept = positions.join(covered, [id_col, "pos"], "left_anti")
-    totals = base.select(F.col(id_col), F.size(t).alias("n_tokens"))
-    rebuilt = (
-        kept.groupBy(id_col)
-        .agg(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("pos", "tok"))
-                    ),
-                    lambda s: s["tok"],
-                ),
-            ).alias("clean_text"),
-            F.count(F.lit(1)).alias("_kept"),
-        )
-    )
-    return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0))).alias(
-                "n_removed"
+        .withColumn(
+            "_island",
+            F.sum("_brk").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
             ),
         )
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("start").alias("s"),
+            (F.max("start") + (n - 1)).alias("e"),
+        )
+    )
+    spans = islands.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("_spans")
+    )
+    # Per-token interval test in codegen: islands per doc are few (they
+    # are maximal merged runs), so exists() over them is cheap; the
+    # worst case (alternating coverage) is bounded by tokens/(n+1)
+    # islands of a single document, never a corpus-sized term.
+    # shuffle_hash: the stream side carries the wide token arrays — a
+    # sort-merge join would SORT them (the exact wide-row-sort hazard
+    # the snapshot argmax avoids); hash-building the narrow spans side
+    # keeps the wide rows unsorted.
+    joined = base.join(spans.hint("shuffle_hash"), id_col, "left")
+    sp = F.col("_spans")
+    kept_toks = F.when(sp.isNull(), t).otherwise(
+        F.transform(
+            F.filter(
+                F.transform(
+                    t,
+                    lambda x, i: F.struct(
+                        x.alias("tok"), (i + 1).alias("pos")
+                    ),
+                ),
+                lambda s: ~F.exists(
+                    sp,
+                    lambda y: (s["pos"] >= y["s"]) & (s["pos"] <= y["e"]),
+                ),
+            ),
+            lambda s: s["tok"],
+        )
+    )
+    return joined.select(
+        F.col(id_col),
+        F.concat_ws(" ", kept_toks).alias("clean_text"),
+        F.size(t).alias("n_tokens"),
+        (F.size(t) - F.size(kept_toks)).alias("n_removed"),
     )
