@@ -178,8 +178,22 @@ def test_set_based_dedup_never_explodes_shingles(docs):
 
 
 def test_span_removal_no_range_join(docs):
-    # Coverage marking must be equi-join + bounded sequence explode,
-    # never a range/cartesian join of positions against spans.
-    plan = plan_of(D.remove_duplicate_spans(docs, n=3, min_docs=2))
+    # Coverage marking must be equi-joins (gram set, then doc-keyed
+    # interval attach), never a range/cartesian join of positions
+    # against spans — and no per-position explosion at all since the
+    # merged-interval rewrite (positions are tested inside codegen).
+    df = D.remove_duplicate_spans(docs, n=3, min_docs=2)
+    plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the only explode left is the gram posexplode (one per token); the
+    # explode(sequence(start..start+n-1)) position explode must stay
+    # gone (the gram builder's transform(sequence(...)) is not an
+    # explode and is fine)
+    assert "explode(sequence" not in plan.lower().replace(" ", "")
+    # the doc-keyed join streams the wide token arrays un-sorted: a
+    # sort-merge join here sorts every doc's token array (the wide-row
+    # sort hazard); the spans build side hashes instead
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in exec_plan or "BroadcastHashJoin" in exec_plan
+    assert "SortMergeJoin [doc_id" not in exec_plan
