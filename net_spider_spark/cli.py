@@ -71,7 +71,12 @@ def _input_args(p: argparse.ArgumentParser) -> None:
 
 
 def _snapshot_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("-s", "--starts-from", action="append", default=None)
+    p.add_argument(
+        "-s", "--starts-from", action="append", default=None,
+        help="start node as a bare IPv6 address (lifted into both the "
+             "dio:// and dao:// namespaces, like the reference's "
+             "IPv6ID starts); a prefixed FindingID restricts one family",
+    )
     p.add_argument("--time-from", default=None,
                    help="interval start; i/x prefix for incl/excl, -inf")
     p.add_argument("--time-to", default=None,
@@ -139,6 +144,28 @@ def _do_snapshot(spark: SparkSession, args) -> int:
     findings = read_findings(spark, args.db, interval=iv)
     starts = args.starts_from
 
+    # Reference start-node semantics (CLI.hs:103-137 + CLISpec.hs):
+    # `-s` takes a BARE IPv6 address (an IPv6ID), and rebaseQuery lifts
+    # it into BOTH the dio:// and dao:// FindingID namespaces — one
+    # start reaches both family graphs. A plain `snapshot` with no
+    # starts dies; `cis` derives its starts from every subject it just
+    # loaded, which visits exactly the whole-graph node set — expressed
+    # here as starts=None (no driver-side subject collect, same
+    # result). Prefixed FindingID text is also accepted for
+    # family-specific starts (engine extension).
+    if args.command == "snapshot" and not starts:
+        raise SystemExit("Specify the starting nodes with -s option.")
+    from net_spider_spark.rpl import ipv6 as _ipv6
+
+    def lift(value: str, prefix: str) -> Optional[str]:
+        if "://" in value:
+            return value if value.startswith(f"{prefix}://") else None
+        try:
+            canon = _ipv6.format_ipv6(_ipv6.parse_ipv6(value))
+        except ValueError:
+            raise SystemExit(f"Invalid start node address: {value}")
+        return f"{prefix}://[{canon}]"
+
     # The reference's snapshot uses dioDefQuery/daoDefQuery (RPL/CLI
     # Main.hs via DIO.hs:246, DAO.hs:130), not the default unifier:
     # DIO links get the two-endpoint MergedDIOLink merge, DAO links
@@ -152,9 +179,13 @@ def _do_snapshot(spark: SparkSession, args) -> int:
         subset = findings.filter(
             F.col("subject_node").startswith(f"{prefix}://")
         )
+        lifted = (
+            [x for x in (lift(s, prefix) for s in starts) if x is not None]
+            if starts
+            else None
+        )
         q = Query(
-            starts_from=[s for s in starts if s.startswith(f"{prefix}://")]
-            if starts else None,
+            starts_from=lifted,
             time_interval=iv,
             found_node_policy=args.policy,
             max_hops=args.max_hops,

@@ -198,3 +198,32 @@ def test_duration_interval_semantics():
                      time_to="x2019-04-30T20:03:33", duration=600))
     with pytest.raises(SystemExit):
         _interval(ns(duration=600))
+
+
+def test_snapshot_requires_starts_and_lifts_bare_ipv6(spark, tmp_path, capsys):
+    # CLI.hs:109-112: plain `snapshot` with no -s dies; CLISpec.hs: -s
+    # takes a BARE IPv6 (IPv6ID) which rebaseQuery lifts into BOTH the
+    # dio:// and dao:// namespaces.
+    db = str(tmp_path / "h5")
+    rc = main(
+        ["--db", db, "input", f"{DATA}/syslog_sample.log",
+         "--format", "syslog", "--year", "2021"],
+        spark=spark,
+    )
+    assert rc == 0
+    with pytest.raises(SystemExit, match="starting nodes"):
+        main(["--db", db, "snapshot"], spark=spark)
+
+    rc = main(
+        ["--db", db, "snapshot", "-s", "fd00:0::aaa:1:2:3"], spark=spark
+    )
+    assert rc == 0
+    xml = capsys.readouterr().out
+    # one bare start reaches both family graphs: dio attrs (rank) AND
+    # dao attrs (dao_route_num) in one combined document
+    assert 'attr.name="rank"' in xml
+    assert 'attr.name="dao_route_num"' in xml
+    assert "fd00::aaa:1:2:3" in xml
+
+    with pytest.raises(SystemExit, match="Invalid start node"):
+        main(["--db", db, "snapshot", "-s", "not-an-address"], spark=spark)
