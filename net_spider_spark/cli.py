@@ -52,7 +52,7 @@ def build_parser() -> argparse.ArgumentParser:
     _input_args(p_in)
 
     p_snap = sub.add_parser("snapshot", help="snapshot query -> GraphML")
-    _snapshot_args(p_snap)
+    _snapshot_args(p_snap, starts_as_arguments=True)
 
     p_cis = sub.add_parser("cis", help="clear + input + snapshot")
     _input_args(p_cis)
@@ -61,28 +61,41 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _input_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("logs", nargs="+", help="log files/globs")
+    p.add_argument(
+        "logs", nargs="+",
+        help="log files/globs; '-' reads STDIN (CLI.hs parserInputFiles)",
+    )
     p.add_argument("--format", choices=["syslog", "cooja"], default="syslog")
     p.add_argument("--year", type=int, default=None, help="syslog year")
     p.add_argument(
-        "--filter", choices=["none", "latest"], default="none",
+        "-F", "--filter", choices=["none", "latest"], default="none",
         help="pre-ingest filter (latest = newest finding per node)",
     )
 
 
-def _snapshot_args(p: argparse.ArgumentParser) -> None:
+def _snapshot_args(
+    p: argparse.ArgumentParser, starts_as_arguments: bool = False
+) -> None:
     p.add_argument(
         "-s", "--starts-from", action="append", default=None,
         help="start node as a bare IPv6 address (lifted into both the "
              "dio:// and dao:// namespaces, like the reference's "
              "IPv6ID starts); a prefixed FindingID restricts one family",
     )
-    p.add_argument("--time-from", default=None,
+    if starts_as_arguments:
+        # `snapshot` also takes start nodes positionally, same as -s
+        # (parserSnapshot True -> startsFromAsArguments, CLI.hs:201 +
+        # Snapshot.hs:104-108); `cis` does not (its starts come from
+        # the loaded findings).
+        p.add_argument("start_args", nargs="*", metavar="NODE-ID",
+                       help="same as -s option")
+    p.add_argument("-f", "--time-from", default=None,
                    help="interval start; i/x prefix for incl/excl, -inf")
-    p.add_argument("--time-to", default=None,
+    p.add_argument("-t", "--time-to", default=None,
                    help="interval end; i/x prefix for incl/excl, +inf")
-    p.add_argument("--duration", type=float, default=None,
-                   help="seconds before --time-to (secUpTo)")
+    p.add_argument("-d", "--duration", type=float, default=None,
+                   help="seconds paired with --time-from (secSince) or "
+                        "--time-to (secUntil)")
     p.add_argument("--policy", choices=["overwrite", "append"],
                    default="overwrite")
     p.add_argument("--max-hops", type=int, default=None,
@@ -124,8 +137,20 @@ def _interval(args) -> Interval:
 def _do_input(spark: SparkSession, args) -> int:
     from net_spider_spark.rpl.contiki import parse_contiki_logs
 
+    logs = list(args.logs)
+    if "-" in logs:
+        # '-' reads STDIN (CLI.hs parserInputFiles): spool it to a temp
+        # file so the distributed reader can scan it like any log file.
+        import tempfile
+
+        spooled = tempfile.NamedTemporaryFile(
+            "w", suffix=".log", delete=False, encoding="utf-8"
+        )
+        with spooled as f:
+            f.write(sys.stdin.read())
+        logs = [spooled.name if x == "-" else x for x in logs]
     dio, dao = parse_contiki_logs(
-        spark, list(args.logs), head=args.format, year=args.year
+        spark, logs, head=args.format, year=args.year
     )
     findings = dio.unionByName(dao)
     if args.filter == "latest":
@@ -143,6 +168,12 @@ def _do_snapshot(spark: SparkSession, args) -> int:
     # snapshot's own row-level interval filter still applies after.
     findings = read_findings(spark, args.db, interval=iv)
     starts = args.starts_from
+    # positional NODE-ID arguments append after the -s options, like
+    # the reference's pStartsFrom ++ pStartsFromArgs (SnapshotSpec:
+    # ["90", "-s", "181"] parses to [181, 90])
+    extra = getattr(args, "start_args", None)
+    if extra:
+        starts = (starts or []) + list(extra)
 
     # Reference start-node semantics (CLI.hs:103-137 + CLISpec.hs):
     # `-s` takes a BARE IPv6 address (an IPv6ID), and rebaseQuery lifts

@@ -227,3 +227,39 @@ def test_snapshot_requires_starts_and_lifts_bare_ipv6(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit, match="Invalid start node"):
         main(["--db", db, "snapshot", "-s", "not-an-address"], spark=spark)
+
+
+def test_snapshot_grammar_parity():
+    # SnapshotSpec.hs: short -f/-t/-d aliases, positional NODE-ID
+    # arguments on `snapshot` appending AFTER the -s options
+    # (["90", "-s", "181"] -> [181, 90]); cis takes none.
+    a = parse(["--db", "x", "snapshot", "90", "-s", "181"])
+    assert a.starts_from == ["181"] and a.start_args == ["90"]
+    a = parse(["--db", "x", "snapshot", "143", "200", "473", "21"])
+    assert a.start_args == ["143", "200", "473", "21"]
+    a = parse(["--db", "x", "snapshot", "-f", "i2018-10-11T14:13:33",
+               "-t", "i2018-10-11T14:13:50.332"])
+    iv = _interval(a)
+    assert iv.lower == 1539267213000 and iv.upper == 1539267230332
+    a = parse(["--db", "x", "snapshot", "-s", "x", "-d", "600",
+               "-t", "x2019-04-30T19:03:33"])
+    assert _interval(a).upper == 1556651013000
+    # cis has no NODE-ID positionals — its extra positionals are input
+    # FILES (parserInputFiles), exactly like the reference
+    a = parse(["--db", "x", "cis", "log1", "log2"])
+    assert a.logs == ["log1", "log2"] and not hasattr(a, "start_args")
+
+
+def test_input_stdin_dash(spark, tmp_path, monkeypatch, capsys):
+    # '-' reads findings from STDIN (CLI.hs parserInputFiles)
+    import io
+
+    db = str(tmp_path / "h6")
+    log_text = open(f"{DATA}/syslog_sample.log", encoding="utf-8").read()
+    monkeypatch.setattr("sys.stdin", io.StringIO(log_text))
+    rc = main(["--db", db, "input", "-", "--format", "syslog",
+               "--year", "2021"], spark=spark)
+    assert rc == 0
+    from net_spider_spark.ingest import read_findings
+
+    assert read_findings(spark, db).count() == 3
