@@ -57,6 +57,33 @@ class Weaver:
             f.subject_node == node_id for f in self._findings
         )
 
+    def get_found_nodes(self, node_id) -> Optional[list[FoundNode]]:
+        """``getFoundNodes`` (Weaver.hs:104-110): ``None`` when the
+        node is not visited, ``[]`` when visited only via
+        :meth:`mark_as_visited`, else the findings kept under the
+        policy — overwrite keeps the latest with a TIE going to the
+        most recently added (``new >= old``, Weaver.hs:81-86), append
+        keeps all (newest first, the reference's ``new ++ old``)."""
+        from net_spider_spark.timestamp import to_epoch_ms
+
+        nid = str(node_id)
+        mine = [f for f in self._findings if str(f.subject_node) == nid]
+        if not mine:
+            return [] if nid in self._marked else None
+        if self._policy == POLICY_APPEND:
+            return list(reversed(mine))
+        best = mine[0]
+        for f in mine[1:]:
+            if to_epoch_ms(f.found_at) >= to_epoch_ms(best.found_at):
+                best = f
+        return [best]
+
+    def visit_all_boundary_nodes(self) -> "Weaver":
+        """``visitAllBoundaryNodes`` (Weaver.hs:131-134)."""
+        for n in self.get_boundary_nodes():
+            self.mark_as_visited(n)
+        return self
+
     def get_boundary_nodes(self) -> list[str]:
         """Targets never visited (Weaver.hs:120-129). Note the policy
         applies first: under 'overwrite' only the latest finding's

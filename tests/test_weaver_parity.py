@@ -45,3 +45,57 @@ def test_timezone_threading_to_graphml(spark):
     xml = write_graphml(nodes, links)
     assert '@tz_offset_min" attr.type="int"' in xml
     assert ">540</data>" in xml
+
+
+def test_weaver_get_found_nodes_spec(spark):
+    # WeaverSpec.hs:40-107 verbatim: mark/add in both orders, and the
+    # policy semantics of getFoundNodes including the >= tie rule.
+    from net_spider_spark.findings import FoundNode
+    from net_spider_spark.weaver import Weaver
+
+    fn = FoundNode("5", 100, [])
+    for order in ("mark_first", "add_first"):
+        w = Weaver(spark)
+        if order == "mark_first":
+            w.mark_as_visited("10").mark_as_visited("5").add_found_node(fn)
+        else:
+            w.add_found_node(fn).mark_as_visited("10").mark_as_visited("5")
+        assert not w.is_visited("1")
+        assert w.is_visited("5") and w.is_visited("10")
+        assert w.get_found_nodes("1") is None
+        assert w.get_found_nodes("5") == [fn]
+        assert w.get_found_nodes("10") == []
+
+    fn1 = FoundNode("5", 100, [], {"a": "foobar"})
+    fn2 = FoundNode("5", 150, [], {"a": "quux"})
+    w = Weaver(spark, policy="overwrite")
+    w.add_found_node(fn1)
+    assert w.get_found_nodes("5") == [fn1]
+    w2 = Weaver(spark, policy="overwrite")
+    w2.add_found_node(fn2).add_found_node(fn1)   # older added later loses
+    assert w2.get_found_nodes("5") == [fn2]
+    w3 = Weaver(spark, policy="overwrite")
+    w3.add_found_node(fn1).add_found_node(fn2)
+    assert w3.get_found_nodes("5") == [fn2]
+    # ties: the most recently added wins (new >= old, Weaver.hs:81-86)
+    fn2b = FoundNode("5", 150, [], {"a": "later"})
+    w4 = Weaver(spark, policy="overwrite")
+    w4.add_found_node(fn2).add_found_node(fn2b)
+    assert w4.get_found_nodes("5") == [fn2b]
+
+    wa = Weaver(spark, policy="append")
+    wa.add_found_node(fn1).add_found_node(fn2)
+    assert sorted(f.found_at for f in wa.get_found_nodes("5")) == [100, 150]
+
+
+def test_weaver_visit_all_boundary_nodes(spark):
+    from net_spider_spark.findings import FoundLink, FoundNode
+    from net_spider_spark.weaver import Weaver
+
+    w = Weaver(spark)
+    w.add_found_node(FoundNode("a", 100, [FoundLink("b"), FoundLink("c")]))
+    assert sorted(w.get_boundary_nodes()) == ["b", "c"]
+    w.visit_all_boundary_nodes()
+    assert w.is_visited("b") and w.is_visited("c")
+    assert w.get_boundary_nodes() == []
+    assert w.get_found_nodes("b") == []
