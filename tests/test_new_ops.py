@@ -176,3 +176,53 @@ def test_embedding_near_dup_groups(spark):
         for r in embedding_near_dup_groups(emb, threshold=0.95).collect()
     }
     assert got == {1: (1, True), 2: (1, False), 3: (3, True), 4: (1, False)}
+
+
+def test_pangraph_reference_spec_values(spark):
+    # PangraphSpec.hs:27-77 verbatim: the exact attribute sets the
+    # reference's makeVertex/makeEdge produce, incl. the display-zone
+    # meta attributes of a "+09:00" timestamp (empty @tz_name — a
+    # numeric offset parses to an unnamed zone) and Haskell-show
+    # booleans.
+    nodes = spark.createDataFrame(
+        [
+            # fromS "2018-03-22T09:00:00+09:00" -> 1521676800000, zone
+            # (540, False, "")
+            ("node ID", False, 1521676800000, {}, 540, False, ""),
+            ("119", True, None, {"foo": "bar", "quux": "100"},
+             None, None, None),
+        ],
+        "node_id string, is_on_boundary boolean, node_ts long, "
+        "node_attrs map<string,string>, tz_offset_min int, "
+        "tz_summer_only boolean, tz_name string",
+    )
+    got = {r["vertex_id"]: dict(r["attributes"])
+           for r in make_vertices(nodes).collect()}
+    assert got["node ID"] == {
+        "@is_on_boundary": "False",
+        "@timestamp": "1521676800000",
+        "@tz_name": "",
+        "@tz_offset_min": "540",
+        "@tz_summer_only": "False",
+    }
+    assert got["119"] == {
+        "@is_on_boundary": "True",
+        "foo": "bar",
+        "quux": "100",
+    }
+
+    links = spark.createDataFrame(
+        # fromS "2018-07-18T22:34:01" (no zone) -> 1531953241000
+        [("src", "dst", True, 1531953241000,
+          {"text": "hoge", "int": "256"})],
+        "source_node string, dest_node string, is_directed boolean, "
+        "link_ts long, link_attrs map<string,string>",
+    )
+    e = make_edges(links).collect()[0]
+    assert (e["source"], e["target"]) == ("src", "dst")
+    assert dict(e["attributes"]) == {
+        "@is_directed": "True",
+        "@timestamp": "1531953241000",
+        "int": "256",
+        "text": "hoge",
+    }
