@@ -1484,6 +1484,81 @@ def q_multimodal_png_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_gif_decode(spark, sf_dir):
+    # REAL GIF decode through image_features: synthesize solid-color
+    # single-palette GIFs with a degenerate-but-valid LZW stream (clear
+    # code before every pixel code keeps the code width constant), so
+    # decode_gif's LZW + palette + dimensions run under the oracle;
+    # richer dictionary-growth streams are pinned by the pytest
+    # round-trip against a real LZW encoder.
+    import struct as _struct
+
+    import pandas as pd
+
+    from net_spider_spark.pipeline import multimodal as MM
+
+    ev = (
+        _events_typed(spark, sf_dir)
+        .where(F.col("event_id") % 25 == 7)
+        .select("event_id")
+    )
+
+    def solid_gif(w, h, rgb):
+        pal = bytes(rgb) + b"\x00\x00\x00" * 3  # 4-entry table, mcs 2
+        hdr = b"GIF89a" + _struct.pack("<HHBBB", w, h, 0x81, 0, 0) + pal
+        img = b"\x2C" + _struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+        codes = [4]
+        for _ in range(w * h - 1):
+            codes += [0, 4]
+        codes += [0, 5]  # last pixel + end code, all 3-bit
+        acc = bits = 0
+        data = bytearray()
+        for c in codes:
+            acc |= c << bits
+            bits += 3
+            while bits >= 8:
+                data.append(acc & 0xFF)
+                acc >>= 8
+                bits -= 8
+        if bits:
+            data.append(acc & 0xFF)
+        sub = b""
+        for i in range(0, len(data), 255):
+            chunk = bytes(data[i : i + 255])
+            sub += bytes([len(chunk)]) + chunk
+        return hdr + img + b"\x02" + sub + b"\x00" + b"\x3B"
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                payloads.append(
+                    solid_gif(
+                        3 + eid % 5,
+                        2 + eid % 4,
+                        (eid % 256, (eid * 11) % 256, (eid * 17) % 256),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["event_id"],
+                    "mime": "image/gif",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth,
+        schema="media_id bigint, mime string, payload binary, "
+        "meta map<string,string>",
+    )
+    return MM.image_features(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 def _run_available_now(stream_df, name: str, output_mode: str):
     """Run a streaming DataFrame to completion with availableNow into a
     memory sink and return the sink contents as a batch DataFrame.
@@ -1778,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # driver-green in r3 — re-attest these first.
         "multimodal_png_decode": q_multimodal_png_decode,
         "stream_rpl_dio_merged": q_stream_rpl_dio_merged,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
         "text_token_stats": q_text_token_stats,
         "curate_stratified_sample": q_curate_stratified_sample,
         "dedup_exact": q_dedup_exact,
@@ -3032,6 +3108,15 @@ walk(node_id, dist, hops) AS (
   WHERE w.hops < 6
 )
 SELECT node_id, min(dist) AS dist FROM walk GROUP BY 1
+""",
+        "multimodal_gif_decode": """
+SELECT event_id AS media_id,
+       CAST(3 + event_id % 5 AS INT) AS width,
+       CAST(2 + event_id % 4 AS INT) AS height,
+       CAST(event_id % 256 AS DOUBLE) AS mean_r,
+       CAST((event_id * 11) % 256 AS DOUBLE) AS mean_g,
+       CAST((event_id * 17) % 256 AS DOUBLE) AS mean_b
+FROM events WHERE event_id % 25 = 7
 """,
         "multimodal_png_decode": """
 SELECT event_id AS media_id,

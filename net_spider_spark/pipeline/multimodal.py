@@ -9,14 +9,14 @@ control, ``mapInPandas`` batch shape, error channels.
 Decode is REAL for stdlib-decodable formats, implemented in pure
 numpy (:func:`decode_wav` PCM 8/16-bit, :func:`decode_bmp` uncompressed
 24/32-bit, :func:`decode_ppm` binary P6, :func:`decode_png` 8-bit
-non-interlaced via zlib inflate + per-row unfilter), as are
-nearest-neighbor resize and the audio/image feature extractors built
-on them. Formats that genuinely need a codec library (jpeg/gif/mp3/
-video) raise ``NotImplementedError`` from :func:`decode_media`; inside
-the Spark operators that lands in the per-row ``error`` column, so a
-corpus with mixed formats still processes everything decodable
-(install pillow / torchaudio and pass ``decoder=`` to extend coverage
-in production).
+non-interlaced via zlib inflate + per-row unfilter, :func:`decode_gif`
+first frame via spec LZW + palette), as are nearest-neighbor resize
+and the audio/image feature extractors built on them. Formats that
+genuinely need a codec library (jpeg/mp3/video) raise
+``NotImplementedError`` from :func:`decode_media`; inside the Spark
+operators that lands in the per-row ``error`` column, so a corpus with
+mixed formats still processes everything decodable (install pillow /
+torchaudio and pass ``decoder=`` to extend coverage in production).
 """
 
 from __future__ import annotations
@@ -317,6 +317,132 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> bytes:
+    """GIF-variant LZW decode (public spec, GIF89a appendix F): codes
+    start at ``min_code_size + 1`` bits, the clear code resets the
+    dictionary, code width grows to at most 12 bits. Returns the index
+    stream (one byte per pixel), truncated/padded handling left to the
+    caller."""
+    clear = 1 << min_code_size
+    end = clear + 1
+
+    def fresh():
+        return {i: bytes([i]) for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = bits = pos = 0
+    n = len(data)
+    while len(out) < n_pixels:
+        while bits < width:
+            if pos >= n:
+                return bytes(out)  # truncated stream: return what we have
+            acc |= data[pos] << bits
+            pos += 1
+            bits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = fresh()
+            next_code = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt LZW stream (code {code})")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """Decode the FIRST frame of a GIF87a/GIF89a payload into an RGB
+    uint8 array (height, width, 3) — pure stdlib + numpy (LZW decode
+    per the public spec, palette lookup, Adam-style interlace row
+    reordering). Animation frames beyond the first, and transparency
+    compositing, are out of scope (the first frame's palette colors are
+    returned as-is)."""
+    if payload is None or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    (screen_w, screen_h) = struct.unpack_from("<HH", payload, 6)
+    packed = payload[10]
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, np.uint8, count=3 * n, offset=pos).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            _, _, w, h = struct.unpack_from("<HHHH", payload, pos + 1)
+            ipacked = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(
+                    payload, np.uint8, count=3 * n, offset=pos
+                ).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF image without a color table")
+            min_code_size = payload[pos]
+            pos += 1
+            chunks = []
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
+            arr = np.zeros(w * h, dtype=np.uint8)
+            got = np.frombuffer(idx, np.uint8, count=min(len(idx), w * h))
+            arr[: len(got)] = got
+            rows = arr.reshape(h, w)
+            if ipacked & 0x40:  # interlaced: 4-pass row order
+                order = np.concatenate(
+                    [
+                        np.arange(0, h, 8),
+                        np.arange(4, h, 8),
+                        np.arange(2, h, 4),
+                        np.arange(1, h, 2),
+                    ]
+                )
+                deinter = np.empty_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            if rows.max(initial=0) >= len(pal):
+                raise ValueError("GIF palette index out of range")
+            return pal[rows].copy()
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+    raise ValueError("GIF payload has no image data")
+
+
 def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """Nearest-neighbor resize via integer index maps (pure numpy)."""
     h, w = img.shape[:2]
@@ -341,9 +467,10 @@ def decode_media(payload: bytes, mime: str):
         return decode_ppm(payload)
     if payload[:4] == b"\x89PNG":
         return decode_png(payload)
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
     for magic, name in (
         (b"\xff\xd8\xff", "jpeg"),
-        (b"GIF8", "gif"),
         (b"ID3", "mp3"),
         (b"\xff\xfb", "mp3"),
     ):

@@ -338,3 +338,114 @@ def test_image_features_spark(spark):
         assert (r["width"], r["height"]) == (6, 4)
         assert abs(r["mean_r"] - 200.0) < 1e-6 and r["mean_b"] == 0.0
         assert len(r["thumb"]) == 4
+
+
+def _gif_lzw_encode(indices, mcs):
+    """Dictionary-building GIF-LZW encoder (test-side reference
+    implementation) so decode_gif round-trips real growing-width
+    streams, not just clear-code-per-symbol degenerate ones."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    table = {bytes([i]): i for i in range(1 << mcs)}
+    next_code, width = end + 1, mcs + 1
+    emitted = [(clear, width)]
+    buf = b""
+    for s in indices:
+        nxt = buf + bytes([s])
+        if nxt in table:
+            buf = nxt
+            continue
+        emitted.append((table[buf], width))
+        if next_code < 4096:
+            table[nxt] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        buf = nxt[-1:]
+    if buf:
+        emitted.append((table[buf], width))
+    emitted.append((end, width))
+    acc = bits = 0
+    out = bytearray()
+    for code, w in emitted:
+        acc |= code << bits
+        bits += w
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def make_gif(w, h, pal, indices, interlace=False):
+    size_field = max(0, (len(pal) - 1).bit_length() - 1)
+    n_entries = 2 << size_field
+    pal_bytes = (b"".join(bytes(c) for c in pal)
+                 + b"\x00\x00\x00" * (n_entries - len(pal)))
+    mcs = max(2, (n_entries - 1).bit_length())
+    hdr = (b"GIF89a"
+           + struct.pack("<HHBBB", w, h, 0x80 | size_field, 0, 0)
+           + pal_bytes)
+    img = (b"\x2C" + struct.pack("<HHHH", 0, 0, w, h)
+           + bytes([0x40 if interlace else 0]))
+    data = _gif_lzw_encode(indices, mcs)
+    sub = b""
+    for i in range(0, len(data), 255):
+        chunk = data[i:i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    return hdr + img + bytes([mcs]) + sub + b"\x00" + b"\x3B"
+
+
+def test_gif_decode_roundtrip_and_interlace():
+    import random
+
+    from net_spider_spark.pipeline.multimodal import decode_gif
+
+    rng = random.Random(9)
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    for (w, h) in [(2, 2), (17, 13), (40, 31)]:
+        idx = [rng.randrange(4) for _ in range(w * h)]
+        out = decode_gif(make_gif(w, h, pal, idx))
+        want = np.array(pal, np.uint8)[np.array(idx, np.uint8).reshape(h, w)]
+        assert out.shape == (h, w, 3) and np.array_equal(out, want)
+    # 128-color palette + 8000 pixels pushes code width past 9 bits
+    pal2 = [(i, 255 - i, i // 2) for i in range(128)]
+    idx2 = [rng.randrange(128) for _ in range(100 * 80)]
+    out = decode_gif(make_gif(100, 80, pal2, idx2))
+    want = np.array(pal2, np.uint8)[np.array(idx2, np.uint8).reshape(80, 100)]
+    assert np.array_equal(out, want)
+    # interlaced: stored rows come in the 4-pass order
+    rows = np.array([(x + y) % 4 for y in range(16) for x in range(8)],
+                    np.uint8).reshape(16, 8)
+    order = np.concatenate([np.arange(0, 16, 8), np.arange(4, 16, 8),
+                            np.arange(2, 16, 4), np.arange(1, 16, 2)])
+    stored = rows[order].ravel().tolist()
+    out = decode_gif(make_gif(8, 16, pal, stored, interlace=True))
+    assert np.array_equal(out, np.array(pal, np.uint8)[rows])
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 20)  # no image data
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTGIF")
+
+
+def test_image_features_spark_gif(spark):
+    from net_spider_spark.pipeline.multimodal import decode_media
+
+    pal = [(0, 0, 200)]
+    gif = make_gif(6, 4, pal, [0] * 24)
+    assert np.array_equal(
+        decode_media(gif, None),
+        np.broadcast_to(np.array([0, 0, 200], np.uint8), (4, 6, 3)),
+    )
+    rows = [(1, "image/gif", bytearray(gif), None)]
+    df = spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary, "
+        "meta map<string,string>"
+    )
+    got = image_features(df, thumb_size=2).collect()[0]
+    assert got["error"] is None
+    assert (got["width"], got["height"]) == (6, 4)
+    assert got["mean_b"] == 200.0 and got["mean_r"] == 0.0
