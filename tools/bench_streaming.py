@@ -110,6 +110,32 @@ def main() -> None:
     states = spark.table("latest_bench").count()
     assert states >= n_nodes, f"{states} states < {n_nodes} subjects"
 
+    # custom-unifier incremental link view (the reference's flagship
+    # two-endpoint DIO merge maintained as state + per-batch re-merge)
+    from net_spider_spark.rpl.dio import dio_unifier_conf
+    from net_spider_spark.streaming.ingest import stream_unified_link_per_pair
+
+    before = executor_counters(spark)
+    t0 = time.time()
+    q = (
+        stream_unified_link_per_pair(
+            stream_findings_json(spark, in_dir), dio_unifier_conf()
+        )
+        .writeStream.format("memory")
+        .queryName("unified_bench")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt_unify"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    timings["stateful_unified_link"] = round(time.time() - t0, 3)
+    counters["stateful_unified_link"] = counters_delta(
+        executor_counters(spark), before
+    )
+    pairs = spark.table("unified_bench").count()
+    assert pairs > 0, "no merged link emissions"
+
     print(
         json.dumps(
             {
