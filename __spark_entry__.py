@@ -1559,6 +1559,61 @@ def q_multimodal_gif_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_decode(spark, sf_dir):
+    # REAL baseline-JPEG decode through image_features: solid GRAYSCALE
+    # images at quality 100 (unit quantization) reconstruct EXACTLY —
+    # cb=cr=0 and a DC-only luma plane survive the DCT round trip bit
+    # for bit — so dimensions AND channel means are analytically
+    # predictable despite JPEG being lossy in general. Subsampling and
+    # restart intervals cycle per event to cover the MCU/RSTn paths
+    # under the oracle; lossy-path fidelity is pinned by PSNR tests.
+    import pandas as pd
+
+    from net_spider_spark.pipeline import multimodal as MM
+    from net_spider_spark.pipeline.jpeg import encode_jpeg
+
+    ev = (
+        _events_typed(spark, sf_dir)
+        .where(F.col("event_id") % 25 == 19)
+        .select("event_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                w, h = 3 + eid % 6, 2 + eid % 5
+                img = np.full((h, w, 3), eid % 256, dtype=np.uint8)
+                payloads.append(
+                    encode_jpeg(
+                        img,
+                        quality=100,
+                        subsample=bool(eid % 2),
+                        restart_interval=eid % 3,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["event_id"],
+                    "mime": "image/jpeg",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth,
+        schema="media_id bigint, mime string, payload binary, "
+        "meta map<string,string>",
+    )
+    return MM.image_features(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 def _run_available_now(stream_df, name: str, output_mode: str):
     """Run a streaming DataFrame to completion with availableNow into a
     memory sink and return the sink contents as a batch DataFrame.
@@ -1854,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": q_multimodal_png_decode,
         "stream_rpl_dio_merged": q_stream_rpl_dio_merged,
         "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
         "text_token_stats": q_text_token_stats,
         "curate_stratified_sample": q_curate_stratified_sample,
         "dedup_exact": q_dedup_exact,
@@ -3108,6 +3164,15 @@ walk(node_id, dist, hops) AS (
   WHERE w.hops < 6
 )
 SELECT node_id, min(dist) AS dist FROM walk GROUP BY 1
+""",
+        "multimodal_jpeg_decode": """
+SELECT event_id AS media_id,
+       CAST(3 + event_id % 6 AS INT) AS width,
+       CAST(2 + event_id % 5 AS INT) AS height,
+       CAST(event_id % 256 AS DOUBLE) AS mean_r,
+       CAST(event_id % 256 AS DOUBLE) AS mean_g,
+       CAST(event_id % 256 AS DOUBLE) AS mean_b
+FROM events WHERE event_id % 25 = 19
 """,
         "multimodal_gif_decode": """
 SELECT event_id AS media_id,

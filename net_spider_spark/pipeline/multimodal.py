@@ -6,17 +6,19 @@ beside typed metadata (mime, width/height, duration, sample rate). The
 Spark-side contract here is real and tested — schema, partition-size
 control, ``mapInPandas`` batch shape, error channels.
 
-Decode is REAL for stdlib-decodable formats, implemented in pure
-numpy (:func:`decode_wav` PCM 8/16-bit, :func:`decode_bmp` uncompressed
-24/32-bit, :func:`decode_ppm` binary P6, :func:`decode_png` 8-bit
-non-interlaced via zlib inflate + per-row unfilter, :func:`decode_gif`
-first frame via spec LZW + palette), as are nearest-neighbor resize
-and the audio/image feature extractors built on them. Formats that
-genuinely need a codec library (jpeg/mp3/video) raise
-``NotImplementedError`` from :func:`decode_media`; inside the Spark
-operators that lands in the per-row ``error`` column, so a corpus with
-mixed formats still processes everything decodable (install pillow /
-torchaudio and pass ``decoder=`` to extend coverage in production).
+Decode is REAL for every common still-image + PCM format, implemented
+in pure numpy (:func:`decode_wav` PCM 8/16-bit, :func:`decode_bmp`
+uncompressed 24/32-bit, :func:`decode_ppm` binary P6,
+:func:`decode_png` 8-bit non-interlaced via zlib inflate + per-row
+unfilter, :func:`decode_gif` first frame via spec LZW + palette, and
+baseline JPEG via ``pipeline.jpeg``), as are nearest-neighbor resize
+and the audio/image feature extractors built on them. mp3/video (and
+progressive JPEG) raise ``NotImplementedError`` from
+:func:`decode_media`; inside the Spark operators that lands in the
+per-row ``error`` column, so a corpus with mixed formats still
+processes everything decodable (point ``decoder=`` at a C codec for
+bulk photographic data — the pure-Python Huffman loop is for
+correctness and modest volumes, not throughput).
 """
 
 from __future__ import annotations
@@ -469,8 +471,11 @@ def decode_media(payload: bytes, mime: str):
         return decode_png(payload)
     if payload[:4] == b"GIF8":
         return decode_gif(payload)
+    if payload[:3] == b"\xff\xd8\xff":
+        from net_spider_spark.pipeline.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     for magic, name in (
-        (b"\xff\xd8\xff", "jpeg"),
         (b"ID3", "mp3"),
         (b"\xff\xfb", "mp3"),
     ):

@@ -210,12 +210,15 @@ def test_resize_nearest():
 def test_decode_media_honest_about_codecs():
     import pytest
 
-    # jpeg genuinely needs a codec library; a malformed PNG is a data
-    # error (decode_png is real now), both land in the error channel
+    # mp3 genuinely needs a codec library; malformed PNG/JPEG payloads
+    # are data errors (those decoders are real now) — all land in the
+    # per-row error channel either way
     with pytest.raises(NotImplementedError):
-        decode_media(b"\xff\xd8\xffjpegdata", "image/jpeg")
+        decode_media(b"ID3\x04\x00mp3data", "audio/mpeg")
     with pytest.raises(ValueError):
         decode_media(b"\x89PNG\r\n\x1a\nxxxx", "image/png")
+    with pytest.raises(ValueError):
+        decode_media(b"\xff\xd8\xffjpeg-without-markers", "image/jpeg")
     with pytest.raises(ValueError):
         decode_media(b"garbage!", None)
 
