@@ -138,9 +138,11 @@ def _do_input(spark: SparkSession, args) -> int:
     from net_spider_spark.rpl.contiki import parse_contiki_logs
 
     logs = list(args.logs)
+    spooled_path = None
     if "-" in logs:
         # '-' reads STDIN (CLI.hs parserInputFiles): spool it to a temp
-        # file so the distributed reader can scan it like any log file.
+        # file so the distributed reader can scan it like any log file;
+        # removed once the ingest actions below have consumed it.
         import tempfile
 
         spooled = tempfile.NamedTemporaryFile(
@@ -148,15 +150,22 @@ def _do_input(spark: SparkSession, args) -> int:
         )
         with spooled as f:
             f.write(sys.stdin.read())
-        logs = [spooled.name if x == "-" else x for x in logs]
-    dio, dao = parse_contiki_logs(
-        spark, logs, head=args.format, year=args.year
-    )
-    findings = dio.unionByName(dao)
-    if args.filter == "latest":
-        findings = latest_findings_per_node(findings)
-    n = findings.count()
-    write_findings(findings, args.db)
+        spooled_path = spooled.name
+        logs = [spooled_path if x == "-" else x for x in logs]
+    try:
+        dio, dao = parse_contiki_logs(
+            spark, logs, head=args.format, year=args.year
+        )
+        findings = dio.unionByName(dao)
+        if args.filter == "latest":
+            findings = latest_findings_per_node(findings)
+        n = findings.count()
+        write_findings(findings, args.db)
+    finally:
+        if spooled_path is not None:
+            import os
+
+            os.unlink(spooled_path)
     print(f"ingested {n} findings", file=sys.stderr)
     return 0
 

@@ -102,7 +102,11 @@ def to_node_id(df: DataFrame, column: str):
         def show_real(v):
             return v.map(lambda x: haskell_show_real(x, single=single))
 
-        return show_real(col)
+        # null propagates (a null double arrives in pandas as NaN,
+        # indistinguishable from a real NaN value — gate on the Column)
+        return F.when(col.isNull(), F.lit(None).cast("string")).otherwise(
+            show_real(col)
+        )
     raise TypeError(
         f"no ToNodeID rendering for column {column!r} of type {dtype}"
     )

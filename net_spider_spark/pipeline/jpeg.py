@@ -1,13 +1,14 @@
 """Baseline JPEG (ITU-T T.81 / JFIF) codec in pure numpy — no codec
 library.
 
-Public-spec implementation: the DECODER handles any baseline
-(SOF0, 8-bit, Huffman) JPEG — it builds its entropy and quantization
-tables from the stream's own DHT/DQT markers, supports arbitrary
-1-2× component sampling factors (4:4:4 / 4:2:2 / 4:2:0), restart
-intervals, and byte unstuffing; progressive (SOF2), arithmetic coding,
-and 12-bit precision raise ``NotImplementedError`` into the operators'
-per-row error channel. The ENCODER exists for tests and corpus
+Public-spec implementation: the DECODER handles single-interleaved-scan
+baseline (SOF0, 8-bit, Huffman) JPEG — the overwhelmingly common JFIF
+shape — building its entropy and quantization tables from the stream's
+own DHT/DQT markers, with arbitrary 1-2× component sampling factors
+(4:4:4 / 4:2:2 / 4:2:0), restart intervals, 0xFF fill bytes, and byte
+unstuffing; progressive (SOF2), arithmetic coding, 12-bit precision,
+and the rare non-interleaved multi-scan layout raise
+``NotImplementedError`` into the operators' per-row error channel. The ENCODER exists for tests and corpus
 generation: 4:4:4 or 4:2:0, quality-scaled Annex-K-style quantization,
 simple canonical Huffman tables (embedded via DHT, so any compliant
 decoder reads them).
@@ -177,6 +178,9 @@ class _BitReader:
             nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
             if nxt == 0x00:
                 self.pos += 2  # stuffed data byte
+            elif nxt == 0xFF:
+                self.pos += 1  # 0xFF fill byte run (T.81 B.1.1.2)
+                return self._fill()
             else:
                 # stay positioned ON the marker; pad bits read as zero
                 self.marker = nxt
@@ -199,18 +203,25 @@ class _BitReader:
         return v
 
     def align_to_marker(self) -> int | None:
-        """Drop pad bits; if positioned at a marker, consume and return
-        its second byte."""
+        """Drop pad bits; if positioned at a marker (possibly preceded
+        by 0xFF fill bytes, T.81 B.1.1.2), consume and return its
+        second byte."""
         self.bits = 0
         self.acc = 0
         d = self.data
-        while self.pos + 1 < len(d) and d[self.pos] == 0xFF:
+        # skip fill: any run of 0xFF bytes collapses to one marker
+        while (
+            self.pos + 1 < len(d)
+            and d[self.pos] == 0xFF
+            and d[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1
+        if self.pos + 1 < len(d) and d[self.pos] == 0xFF:
             m = d[self.pos + 1]
-            if m == 0x00:
-                break
-            self.pos += 2
-            self.marker = None
-            return m
+            if m != 0x00:
+                self.pos += 2
+                self.marker = None
+                return m
         return None
 
 
@@ -337,6 +348,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("SOS before SOF")
             ns = seg[0]
+            if ns != len(frame[2]):
+                # spec-legal but rare: non-interleaved per-component
+                # scans; decoding only the first would silently return
+                # a color-cast image, so refuse honestly instead
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG"
+                )
             scan = []
             for si in range(ns):
                 cs = seg[1 + 2 * si]

@@ -141,17 +141,22 @@ def parse_ipv6_halves(texts):
     import numpy as np
     import pandas as pd
 
-    s = texts.astype("string").str.strip().str.lower()
+    raw = texts.astype("string").str.strip()
+    s = raw.str.lower()
     n = len(s)
     idx = s.index
     na = s.isna().to_numpy()
+    raw = raw.fillna("")
     s = s.fillna("")
     hi = np.zeros(n, dtype=np.uint64)
     lo = np.zeros(n, dtype=np.uint64)
     valid = np.zeros(n, dtype=bool)
 
-    # Compact forms (ContikiNG.hs:304-341)
-    compact = s.str.startswith("6g-").to_numpy() & ~na
+    # Compact forms (ContikiNG.hs:304-341): the "6G-" prefix is
+    # case-sensitive in the reference grammar (P.string "6G-"); the
+    # hex body is not (isHexDigit) — so match the prefix on the raw
+    # text and the body on the lowercased one.
+    compact = raw.str.startswith("6G-").to_numpy() & ~na
     body = s.str[3:]
     dec3 = compact & body.str.fullmatch(r"[0-9]{3}").fillna(False).to_numpy()
     hex4 = (
@@ -167,67 +172,70 @@ def parse_ipv6_halves(texts):
         lo[hex4] = val
         valid[hex4] = ok
 
-    # Full addresses: expand '::', split to 8 groups, hex-decode
+    # Full addresses: expand '::', split to 8 groups, hex-decode —
+    # the whole pipeline is skipped when the batch is all-compact/
+    # invalid (the common Contiki neighbor case is pure 6G- forms)
     full = ~compact & ~na & (s != "").to_numpy()
-    cs = s.where(pd.Series(full, index=idx), "")
-    ok_chars = cs.str.fullmatch(r"[0-9a-f:]+").fillna(False).to_numpy()
-    bad_triple = cs.str.contains(":::", regex=False).fillna(False).to_numpy()
-    dc = cs.str.count("::").to_numpy()
-    has_dc = dc == 1
-    halves = cs.str.split("::")
-    left = halves.str[0].fillna("")
-    right = halves.str[1].fillna("")
+    if full.any():
+        cs = s.where(pd.Series(full, index=idx), "")
+        ok_chars = cs.str.fullmatch(r"[0-9a-f:]+").fillna(False).to_numpy()
+        bad_triple = cs.str.contains(":::", regex=False).fillna(False).to_numpy()
+        dc = cs.str.count("::").to_numpy()
+        has_dc = dc == 1
+        halves = cs.str.split("::")
+        left = halves.str[0].fillna("")
+        right = halves.str[1].fillna("")
 
-    def n_groups(p):
-        return np.where(
-            (p == "").to_numpy(), 0, p.str.count(":").fillna(0).to_numpy() + 1
+        def n_groups(p):
+            return np.where(
+                (p == "").to_numpy(), 0, p.str.count(":").fillna(0).to_numpy() + 1
+            )
+
+        nl, nr = n_groups(left), n_groups(right)
+        missing = 8 - nl - nr
+        shape_ok = np.where(has_dc, missing >= 1, (dc == 0) & (missing == 0))
+        mid = (
+            pd.Series(["0:"] * n, index=idx)
+            .str.repeat(np.clip(missing, 0, 8))
+            .str[:-1]
+            .fillna("")
+            .to_numpy(dtype=object)
         )
-
-    nl, nr = n_groups(left), n_groups(right)
-    missing = 8 - nl - nr
-    shape_ok = np.where(has_dc, missing >= 1, (dc == 0) & (missing == 0))
-    mid = (
-        pd.Series(["0:"] * n, index=idx)
-        .str.repeat(np.clip(missing, 0, 8))
-        .str[:-1]
-        .fillna("")
-        .to_numpy(dtype=object)
-    )
-    lobj = left.to_numpy(dtype=object)
-    robj = right.to_numpy(dtype=object)
-    lpre = np.where(lobj != "", lobj + ":", "")
-    rsuf = np.where(robj != "", ":" + robj, "")
-    expanded = np.where(
-        has_dc, lpre + mid + rsuf, cs.to_numpy(dtype=object)
-    )
-    g = pd.Series(expanded, index=idx).str.split(":", expand=True)
-    for c in range(g.shape[1], 8):
-        g[c] = None
-    g8 = (
-        g[7].notna().to_numpy()
-        if 7 in g.columns
-        else np.zeros(n, dtype=bool)
-    )
-    for c in range(8, g.shape[1]):
-        g8 &= g[c].isna().to_numpy()
-    group_ok = np.ones(n, dtype=bool)
-    val128 = [None] * 8
-    for j in range(8):  # 8 groups, vectorized across rows
-        col = g[j].fillna("")
-        len_ok = col.str.len().between(1, 4).to_numpy()
-        v, ok = _hex_fixed(col.str.zfill(4).to_numpy(dtype=object), 4)
-        group_ok &= len_ok & ok
-        val128[j] = v
-    full_ok = full & ok_chars & ~bad_triple & shape_ok & g8 & group_ok
-    if full_ok.any():
-        h = np.zeros(n, dtype=np.uint64)
-        l_ = np.zeros(n, dtype=np.uint64)
-        for j in range(4):
-            h = (h << np.uint64(16)) | val128[j]
-            l_ = (l_ << np.uint64(16)) | val128[j + 4]
-        hi[full_ok] = h[full_ok]
-        lo[full_ok] = l_[full_ok]
-        valid[full_ok] = True
+        lobj = left.to_numpy(dtype=object)
+        robj = right.to_numpy(dtype=object)
+        lpre = np.where(lobj != "", lobj + ":", "")
+        rsuf = np.where(robj != "", ":" + robj, "")
+        expanded = np.where(
+            has_dc, lpre + mid + rsuf, cs.to_numpy(dtype=object)
+        )
+        g = pd.Series(expanded, index=idx).str.split(":", expand=True)
+        for c in range(g.shape[1], 8):
+            g[c] = None
+        g8 = (
+            g[7].notna().to_numpy()
+            if 7 in g.columns
+            else np.zeros(n, dtype=bool)
+        )
+        for c in range(8, g.shape[1]):
+            g8 &= g[c].isna().to_numpy()
+        group_ok = np.ones(n, dtype=bool)
+        val128 = [None] * 8
+        for j in range(8):  # 8 groups, vectorized across rows
+            col = g[j].fillna("")
+            len_ok = col.str.len().between(1, 4).to_numpy()
+            v, ok = _hex_fixed(col.str.zfill(4).to_numpy(dtype=object), 4)
+            group_ok &= len_ok & ok
+            val128[j] = v
+        full_ok = full & ok_chars & ~bad_triple & shape_ok & g8 & group_ok
+        if full_ok.any():
+            h = np.zeros(n, dtype=np.uint64)
+            l_ = np.zeros(n, dtype=np.uint64)
+            for j in range(4):
+                h = (h << np.uint64(16)) | val128[j]
+                l_ = (l_ << np.uint64(16)) | val128[j + 4]
+            hi[full_ok] = h[full_ok]
+            lo[full_ok] = l_[full_ok]
+            valid[full_ok] = True
 
     return pd.DataFrame(
         {

@@ -468,6 +468,23 @@ def snapshot_to_json(nodes: DataFrame, links: DataFrame) -> tuple[DataFrame, Dat
     # fields when there is no timezone (Timestamp.hs:89-100). Two
     # to_json shapes with ignoreNullFields=false reproduce both rules.
     opts = {"ignoreNullFields": "false"}
+    # engine-internal presence markers (model.INTERNAL_ATTR_KEYS, e.g.
+    # dao_present) never reach serialized output — the reference's
+    # Aeson encoding has no such keys
+    from net_spider_spark.model import INTERNAL_ATTR_KEYS
+
+    attrs_t = dict(nodes.dtypes).get("node_attrs", "")
+    if attrs_t.startswith("map<"):
+        nodes = nodes.withColumn(
+            "node_attrs",
+            F.when(
+                F.col("node_attrs").isNotNull(),
+                F.map_filter(
+                    F.col("node_attrs"),
+                    lambda k, _: ~k.isin(*INTERNAL_ATTR_KEYS),
+                ),
+            ),
+        )
     tz_present = F.col("tz_offset_min").isNotNull()
     node_with_tz = nodes.where(tz_present).select(
         F.to_json(

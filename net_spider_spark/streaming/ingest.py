@@ -334,16 +334,62 @@ def stream_unified_link_per_pair(findings_stream: DataFrame, conf) -> DataFrame:
     and must run the batch path on replay; pass it here and the result
     reflects only each side's latest sample.
 
-    With ``conf.merge_samples is None`` this degrades to
-    :func:`stream_latest_link_per_pair` (ignoring ``sub_id``-less
-    default-merge configs' negation, which needs the node view and
-    stays a batch join downstream, as with the default path).
+    Default-merge configs are supported too: with no ``sub_id`` this
+    degrades to :func:`stream_latest_link_per_pair`; with a ``sub_id``
+    the same stateful machinery runs keyed by (pair, sub-ID) with a
+    synthesized latest-wins merge, so multi-link pairs keep one winner
+    PER PHYSICAL LINK exactly like the batch path. A
+    ``winner_transform`` is applied as Column rewrites over the merged
+    output, mirroring ``snapshot.py``; ``negates`` needs the node view
+    and stays a batch join downstream for every config, as with the
+    default path.
     """
+    if conf.merge_samples is None and conf.sub_id is None:
+        out = stream_latest_link_per_pair(findings_stream)
+        if conf.winner_transform is not None:
+            for name, col in conf.winner_transform().items():
+                out = out.withColumn(name, col)
+        return out
     if conf.merge_samples is None:
-        return stream_latest_link_per_pair(findings_stream)
-    if conf.merge_output_schema is None:
-        raise ValueError("merge_output_schema required with merge_samples")
-    merge = conf.merge_samples
+        # sub_id with the default merge: latest sample per (pair,
+        # sub-ID) under the batch ordering — the group is <= 2 slot
+        # rows, so the overall latest equals the latest of the two
+        # side-latests (associativity of max).
+        _DEFAULT_OUT = [
+            "p1", "p2", "sub_id", "subject_node", "target_node",
+            "link_state", "found_at", "finding_id", "link_pos",
+            "link_attrs",
+        ]
+
+        def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+            i = pdf.sort_values(
+                ["found_at", "finding_id", "link_pos"]
+            ).index[-1]
+            return pdf.loc[[i], _DEFAULT_OUT]
+
+        merge_output_schema = T.StructType(
+            [
+                T.StructField("p1", T.StringType()),
+                T.StructField("p2", T.StringType()),
+                T.StructField("sub_id", T.StringType()),
+                T.StructField("subject_node", T.StringType()),
+                T.StructField("target_node", T.StringType()),
+                T.StructField("link_state", T.StringType()),
+                T.StructField("found_at", T.LongType()),
+                T.StructField("finding_id", T.LongType()),
+                T.StructField("link_pos", T.IntegerType()),
+                T.StructField(
+                    "link_attrs", T.MapType(T.StringType(), T.StringType())
+                ),
+            ]
+        )
+    else:
+        if conf.merge_output_schema is None:
+            raise ValueError(
+                "merge_output_schema required with merge_samples"
+            )
+        merge = conf.merge_samples
+        merge_output_schema = conf.merge_output_schema
     # The merged row's own found_at is NOT monotone across batches (a
     # winner flip can adopt the other side's older timestamp), so each
     # emission carries ``_state_ord`` — the two slot ordering tuples,
@@ -351,7 +397,7 @@ def stream_unified_link_per_pair(findings_stream: DataFrame, conf) -> DataFrame:
     # reduces with max_by(_state_ord) to recover the final view
     # independent of micro-batch boundaries.
     out_schema = T.StructType(
-        list(conf.merge_output_schema.fields)
+        list(merge_output_schema.fields)
         + [T.StructField("_state_ord", T.ArrayType(T.LongType()))]
     )
 
@@ -417,13 +463,19 @@ def stream_unified_link_per_pair(findings_stream: DataFrame, conf) -> DataFrame:
         mdf = mdf.assign(_state_ord=[list(ord_vals)] * len(mdf))
         yield mdf
 
-    return keyed.groupBy("p1", "p2", "sub_id").applyInPandasWithState(
+    out = keyed.groupBy("p1", "p2", "sub_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=_UNIFIED_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    if conf.winner_transform is not None:
+        # Column rewrites over the merged sample, exactly where the
+        # batch path applies them (snapshot._unify_links)
+        for name, col in conf.winner_transform().items():
+            out = out.withColumn(name, col)
+    return out
 
 
 def parse_logs_streaming(

@@ -263,3 +263,27 @@ def test_input_stdin_dash(spark, tmp_path, monkeypatch, capsys):
     from net_spider_spark.ingest import read_findings
 
     assert read_findings(spark, db).count() == 3
+
+
+def test_input_stdin_spool_is_cleaned_up(spark, tmp_path, monkeypatch):
+    # review fix: the '-' STDIN spool file must not leak into $TMPDIR
+    import io
+    import tempfile
+
+    created = []
+    real_ntf = tempfile.NamedTemporaryFile
+
+    def tracking_ntf(*a, **kw):
+        f = real_ntf(*a, **kw)
+        created.append(f.name)
+        return f
+
+    monkeypatch.setattr(tempfile, "NamedTemporaryFile", tracking_ntf)
+    log_text = open(f"{DATA}/syslog_sample.log", encoding="utf-8").read()
+    monkeypatch.setattr("sys.stdin", io.StringIO(log_text))
+    db = str(tmp_path / "h7")
+    rc = main(["--db", db, "input", "-", "--format", "syslog",
+               "--year", "2021"], spark=spark)
+    assert rc == 0
+    spools = [p for p in created if p.endswith(".log")]
+    assert spools and all(not os.path.exists(p) for p in spools)

@@ -130,3 +130,16 @@ def test_parser_address_path_has_no_row_python(spark):
     for df in (dio, dao):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+def test_compact_prefix_case_sensitive_and_guarded_batch():
+    # "6G-" is case-sensitive in the reference grammar (P.string,
+    # ContikiNG.hs:332-334); the hex body is not. And an all-compact
+    # batch must parse without touching the full-address machinery.
+    out = ipv6.parse_ipv6_halves(
+        pd.Series(["6g-042", "6G-042", "6g-a0f2", "6G-A0F2"])
+    )
+    assert list(out["ok"]) == [False, True, False, True]
+    out = ipv6.parse_ipv6_halves(pd.Series(["6G-042", "6G-101", None]))
+    assert list(out["ok"]) == [True, True, False]
+    assert int(out["lo"].iloc[1]) == 0x101 or int(out["lo"].iloc[1]) == 101

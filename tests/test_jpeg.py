@@ -102,3 +102,30 @@ def test_jpeg_through_spark_feature_extractor(spark):
 
     arr = decode_media(encode_jpeg(flat, quality=95), None)
     assert arr.shape == (16, 24, 3)
+
+
+def test_jpeg_fill_bytes_and_multiscan_refusal():
+    # T.81 B.1.1.2: any run of 0xFF fill bytes may precede a marker
+    img = np.full((16, 16, 3), 99, np.uint8)
+    jp = encode_jpeg(img, quality=100, restart_interval=1)
+    padded = bytearray()
+    i = 0
+    while i < len(jp):
+        if jp[i] == 0xFF and i + 1 < len(jp) and 0xD0 <= jp[i + 1] <= 0xD7:
+            padded += b"\xff\xff"  # two fill bytes before each RSTn
+        padded.append(jp[i])
+        i += 1
+    assert np.array_equal(decode_jpeg(bytes(padded)), img)
+
+    # a non-interleaved multi-scan stream refuses honestly instead of
+    # returning a color-cast first-component-only image
+    base = encode_jpeg(gradient(8, 8), quality=90)
+    i = base.find(b"\xff\xda")
+    # rewrite the SOS to claim a single-component scan
+    hacked = bytearray(base)
+    hacked[i + 2 : i + 4] = (8).to_bytes(2, "big")   # new length
+    hacked[i + 4] = 1                                # ns = 1
+    # (cid, table sel) for component 1, then spectral bytes
+    hacked[i + 5 : i + 14] = bytes([1, 0, 0, 63, 0]) + base[i + 14 : i + 18]
+    with pytest.raises(NotImplementedError, match="multi-scan"):
+        decode_jpeg(bytes(hacked[: i + 10]) + bytes([0, 63, 0]) + base[i + 14 :])

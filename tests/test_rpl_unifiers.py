@@ -311,3 +311,28 @@ def test_combined_json_reference_golden_fixtures(spark):
     got = [json.loads(r["json"]) for r in back_links]
     want = [json.loads(d) for d in link_docs]
     assert sorted(got, key=str) == sorted(want, key=str)
+
+
+def test_internal_marker_never_serializes(spark):
+    # review fix: the dao_present presence marker must not leak into
+    # the SnapshotElement JSON wire either (GraphML/pangraph already
+    # strip it) — the reference's Aeson encoding has no such key.
+    import json
+
+    from net_spider_spark.snapshot import snapshot_to_json
+
+    nodes = spark.createDataFrame(
+        [("n1", False, 1000, {"dao_present": "true", "x": "1"},
+          None, None, None)],
+        "node_id string, is_on_boundary boolean, node_ts long, "
+        "node_attrs map<string,string>, tz_offset_min int, "
+        "tz_summer_only boolean, tz_name string",
+    )
+    links = spark.createDataFrame(
+        [],
+        "source_node string, dest_node string, is_directed boolean, "
+        "link_ts long, link_attrs map<string,string>",
+    )
+    nj, _ = snapshot_to_json(nodes, links)
+    doc = json.loads(nj.collect()[0]["json"])
+    assert doc["node_attrs"] == {"x": "1"}

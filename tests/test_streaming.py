@@ -428,3 +428,61 @@ def test_stream_unified_link_custom_dio_merge(spark, tmp_path):
     assert attrs["source_neighbor_type"] == "preferred_parent"
     assert attrs["dest_neighbor_type"] == "parent_candidate"
     assert got[("b", "c")][2]["source_neighbor_type"] == "preferred_parent"
+
+
+def test_stream_unified_default_merge_with_sub_id(spark, tmp_path):
+    # Review fix: a default-merge config WITH a sub_id must keep one
+    # winner per (pair, sub-ID) — not collapse multi-link pairs — and
+    # winner_transform column rewrites must apply like the batch path.
+    from pyspark.sql import functions as F
+
+    from net_spider_spark.streaming.ingest import (
+        stream_unified_link_per_pair,
+    )
+    from net_spider_spark.unify import unify_to_many
+
+    def finding_with_port(subject, ts, target, my_port, their_port):
+        return {
+            "subject_node": subject,
+            "found_at": {"epoch_time": ts},
+            "node_attrs": {},
+            "neighbor_links": [{
+                "target_node": target,
+                "link_state": "to_target",
+                "link_attrs": {"subject_port": my_port,
+                               "target_port": their_port},
+            }],
+        }
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # two PHYSICAL links between a and b (port pairs p1<->q1, p2<->q2)
+    _write_jsonl(src / "b1.jsonl", [
+        finding_with_port("a", 1000, "b", "p1", "q1"),
+        finding_with_port("a", 1100, "b", "p2", "q2"),
+        finding_with_port("b", 2000, "a", "q1", "p1"),
+    ])
+    from net_spider_spark.unify import sub_id_by_attrs
+
+    conf = unify_to_many(sub_id_by_attrs("subject_port", "target_port"))
+    out_rows = []
+    q = (
+        stream_unified_link_per_pair(
+            stream_findings_json(spark, str(src)), conf)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda d, _id: out_rows.extend(
+            r.asDict(recursive=True) for r in d.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    view = {}
+    for r in out_rows:
+        view[(r["p1"], r["p2"], r["sub_id"])] = (
+            r["subject_node"], r["found_at"])
+    # TWO physical links survive; the p1/q1 link's winner is b's newer
+    # sample, the p2/q2 link keeps a's only sample
+    assert len(view) == 2
+    winners = sorted(view.values())
+    assert winners == [("a", 1100), ("b", 2000)]

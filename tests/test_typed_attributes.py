@@ -230,3 +230,17 @@ def test_int_node_ids_render_like_reference_golden(spark):
     xml = write_graphml(nodes, links)
     assert '<node id="100">' in xml and '<node id="200">' in xml
     assert '<edge source="100" target="200"' in xml
+
+
+def test_to_node_id_null_floats_propagate_null(spark):
+    # review fix: a NULL double node-ID must stay null, not become a
+    # node literally named "NaN" (real NaN values still render "NaN")
+    from pyspark.sql import functions as F
+
+    from net_spider_spark.graphml import to_node_id
+
+    df = spark.createDataFrame(
+        [(1.5,), (None,), (float("nan"),)], "d double"
+    )
+    got = [r["x"] for r in df.select(to_node_id(df, "d").alias("x")).collect()]
+    assert got == ["1.5", None, "NaN"]
