@@ -42,6 +42,7 @@ def snapshot(
     starts_from: Optional[Sequence[str]] = None,
     negation: bool = True,
     negates=None,
+    max_hops=None,
 ):
     """Returns (nodes, links): nodes = {node_id: (is_boundary=False,
     node_ts|None, attrs|None)}; links = set of (source, dest,
@@ -68,7 +69,8 @@ def snapshot(
         visited = set()
         frontier = {s for s in starts_from if s in universe}
         visited |= frontier
-        while frontier:
+        hops = 0
+        while frontier and (max_hops is None or hops < max_hops):
             nxt = set()
             for n in frontier:
                 for f in by_subject.get(n, ()):
@@ -77,9 +79,17 @@ def snapshot(
                             nxt.add(l.target)
             visited |= nxt
             frontier = nxt
+            hops += 1
         kept = [f for f in kept if f.subject in visited]
-        node_ids = set(visited)
+        # past-bound targets are boundary nodes (observed, not
+        # visited) so the graph stays closed over its links — with an
+        # unbounded traversal this set is empty by closure
+        boundary = {
+            l.target for f in kept for l in f.links
+        } - visited
+        node_ids = set(visited) | boundary
     else:
+        boundary = set()
         node_ids = {f.subject for f in kept} | {
             l.target for f in kept for l in f.links
         }
@@ -92,7 +102,7 @@ def snapshot(
             node_state[f.subject] = f
     nodes = {
         n: (
-            False,
+            n in boundary,
             node_state[n].found_at if n in node_state else None,
             node_state[n].attrs if n in node_state else None,
         )

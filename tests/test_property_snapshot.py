@@ -60,9 +60,11 @@ def run_engine(spark, pyfindings, **query_kw):
     return nodes, links
 
 
-def check(spark, pyfindings, policy, interval=None, starts_from=None):
+def check(spark, pyfindings, policy, interval=None, starts_from=None,
+          max_hops=None):
     exp_nodes, exp_links = py_snapshot(
-        pyfindings, policy=policy, interval=interval, starts_from=starts_from
+        pyfindings, policy=policy, interval=interval,
+        starts_from=starts_from, max_hops=max_hops,
     )
     got_nodes, got_links = run_engine(
         spark,
@@ -70,6 +72,7 @@ def check(spark, pyfindings, policy, interval=None, starts_from=None):
         found_node_policy=policy,
         time_interval=interval or Interval.always(),
         starts_from=starts_from,
+        max_hops=max_hops,
     )
     assert got_nodes == {
         n: (b, ts) for n, (b, ts, _) in exp_nodes.items()
@@ -110,6 +113,20 @@ def test_interval_matches_spec(spark, fs, policy, lo, width):
 @_settings
 def test_traversal_matches_spec(spark, fs, starts):
     check(spark, fs, "overwrite", starts_from=starts)
+
+
+@given(
+    fs=findings_st,
+    starts=st.lists(st.sampled_from(NODE_IDS), min_size=1, max_size=2),
+    max_hops=st.integers(min_value=0, max_value=3),
+)
+@_settings
+def test_bounded_traversal_matches_spec(spark, fs, starts, max_hops):
+    """max_hops (the reference's unimplemented Spider.hs:254 TODO,
+    implemented here): nodes past the bound appear as BOUNDARY nodes
+    (observed, not visited) so the output graph stays closed over its
+    links — engine vs spec across random graphs and bounds."""
+    check(spark, fs, "overwrite", starts_from=starts, max_hops=max_hops)
 
 
 @given(
