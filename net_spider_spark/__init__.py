@@ -40,6 +40,7 @@ from net_spider_spark.snapshot import (
     get_snapshot_logged,
     get_snapshot_simple,
     graph_timestamp,
+    negate_and_resolve,
     snapshot_from_json,
     snapshot_to_json,
 )
@@ -85,6 +86,7 @@ __all__ = [
     "get_snapshot_logged",
     "get_snapshot_simple",
     "graph_timestamp",
+    "negate_and_resolve",
     "snapshot_from_json",
     "snapshot_to_json",
     "Weaver",

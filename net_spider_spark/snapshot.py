@@ -418,6 +418,24 @@ def _unify_links(
         for name, col in conf.winner_transform().items():
             merged = merged.withColumn(name, col)
 
+    return negate_and_resolve(merged, nodes, conf)
+
+
+def negate_and_resolve(
+    merged: DataFrame, nodes: DataFrame, conf: Optional[UnifyConfig] = None
+) -> DataFrame:
+    """The unify tail: negation + direction resolution over MERGED link
+    samples (p1/p2 pair keys + subject/target/state/found_at/attrs).
+
+    Shared by the batch pipeline and the incremental path: apply it to
+    the contents of the stream-maintained views
+    (``streaming.ingest.stream_latest_per_node`` renamed to
+    (node_id, node_ts) + ``stream_latest_link_per_pair`` /
+    ``stream_unified_link_per_pair``) to complete them into the exact
+    snapshot link rows the batch query produces on full replay.
+    """
+    if conf is None:
+        conf = unify_to_one()
     # Negation (Unify.hs:184-193): check the merged sample against BOTH
     # endpoints' snapshot-node timestamps. Node states are a per-node
     # aggregate — orders of magnitude smaller than the sample table — so

@@ -486,3 +486,77 @@ def test_stream_unified_default_merge_with_sub_id(spark, tmp_path):
     assert len(view) == 2
     winners = sorted(view.values())
     assert winners == [("a", 1100), ("b", 2000)]
+
+
+def test_stream_views_plus_finisher_equal_batch_snapshot(spark, tmp_path):
+    # The two maintained views + the shared negate_and_resolve tail
+    # reconstruct EXACTLY the batch snapshot links on full replay
+    # (append policy — the stream folds over every sample).
+    from pyspark.sql import functions as F
+
+    from net_spider_spark.snapshot import Query, get_snapshot, negate_and_resolve
+    from net_spider_spark.streaming.ingest import (
+        stream_latest_link_per_pair,
+        stream_latest_per_node,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_jsonl(src / "b1.jsonl", [
+        _finding("a", 1000, ["b"]),
+        _finding("b", 3000, ["a", "c"]),
+        _finding("c", 1500, ["b"]),
+        _finding("d", 5000, []),        # fresh empty view of d
+        _finding("a", 4000, ["d"]),     # a->d: d's newer empty obs negates
+    ])
+
+    def run(stream_df, ckpt, mode="update"):
+        rows = []
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .foreachBatch(lambda d, _id: rows.extend(d.collect()))
+            .option("checkpointLocation", str(tmp_path / ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    link_rows = run(
+        stream_latest_link_per_pair(stream_findings_json(spark, str(src))),
+        "ckpt_l",
+    )
+    node_rows = run(
+        stream_latest_per_node(stream_findings_json(spark, str(src))),
+        "ckpt_n",
+    )
+    link_view = spark.createDataFrame(
+        link_rows,
+        "p1 string, p2 string, subject_node string, target_node string, "
+        "link_state string, found_at long, finding_id long, link_pos int, "
+        "link_attrs map<string,string>",
+    )
+    node_view = spark.createDataFrame(
+        [(r["subject_node"], r["found_at"]) for r in node_rows],
+        "node_id string, node_ts long",
+    )
+    finished = negate_and_resolve(link_view, node_view)
+    got = {
+        (r["source_node"], r["dest_node"], r["is_directed"], r["link_ts"])
+        for r in finished.collect()
+    }
+
+    findings = read_findings_json_all(spark, str(src))
+    _, batch_links = get_snapshot(findings, Query(found_node_policy="append"))
+    want = {
+        (r["source_node"], r["dest_node"], r["is_directed"], r["link_ts"])
+        for r in batch_links.collect()
+    }
+    assert got == want and got  # non-empty and the a->d link negated
+    assert not any(s == "a" and d == "d" for (s, d, _, _) in got)
+
+
+def read_findings_json_all(spark, path):
+    from net_spider_spark.streaming.ingest import read_findings_json
+
+    return read_findings_json(spark, path)
