@@ -44,19 +44,21 @@ def fold_latest_nodes(state: DataFrame | None, batch: DataFrame) -> DataFrame:
     return latest_findings_per_node(combined)
 
 
-def update_latest_state(
-    spark: SparkSession, state_path: str, batch: DataFrame
+def _fold_and_swap(
+    spark: SparkSession, state_path: str, batch: DataFrame, fold
 ) -> DataFrame:
     """Fold ``batch`` into the parquet state at ``state_path`` (created
-    on first call) and return the new state.
+    on first call) with a crash-safe swap, and return the new state.
 
-    Crash-safe swap: write the new state to ``._tmp``, rename the
-    current state aside to ``._old``, rename ``._tmp`` into place,
-    delete ``._old`` — at every instant at least one complete readable
-    state exists on disk (the old rmtree-then-rename ordering had a
-    window with none). A crash mid-swap leaves either the state in
-    place or at ``._old``; the next call recovers it automatically.
-    Use a transactional table format (Delta/Iceberg) in production."""
+    Swap order: write the new state to ``._tmp``, rename the current
+    state aside to ``._old``, rename ``._tmp`` into place, delete
+    ``._old`` — at every instant at least one complete readable state
+    exists on disk (the naive rmtree-then-rename ordering has a window
+    with none). A crash mid-swap leaves either the state in place or at
+    ``._old``; the next call recovers it automatically. The RETURNED
+    DataFrame lazily reads the just-swapped files — consume it before
+    the next update replaces them (snapshot isolation across updates is
+    what Delta/Iceberg buy you in production)."""
     base = state_path.rstrip("/")
     tmp, old = base + "._tmp", base + "._old"
     # Recovery: a crash between rename-aside and rename-into-place
@@ -68,8 +70,12 @@ def update_latest_state(
 
     state = None
     if os.path.exists(state_path):
+        # the previous swap replaced the directory contents; drop any
+        # cached file listing for the path or the read resolves to
+        # deleted part files
+        spark.catalog.refreshByPath(state_path)
         state = spark.read.parquet(state_path)
-    new_state = fold_latest_nodes(state, batch)
+    new_state = fold(state, batch)
     new_state.write.mode("overwrite").parquet(tmp)
     if os.path.exists(old):
         shutil.rmtree(old)  # leftover from a crash after rename-new
@@ -79,6 +85,25 @@ def update_latest_state(
     if os.path.exists(old):
         shutil.rmtree(old)
     return spark.read.parquet(state_path)
+
+
+def update_latest_state(
+    spark: SparkSession, state_path: str, batch: DataFrame
+) -> DataFrame:
+    """Crash-safe incremental update of the latest-per-NODE state (see
+    :func:`_fold_and_swap` for the swap protocol)."""
+    return _fold_and_swap(spark, state_path, batch, fold_latest_nodes)
+
+
+def update_latest_links_state(
+    spark: SparkSession, state_path: str, batch: DataFrame
+) -> DataFrame:
+    """Crash-safe incremental update of the per-pair latest-LINK state
+    (the batch twin of ``stream_latest_link_per_pair`` persisted to
+    parquet; ``fold_latest_links`` is an associative argmax, so the
+    folded state always equals the full-history reduction and refolding
+    a replayed batch is a no-op)."""
+    return _fold_and_swap(spark, state_path, batch, fold_latest_links)
 
 
 from pyspark.sql import functions as F  # noqa: E402

@@ -206,3 +206,51 @@ def test_update_latest_state_crash_windows(spark, tmp_path, monkeypatch):
     got = inc.update_latest_state(spark, sp, b3)
     assert [r["found_at"] for r in got.collect()] == [950]
     assert not os.path.exists(sp + "._old")
+
+
+def test_update_latest_links_state_fold(spark, tmp_path):
+    # links-side persistent incremental state: fold == full-history
+    # reduction, and refolding a replayed batch is a no-op (argmax
+    # idempotence)
+    from net_spider_spark.incremental import (
+        fold_latest_links,
+        update_latest_links_state,
+    )
+
+    schema = (
+        "finding_id long, subject_node string, found_at long, "
+        "tz_offset_min int, tz_summer_only boolean, tz_name string, "
+        "node_attrs map<string,string>, "
+        "neighbor_links array<struct<target_node:string,link_state:string,"
+        "link_attrs:map<string,string>>>"
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a", 100, None, None, None, {}, [("b", "to_target", {"w": "1"})]),
+         (2, "b", 300, None, None, None, {}, [("a", "to_subject", {"w": "2"})])],
+        schema)
+    b2 = spark.createDataFrame(
+        [(3, "a", 200, None, None, None, {}, [("b", "to_target", {"w": "3"})]),
+         (4, "c", 400, None, None, None, {}, [("b", "to_target", {"w": "4"})])],
+        schema)
+    sp = str(tmp_path / "lstate")
+    update_latest_links_state(spark, sp, b1)
+    got = update_latest_links_state(spark, sp, b2)
+    rows = {(r["p1"], r["p2"]): (r["found_at"], r["link_attrs"]["w"])
+            for r in got.collect()}
+    # (a,b): b's 300 observation beats a's 100 and 200; (b,c): c's 400
+    assert rows == {("a", "b"): (300, "2"), ("b", "c"): (400, "4")}
+    # folded state == full-history reduction
+    full = fold_latest_links(None, b1.unionByName(b2))
+    assert sorted(
+        (r["p1"], r["p2"], r["found_at"]) for r in full.collect()
+    ) == sorted((r["p1"], r["p2"], r["found_at"]) for r in got.collect())
+    # replaying b2 changes nothing (materialize `got` first: each
+    # update swaps the state directory, invalidating earlier lazy
+    # readers — the documented consume-before-next-update contract)
+    got_rows = sorted(
+        (r["p1"], r["p2"], r["found_at"]) for r in got.collect()
+    )
+    again = update_latest_links_state(spark, sp, b2)
+    assert sorted(
+        (r["p1"], r["p2"], r["found_at"]) for r in again.collect()
+    ) == got_rows
