@@ -367,6 +367,30 @@ def q_tpch_region_revenue(spark, sf_dir):
     )
 
 
+def q_tpch_q9_nation_profit(spark, sf_dir):
+    # TPC-H Q9-style profit rollup by supplier nation and part type —
+    # exercises the two remaining testdata dims (part, supplier), both
+    # broadcast against the lineitem fact: the star-join shape that
+    # never shuffles the fact table by a dimension key.
+    pa = demo.read_table(spark, sf_dir, "part")
+    su = demo.read_table(spark, sf_dir, "supplier")
+    na = demo.read_table(spark, sf_dir, "nation")
+    li = demo.read_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy("n_name", "p_type")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 # --- LLM-data-pipeline operators -------------------------------------------
 
 def q_dedup_exact(spark, sf_dir):
@@ -1910,6 +1934,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_rpl_dio_merged": q_stream_rpl_dio_merged,
         "multimodal_gif_decode": q_multimodal_gif_decode,
         "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "tpch_q9_nation_profit": q_tpch_q9_nation_profit,
         "text_token_stats": q_text_token_stats,
         "curate_stratified_sample": q_curate_stratified_sample,
         "dedup_exact": q_dedup_exact,
@@ -2125,6 +2150,17 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY o_orderkey
 ORDER BY revenue DESC, o_orderkey ASC
 LIMIT 10
+""",
+        "tpch_q9_nation_profit": """
+SELECT n_name, p_type,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       sum(l_quantity) AS sum_qty,
+       count(*) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, p_type
 """,
         "tpch_region_revenue": """
 SELECT r_name, n_name,
