@@ -197,3 +197,14 @@ def test_span_removal_no_range_join(docs):
     exec_plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in exec_plan or "BroadcastHashJoin" in exec_plan
     assert "SortMergeJoin [doc_id" not in exec_plan
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    # tpch_q9_nation_profit: every dimension joins as a broadcast hash
+    # join — the lineitem fact must never shuffle on a dimension key
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_tpch_q9_nation_profit(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
