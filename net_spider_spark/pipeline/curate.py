@@ -469,6 +469,89 @@ def decontaminate(
 # Mixture (domain-weight) sampling
 # ---------------------------------------------------------------------------
 
+# Selection key prefix length (hex chars) used to bucket the per-source
+# rank: 3 chars = 4096 lexicographic buckets. md5-hex compares bytewise,
+# so ordering rows by (key, id) is consistent with grouping them by the
+# key's first 3 chars — a row's global rank within its source equals
+# (count of rows in strictly-smaller buckets) + (its rank inside its own
+# bucket). That identity is what lets the quota-rank run 4096-way
+# parallel instead of one full sort per source.
+_MIX_BUCKET_HEX = 3
+
+
+def _mix_bucket_histogram(
+    df: DataFrame, source_col: str, seed: str, id_col: str
+) -> dict:
+    """One tiny aggregate: rows per (source, 3-hex-char key-prefix
+    bucket). At most ``n_sources * 4096`` result rows regardless of
+    corpus size (partial-aggregated map-side), so collecting it to the
+    driver is O(sources), not O(rows)."""
+    rows = (
+        df.groupBy(
+            F.col(source_col).alias("_src"),
+            F.substring(_md5_key(id_col, seed), 1, _MIX_BUCKET_HEX).alias("_bkt"),
+        )
+        .agg(F.count(F.lit(1)).alias("_bc"))
+        .collect()
+    )
+    hist: dict = {}
+    for r in rows:
+        hist.setdefault(r["_src"], {})[r["_bkt"]] = r["_bc"]
+    return hist
+
+
+def _quota_rank_sample(
+    df: DataFrame,
+    hist: dict,
+    quotas: dict,
+    source_col: str,
+    seed: str,
+    id_col: str,
+) -> DataFrame:
+    """Keep the ``quota_s`` smallest (md5-key, id) rows of each source,
+    emitting each row's exact per-source rank as ``mix_rank`` — without
+    ever sorting a whole source in one task.
+
+    From the driver-side bucket histogram we derive, per source, the
+    cumulative row count preceding each key-prefix bucket. Only buckets
+    whose offset is still below the quota can contribute rows, so the
+    broadcast offsets table doubles as the threshold filter: the inner
+    join drops every row of a fully-past-quota bucket map-side, before
+    any shuffle or sort. The surviving rows are ranked inside their own
+    (source, bucket) partition — ~1/4096 of a source each — and the
+    bucket offset restores the global rank. At 100 TB with a handful of
+    sources this replaces a multi-TB single-task external sort per
+    source with a 4096-way parallel sort of only the kept prefix.
+
+    Membership and ranks are bit-identical to
+    ``row_number() OVER (PARTITION BY source ORDER BY key, id) <= quota``
+    (ties in the key share a bucket by construction, so the ``id``
+    tiebreak never crosses a bucket boundary).
+    """
+    spark = df.sparkSession
+    offsets = []
+    for s, quota in quotas.items():
+        off = 0
+        for bkt in sorted(hist.get(s, {})):
+            if off >= quota:
+                break
+            offsets.append((s, bkt, off, quota))
+            off += hist[s][bkt]
+    offsets_df = spark.createDataFrame(
+        offsets, f"{source_col} string, _bkt string, _off long, _quota long"
+    )
+    key = _md5_key(id_col, seed)
+    w_rank = Window.partitionBy(source_col, "_bkt").orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("_bkt", F.substring(key, 1, _MIX_BUCKET_HEX))
+        .join(F.broadcast(offsets_df), [source_col, "_bkt"])
+        .withColumn(
+            "mix_rank", (F.col("_off") + F.row_number().over(w_rank)).cast("long")
+        )
+        .where(F.col("mix_rank") <= F.col("_quota"))
+        .drop("_bkt", "_off", "_quota")
+    )
+
 
 def mixture_sample(
     df: DataFrame,
@@ -487,9 +570,10 @@ def mixture_sample(
 
     Selection within a source is by md5-key rank, so the sample is a
     pure function of (corpus, weights, seed) — rerunning yields the
-    same training mixture. One count aggregate (tiny: one row per
-    source, collected to size the quotas) + one window rank per source
-    partition; no global sort.
+    same training mixture. One tiny (source, key-prefix-bucket)
+    histogram aggregate sizes the quotas AND pre-filters past-quota
+    buckets; the exact rank then runs 4096-way parallel per source via
+    :func:`_quota_rank_sample` — no whole-source sort anywhere.
     """
     if not weights:
         raise ValueError("weights must be non-empty")
@@ -497,28 +581,12 @@ def mixture_sample(
     if total_w <= 0:
         raise ValueError("weights must sum to a positive value")
     norm = {s: w / total_w for s, w in weights.items()}
-    counts = {
-        r[source_col]: r["cnt"]
-        for r in df.where(F.col(source_col).isin(*norm.keys()))
-        .groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
+    scoped = df.where(F.col(source_col).isin(*norm.keys()))
+    hist = _mix_bucket_histogram(scoped, source_col, seed, id_col)
+    counts = {s: sum(b.values()) for s, b in hist.items()}
     scale = min(counts.get(s, 0) / w for s, w in norm.items() if w > 0)
     quotas = {s: int(scale * w) for s, w in norm.items()}
-    spark = df.sparkSession
-    quota_df = spark.createDataFrame(
-        [(s, q) for s, q in quotas.items()], f"{source_col} string, _quota long"
-    )
-    w_rank = Window.partitionBy(source_col).orderBy(
-        _md5_key(id_col, seed), F.col(id_col)
-    )
-    return (
-        df.join(F.broadcast(quota_df), source_col)
-        .withColumn("mix_rank", F.row_number().over(w_rank).cast("long"))
-        .where(F.col("mix_rank") <= F.col("_quota"))
-        .drop("_quota")
-    )
+    return _quota_rank_sample(scoped, hist, quotas, source_col, seed, id_col)
 
 
 def temperature_mixture_sample(
@@ -541,13 +609,9 @@ def temperature_mixture_sample(
     floor(scale * w_s). Selection within a source is the same
     deterministic md5-rank as :func:`mixture_sample`.
     """
-    counts = {
-        r[source_col]: r["cnt"]
-        for r in df.groupBy(source_col)
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-        if r[source_col] is not None
-    }
+    hist = _mix_bucket_histogram(df, source_col, seed, id_col)
+    hist.pop(None, None)
+    counts = {s: sum(b.values()) for s, b in hist.items()}
     if not counts:
         raise ValueError("no sources present")
     # alpha=0.5 uses true sqrt (IEEE correctly-rounded everywhere);
@@ -556,19 +620,7 @@ def temperature_mixture_sample(
     weights = {s: powf(float(c)) for s, c in counts.items() if c > 0}
     scale = min(counts[s] / w for s, w in weights.items())
     quotas = {s: int(math.floor(scale * w)) for s, w in weights.items()}
-    spark = df.sparkSession
-    quota_df = spark.createDataFrame(
-        [(s, q) for s, q in quotas.items()], f"{source_col} string, _quota long"
-    )
-    w_rank = Window.partitionBy(source_col).orderBy(
-        _md5_key(id_col, seed), F.col(id_col)
-    )
-    return (
-        df.join(F.broadcast(quota_df), source_col)
-        .withColumn("mix_rank", F.row_number().over(w_rank).cast("long"))
-        .where(F.col("mix_rank") <= F.col("_quota"))
-        .drop("_quota")
-    )
+    return _quota_rank_sample(df, hist, quotas, source_col, seed, id_col)
 
 
 # ---------------------------------------------------------------------------

@@ -208,3 +208,26 @@ def test_star_join_broadcasts_all_dims(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 3
     assert "SortMergeJoin" not in plan
+
+
+def test_mixture_sample_rank_never_spans_a_source(docs):
+    # The quota-rank window must partition by (source, key-prefix
+    # bucket), never by source alone: a whole-source window partition
+    # is a single-task multi-TB external sort at 100 TB (the quota is
+    # a non-literal column, so WindowGroupLimit cannot rescue it).
+    for df in (
+        CU.mixture_sample(docs, {"src0": 2.0, "src1": 1.0}),
+        CU.temperature_mixture_sample(docs, alpha=0.5),
+    ):
+        plan = plan_of(df)
+        specs = [
+            seg for seg in plan.split("windowspecdefinition(")[1:]
+        ]
+        assert specs, "expected a window in the quota-rank plan"
+        for spec in specs:
+            assert "_bkt" in spec.split(")")[0] + spec[:200], (
+                "window partition spec must include the _bkt bucket"
+            )
+        # the shuffle feeding the window hashes on both keys
+        assert "hashpartitioning(source" in plan
+        assert "_bkt" in plan.split("hashpartitioning(source", 1)[1][:80]

@@ -131,6 +131,30 @@ def main() -> None:
         "dedup_span_removal",
         lambda: force(D.remove_duplicate_spans(docs_rep, n=10)),
     )
+
+    # ---- curate/text headline rows (round-6) ----
+    from net_spider_spark.pipeline import curate as CU
+    from net_spider_spark.pipeline import text as TX
+
+    timed(
+        "curate_mixture_sample",
+        lambda: force(
+            CU.mixture_sample(docs_rep, {"src0": 2.0, "src1": 1.0, "src2": 1.0})
+        ),
+    )
+    # Per-task sort bound for the quota-rank: each window partition
+    # sorts exactly one (source, 3-hex-key-prefix) bucket, so the
+    # largest bucket IS the per-task input — reported directly to show
+    # it stays ~n_source/4096 while the corpus replicates.
+    mix_hist = CU._mix_bucket_histogram(docs_rep, "source", "s42", "doc_id")
+    mixture_max_bucket = max(
+        (max(b.values()) for b in mix_hist.values()), default=0
+    )
+    timed(
+        "text_bm25",
+        lambda: force(TX.bm25_search(docs_rep, ["the", "data", "model"], top_k=10)),
+    )
+    timed("text_common_ngrams", lambda: force(TX.common_ngrams(docs_rep, n=3)))
     docs_rep.unpersist()
 
     ev = demo.read_table(spark, sf_dir, "events")
@@ -250,6 +274,7 @@ def main() -> None:
                 "queries": timings,
                 "counters": counters,
                 "rows": n,
+                "mixture_max_bucket_rows": mixture_max_bucket,
                 "docs": n_docs,
                 "events": n_events,
                 "replicate": factor,
