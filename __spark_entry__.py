@@ -1583,6 +1583,58 @@ def q_multimodal_gif_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_jpeg_progressive(spark, sf_dir):
+    # REAL progressive (SOF2) decode through image_features: the full
+    # spectral-selection + successive-approximation scan script runs
+    # under the oracle. Solid grayscale at quality 100 reconstructs
+    # exactly (unit quantization, DC-only — the refinement scans
+    # restore every DC bit), so dimensions and channel means are
+    # analytic; general-image fidelity is pinned by the pytest
+    # bit-exact-vs-baseline assertion.
+    import pandas as pd
+
+    from net_spider_spark.pipeline import multimodal as MM
+    from net_spider_spark.pipeline.jpeg import encode_jpeg_progressive
+
+    ev = (
+        _events_typed(spark, sf_dir)
+        .where(F.col("event_id") % 25 == 11)
+        .select("event_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                w, h = 3 + eid % 6, 2 + eid % 5
+                img = np.full((h, w, 3), eid % 256, dtype=np.uint8)
+                payloads.append(
+                    encode_jpeg_progressive(
+                        img, quality=100, subsample=bool(eid % 2)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["event_id"],
+                    "mime": "image/jpeg",
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth,
+        schema="media_id bigint, mime string, payload binary, "
+        "meta map<string,string>",
+    )
+    return MM.image_features(media).select(
+        "media_id", "width", "height", "mean_r", "mean_g", "mean_b"
+    )
+
+
 def q_multimodal_jpeg_decode(spark, sf_dir):
     # REAL baseline-JPEG decode through image_features: solid GRAYSCALE
     # images at quality 100 (unit quantization) reconstruct EXACTLY —
@@ -1930,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Group 1: no attestation yet (new this round) or last
         # driver-green in r3 — re-attest these first.
+        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_png_decode": q_multimodal_png_decode,
         "stream_rpl_dio_merged": q_stream_rpl_dio_merged,
         "multimodal_gif_decode": q_multimodal_gif_decode,
@@ -3200,6 +3253,15 @@ walk(node_id, dist, hops) AS (
   WHERE w.hops < 6
 )
 SELECT node_id, min(dist) AS dist FROM walk GROUP BY 1
+""",
+        "multimodal_jpeg_progressive": """
+SELECT event_id AS media_id,
+       CAST(3 + event_id % 6 AS INT) AS width,
+       CAST(2 + event_id % 5 AS INT) AS height,
+       CAST(event_id % 256 AS DOUBLE) AS mean_r,
+       CAST(event_id % 256 AS DOUBLE) AS mean_g,
+       CAST(event_id % 256 AS DOUBLE) AS mean_b
+FROM events WHERE event_id % 25 = 11
 """,
         "multimodal_jpeg_decode": """
 SELECT event_id AS media_id,

@@ -11,9 +11,9 @@ in pure numpy (:func:`decode_wav` PCM 8/16-bit, :func:`decode_bmp`
 uncompressed 24/32-bit, :func:`decode_ppm` binary P6,
 :func:`decode_png` 8-bit non-interlaced via zlib inflate + per-row
 unfilter, :func:`decode_gif` first frame via spec LZW + palette, and
-baseline JPEG via ``pipeline.jpeg``), as are nearest-neighbor resize
-and the audio/image feature extractors built on them. mp3/video (and
-progressive JPEG) raise ``NotImplementedError`` from
+baseline AND progressive JPEG via ``pipeline.jpeg``), as are
+nearest-neighbor resize and the audio/image feature extractors built
+on them. mp3/video raise ``NotImplementedError`` from
 :func:`decode_media`; inside the Spark operators that lands in the
 per-row ``error`` column, so a corpus with mixed formats still
 processes everything decodable (point ``decoder=`` at a C codec for

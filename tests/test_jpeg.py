@@ -71,7 +71,11 @@ def test_jpeg_restart_intervals_bit_exact_with_plain():
 def test_jpeg_honest_refusals():
     base = encode_jpeg(gradient(8, 8), quality=90)
     with pytest.raises(NotImplementedError, match="non-baseline"):
-        decode_jpeg(base.replace(b"\xff\xc0", b"\xff\xc2", 1))  # SOF2
+        decode_jpeg(base.replace(b"\xff\xc0", b"\xff\xc9", 1))  # arithmetic
+    with pytest.raises(ValueError):
+        # marker-swapped SOF2 with a baseline scan header is malformed
+        # (a progressive scan may not span Ss=0..Se=63)
+        decode_jpeg(base.replace(b"\xff\xc0", b"\xff\xc2", 1))
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8garbage-without-markers")
     with pytest.raises(ValueError):
@@ -129,3 +133,46 @@ def test_jpeg_fill_bytes_and_multiscan_refusal():
     hacked[i + 5 : i + 14] = bytes([1, 0, 0, 63, 0]) + base[i + 14 : i + 18]
     with pytest.raises(NotImplementedError, match="multi-scan"):
         decode_jpeg(bytes(hacked[: i + 10]) + bytes([0, 63, 0]) + base[i + 14 :])
+
+
+def test_jpeg_progressive_bit_exact_with_baseline():
+    # The progressive scan script transmits the same quantized
+    # coefficients as the baseline encoder, fully refined to Al=0 —
+    # so decoded pixels must be IDENTICAL, not merely close.
+    from net_spider_spark.pipeline.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, size=(37, 51, 3), dtype=np.uint8)
+    for img in (gradient(48, 64), gradient(17, 23), noise):
+        for sub in (False, True):
+            for q in (50, 85, 95):
+                base = decode_jpeg(encode_jpeg(img, quality=q, subsample=sub))
+                prog = decode_jpeg(
+                    encode_jpeg_progressive(img, quality=q, subsample=sub)
+                )
+                assert np.array_equal(base, prog), (img.shape, sub, q)
+
+
+def test_jpeg_progressive_psnr_and_gray():
+    from net_spider_spark.pipeline.jpeg import encode_jpeg_progressive
+
+    img = gradient(40, 56)
+    out = decode_jpeg(encode_jpeg_progressive(img, quality=92))
+    assert psnr(img, out) > 30
+    gray = np.arange(0, 240, dtype=np.uint8).reshape(12, 20)
+    out = decode_jpeg(encode_jpeg_progressive(gray, quality=95))
+    assert out.shape == (12, 20, 3)
+    assert psnr(np.repeat(gray[:, :, None], 3, axis=2), out) > 30
+
+
+def test_jpeg_progressive_through_decode_media():
+    # decode_media's magic dispatch routes SOF2 streams through the
+    # same JPEG entry point; features must come back identical to the
+    # baseline encoding of the same pixels.
+    from net_spider_spark.pipeline.jpeg import encode_jpeg_progressive
+
+    img = gradient(24, 32)
+    a = decode_media(bytes(encode_jpeg(img, quality=90)), "image/jpeg")
+    b = decode_media(bytes(encode_jpeg_progressive(img, quality=90)),
+                     "image/jpeg")
+    assert np.array_equal(a, b)
