@@ -1583,6 +1583,77 @@ def q_multimodal_gif_decode(spark, sf_dir):
     )
 
 
+def q_multimodal_media_metadata(spark, sf_dir):
+    # REAL MP3/MP4 container-metadata extraction (no decode): even ids
+    # synthesize CBR MPEG1-L3 header streams (duration = n*1152/rate,
+    # bitrate from the frame header table), odd ids ISO-BMFF skeletons
+    # (mvhd duration/timescale, tkhd 16.16 dims, per-track hdlr). All
+    # outputs are analytic functions of event_id, so DuckDB reproduces
+    # them bit-for-bit — including the IEEE double divisions.
+    import pandas as pd
+
+    from net_spider_spark.pipeline import multimodal as MM
+
+    ev = (
+        _events_typed(spark, sf_dir)
+        .where(F.col("event_id") % 25 == 3)
+        .select("event_id")
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                if eid % 2 == 0:
+                    payloads.append(
+                        MM.encode_mp3_frames(
+                            10 + eid % 20,
+                            bitrate_idx=1 + eid % 3,
+                            rate_idx=eid % 3,
+                            channels=1 if eid % 4 == 0 else 2,
+                            id3_bytes=eid % 100,
+                        )
+                    )
+                else:
+                    payloads.append(
+                        MM.encode_mp4_skeleton(
+                            16 * (1 + eid % 8),
+                            16 * (1 + eid % 6),
+                            1000 + eid % 5000,
+                            with_audio=bool(eid % 4 == 1),
+                        )
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["event_id"],
+                    "mime": None,
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth,
+        schema="media_id bigint, mime string, payload binary, "
+        "meta map<string,string>",
+    )
+    meta = MM.media_metadata(media)
+    # Not-applicable fields are NULL in the operator; the contract
+    # output coalesces them to -1 so row sorting/hashing never
+    # compares NULL against a value (the nullability itself is pinned
+    # by tests/test_multimodal_ingest.py).
+    def nn(c, t):
+        return F.coalesce(F.col(c), F.lit(-1).cast(t)).alias(c)
+
+    return meta.select(
+        "media_id", "format", nn("duration_s", "double"),
+        nn("bitrate_kbps", "double"), nn("sample_rate", "bigint"),
+        nn("channels", "int"), nn("n_frames", "bigint"),
+        nn("width", "int"), nn("height", "int"), nn("n_tracks", "int"),
+    )
+
+
 def q_multimodal_jpeg_progressive(spark, sf_dir):
     # REAL progressive (SOF2) decode through image_features: the full
     # spectral-selection + successive-approximation scan script runs
@@ -1982,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Group 1: no attestation yet (new this round) or last
         # driver-green in r3 — re-attest these first.
+        "multimodal_media_metadata": q_multimodal_media_metadata,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "multimodal_png_decode": q_multimodal_png_decode,
         "stream_rpl_dio_merged": q_stream_rpl_dio_merged,
@@ -3253,6 +3325,34 @@ walk(node_id, dist, hops) AS (
   WHERE w.hops < 6
 )
 SELECT node_id, min(dist) AS dist FROM walk GROUP BY 1
+""",
+        "multimodal_media_metadata": """
+SELECT event_id AS media_id,
+  CASE WHEN event_id % 2 = 0 THEN 'mp3' ELSE 'mp4' END AS format,
+  CASE WHEN event_id % 2 = 0 THEN
+    CAST((10 + event_id % 20) * 1152 AS DOUBLE) /
+      (CASE event_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END)
+  ELSE CAST(1000 + event_id % 5000 AS DOUBLE) / 1000 END AS duration_s,
+  CASE WHEN event_id % 2 = 0 THEN
+    CAST(CASE event_id % 3 WHEN 0 THEN 32 WHEN 1 THEN 40 ELSE 48 END AS DOUBLE)
+  ELSE CAST(-1 AS DOUBLE) END AS bitrate_kbps,
+  CASE WHEN event_id % 2 = 0 THEN
+    CAST(CASE event_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+         AS BIGINT)
+  ELSE CAST(-1 AS BIGINT) END AS sample_rate,
+  CASE WHEN event_id % 2 = 0 THEN
+    CAST(CASE WHEN event_id % 4 = 0 THEN 1 ELSE 2 END AS INT)
+  ELSE CAST(-1 AS INT) END AS channels,
+  CASE WHEN event_id % 2 = 0 THEN CAST(10 + event_id % 20 AS BIGINT)
+  ELSE CAST(-1 AS BIGINT) END AS n_frames,
+  CASE WHEN event_id % 2 = 1 THEN CAST(16 * (1 + event_id % 8) AS INT)
+  ELSE CAST(-1 AS INT) END AS width,
+  CASE WHEN event_id % 2 = 1 THEN CAST(16 * (1 + event_id % 6) AS INT)
+  ELSE CAST(-1 AS INT) END AS height,
+  CASE WHEN event_id % 2 = 1 THEN
+    CAST(CASE WHEN event_id % 4 = 1 THEN 2 ELSE 1 END AS INT)
+  ELSE CAST(-1 AS INT) END AS n_tracks
+FROM events WHERE event_id % 25 = 3
 """,
         "multimodal_jpeg_progressive": """
 SELECT event_id AS media_id,

@@ -567,8 +567,9 @@ def sniff_media_headers(
     stub): pure Catalyst byte arithmetic, no codec library, runs in
     whole-stage codegen over the binary column.
 
-    Returns the input plus ``sniffed_format`` (png/jpeg/gif/wav/mp3 or
-    null) and, where the format stores them at fixed offsets,
+    Returns the input plus ``sniffed_format`` (png/jpeg/gif/wav/mp3 —
+    ID3v2 or any MPEG frame sync — /mp4 via the ftyp box, else null)
+    and, where the format stores them at fixed offsets,
     ``sniffed_width``/``sniffed_height`` (PNG IHDR big-endian, GIF
     logical screen little-endian) and ``sniffed_sample_rate``/
     ``sniffed_channels`` (canonical RIFF/WAVE fmt chunk). JPEG
@@ -589,7 +590,12 @@ def sniff_media_headers(
             & (F.hex(F.substring(p, 9, 4)) == "57415645"),
             "wav",
         )
-        .when(head.startswith("494433") | head.startswith("FFFB"), "mp3")
+        .when(
+            head.startswith("494433")
+            | ((_be(p, 0, 1) == 255) & (_be(p, 1, 1) >= 224)),
+            "mp3",
+        )
+        .when(F.hex(F.substring(p, 5, 4)) == "66747970", "mp4")  # ftyp
         .otherwise(F.lit(None).cast("string"))
     )
     out = media.withColumn("sniffed_format", fmt)
@@ -738,3 +744,315 @@ def frame_sample_plan(
             F.sequence(F.lit(0), duration - 1, F.lit(every_n_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# MP3 / MP4 metadata extraction (public specs: ISO 11172-3 / 13818-3
+# frame headers, ISO 14496-12 box structure). Full DECODE of these
+# formats stays behind the ``decoder=`` hook — what a corpus-triage
+# pipeline needs from them is duration / bitrate / sample rate / video
+# dimensions, and those live in headers a pure-Python walk can read.
+# ---------------------------------------------------------------------------
+
+# bitrate (kbps) by [version_group][layer][index]; index 0 = "free",
+# 15 = invalid. version_group 0 = MPEG1, 1 = MPEG2/2.5.
+_MPEG_BITRATES = {
+    (0, 1): (0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384,
+             416, 448),
+    (0, 2): (0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256,
+             320, 384),
+    (0, 3): (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+             256, 320),
+    (1, 1): (0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192,
+             224, 256),
+    (1, 2): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+    (1, 3): (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),
+}
+# sample rate (Hz) by [version][index]; version 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+_MPEG_RATES = {
+    3: (44100, 48000, 32000),
+    2: (22050, 24000, 16000),
+    0: (11025, 12000, 8000),
+}
+
+
+def _id3v2_size(payload: bytes) -> int:
+    """Bytes to skip for a leading ID3v2 tag (0 if none)."""
+    if payload[:3] != b"ID3" or len(payload) < 10:
+        return 0
+    size = (
+        ((payload[6] & 0x7F) << 21) | ((payload[7] & 0x7F) << 14)
+        | ((payload[8] & 0x7F) << 7) | (payload[9] & 0x7F)
+    )
+    footer = 10 if payload[5] & 0x10 else 0
+    return 10 + size + footer
+
+
+def parse_mpeg_audio_meta(payload: bytes) -> dict:
+    """Walk MPEG audio (MP3/MP2/MP1) frame headers — no decode — and
+    return ``{format, n_frames, duration_s, bitrate_kbps, sample_rate,
+    channels, layer, version}``. Duration accumulates per frame
+    (samples_per_frame / sample_rate), so VBR streams report true
+    duration and ``bitrate_kbps`` is the frame-weighted average.
+    Leading ID3v2 and trailing ID3v1 tags are skipped."""
+    if payload is None or len(payload) < 4:
+        raise ValueError("empty payload")
+    pos = _id3v2_size(payload)
+    end = len(payload)
+    if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG":
+        end -= 128  # ID3v1 tail
+    n_frames = 0
+    # integer sample counts per rate: duration is computed with ONE
+    # division per distinct rate at the end, so it is an exact IEEE
+    # function of the frame headers (bit-reproducible by any engine),
+    # not a rounding-order-dependent running float sum
+    samples_by_rate: dict[int, int] = {}
+    kbps_sum = 0
+    rate = channels = None
+    layer_out = version_out = None
+    while pos + 4 <= end:
+        b0, b1, b2, b3 = payload[pos : pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            break  # lost sync
+        version = (b1 >> 3) & 0x03  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = 4 - ((b1 >> 1) & 0x03)  # 1..3; 4 = reserved
+        br_idx = (b2 >> 4) & 0x0F
+        sr_idx = (b2 >> 2) & 0x03
+        padding = (b2 >> 1) & 0x01
+        mode = (b3 >> 6) & 0x03
+        if version == 1 or layer == 4 or br_idx in (0, 15) or sr_idx == 3:
+            break  # reserved/free-format: stop rather than guess
+        vgrp = 0 if version == 3 else 1
+        kbps = _MPEG_BITRATES[(vgrp, layer)][br_idx]
+        sr = _MPEG_RATES[version][sr_idx]
+        if layer == 1:
+            frame_len = (12 * kbps * 1000 // sr + padding) * 4
+            samples = 384
+        elif layer == 2:
+            frame_len = 144 * kbps * 1000 // sr + padding
+            samples = 1152
+        else:  # layer III
+            if vgrp == 0:
+                frame_len = 144 * kbps * 1000 // sr + padding
+                samples = 1152
+            else:
+                frame_len = 72 * kbps * 1000 // sr + padding
+                samples = 576
+        if frame_len <= 4 or pos + frame_len > end:
+            break  # truncated final frame
+        n_frames += 1
+        samples_by_rate[sr] = samples_by_rate.get(sr, 0) + samples
+        kbps_sum += kbps
+        rate = sr
+        channels = 1 if mode == 3 else 2
+        layer_out = layer
+        version_out = {3: "1", 2: "2", 0: "2.5"}[version]
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frames found")
+    dur = sum(s / r for r, s in sorted(samples_by_rate.items()))
+    return {
+        "format": "mp3" if layer_out == 3 else f"mp{layer_out}",
+        "n_frames": n_frames,
+        "duration_s": dur,
+        "bitrate_kbps": kbps_sum / n_frames,
+        "sample_rate": rate,
+        "channels": channels,
+        "layer": layer_out,
+        "version": version_out,
+    }
+
+
+_BMFF_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+
+
+def _walk_bmff(payload: bytes, pos: int, end: int, out: dict) -> None:
+    while pos + 8 <= end:
+        size = struct.unpack_from(">I", payload, pos)[0]
+        btype = payload[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:
+            if pos + 16 > end:
+                break
+            size = struct.unpack_from(">Q", payload, pos + 8)[0]
+            hdr = 16
+        elif size == 0:
+            size = end - pos  # box extends to end of file
+        if size < hdr or pos + size > end:
+            raise ValueError("malformed ISO-BMFF box size")
+        body = pos + hdr
+        if btype == b"ftyp":
+            out["brand"] = payload[body : body + 4].decode("latin-1")
+        elif btype == b"mvhd":
+            ver = payload[body]
+            if ver == 1:
+                out["timescale"] = struct.unpack_from(">I", payload, body + 20)[0]
+                out["duration"] = struct.unpack_from(">Q", payload, body + 24)[0]
+            else:
+                out["timescale"] = struct.unpack_from(">I", payload, body + 12)[0]
+                out["duration"] = struct.unpack_from(">I", payload, body + 16)[0]
+        elif btype == b"trak":
+            out["n_tracks"] = out.get("n_tracks", 0) + 1
+        elif btype == b"tkhd":
+            w = struct.unpack_from(">I", payload, pos + size - 8)[0] / 65536
+            hgt = struct.unpack_from(">I", payload, pos + size - 4)[0] / 65536
+            if w and hgt:  # video tracks carry dims; audio tkhd has 0x0
+                out["width"] = int(w)
+                out["height"] = int(hgt)
+        elif btype == b"hdlr":
+            handler = payload[body + 8 : body + 12]
+            if handler == b"vide":
+                out["has_video"] = True
+            elif handler == b"soun":
+                out["has_audio"] = True
+        if btype in _BMFF_CONTAINERS:
+            _walk_bmff(payload, body, pos + size, out)
+        pos += size
+
+
+def parse_isobmff_meta(payload: bytes) -> dict:
+    """Walk ISO-BMFF (MP4/MOV/M4A) boxes — no decode — and return
+    ``{format, brand, duration_s, n_tracks, width, height, has_video,
+    has_audio}`` from ftyp / moov / mvhd / tkhd / hdlr."""
+    if payload is None or len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF payload")
+    out: dict = {"n_tracks": 0, "has_video": False, "has_audio": False}
+    _walk_bmff(payload, 0, len(payload), out)
+    ts = out.get("timescale")
+    out["duration_s"] = (out.get("duration", 0) / ts) if ts else None
+    out["format"] = "mp4"
+    return out
+
+
+MEDIA_META_SCHEMA = (
+    "media_id BIGINT, format STRING, duration_s DOUBLE, "
+    "bitrate_kbps DOUBLE, sample_rate BIGINT, channels INT, "
+    "n_frames BIGINT, width INT, height INT, n_tracks INT, "
+    "brand STRING, error STRING"
+)
+
+
+def media_metadata(media: DataFrame, batch_rows: int = 256) -> DataFrame:
+    """Container-level metadata for MP3 and MP4 payloads via
+    ``mapInPandas`` with the standard per-row error channel. This is
+    the corpus-triage operator: duration, bitrate, sample rate, and
+    video dimensions WITHOUT decoding — frame-header and box walks
+    only, so throughput is bounded by I/O, not codecs. Unrecognized
+    payloads land in ``error``, not in a task failure."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for _, row in chunk.iterrows():
+                    rec = {
+                        "media_id": row["media_id"], "format": None,
+                        "duration_s": None, "bitrate_kbps": None,
+                        "sample_rate": None, "channels": None,
+                        "n_frames": None, "width": None, "height": None,
+                        "n_tracks": None, "brand": None, "error": None,
+                    }
+                    payload = row["payload"]
+                    try:
+                        p = bytes(payload) if payload is not None else b""
+                        if len(p) >= 12 and p[4:8] == b"ftyp":
+                            m = parse_isobmff_meta(p)
+                            rec.update(
+                                format=m["format"], brand=m.get("brand"),
+                                duration_s=m["duration_s"],
+                                n_tracks=m["n_tracks"],
+                                width=m.get("width"), height=m.get("height"),
+                            )
+                        else:
+                            m = parse_mpeg_audio_meta(p)
+                            rec.update(
+                                format=m["format"],
+                                duration_s=m["duration_s"],
+                                bitrate_kbps=m["bitrate_kbps"],
+                                sample_rate=m["sample_rate"],
+                                channels=m["channels"],
+                                n_frames=m["n_frames"],
+                            )
+                    except Exception as e:
+                        rec["error"] = f"{type(e).__name__}: {e}"
+                    rows.append(rec)
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+def encode_mp3_frames(
+    n_frames: int,
+    bitrate_idx: int = 9,
+    rate_idx: int = 0,
+    channels: int = 2,
+    id3_bytes: int = 0,
+) -> bytes:
+    """Synthesize a CBR MPEG1 Layer III header stream (zero-filled
+    frame bodies — valid headers, silent garbage audio) for metadata
+    tests and corpus fixtures; optionally prefixed with a minimal
+    ID3v2 tag of ``id3_bytes`` padding."""
+    out = bytearray()
+    if id3_bytes:
+        size = id3_bytes
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        ) + b"\x00" * size
+    kbps = _MPEG_BITRATES[(0, 3)][bitrate_idx]
+    sr = _MPEG_RATES[3][rate_idx]
+    mode = 3 if channels == 1 else 0
+    for _ in range(n_frames):
+        frame_len = 144 * kbps * 1000 // sr  # padding bit 0
+        hdr = bytes([
+            0xFF,
+            0xFB,  # MPEG1, Layer III, no CRC
+            (bitrate_idx << 4) | (rate_idx << 2),
+            mode << 6,
+        ])
+        out += hdr + b"\x00" * (frame_len - 4)
+    return bytes(out)
+
+
+def encode_mp4_skeleton(
+    width: int,
+    height: int,
+    duration_ms: int,
+    timescale: int = 1000,
+    with_audio: bool = False,
+    brand: str = "isom",
+) -> bytes:
+    """Synthesize a minimal valid ISO-BMFF skeleton (ftyp + moov with
+    mvhd and video/audio trak boxes carrying tkhd + hdlr) for metadata
+    tests and corpus fixtures. No media data — triage metadata only."""
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    dur = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00" + b"\x00" * 3 + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, dur) + b"\x00" * 80,
+    )
+
+    def trak(handler: bytes, w: int, hgt: int) -> bytes:
+        tkhd = box(
+            b"tkhd",
+            b"\x00" + b"\x00" * 3 + struct.pack(">IIII", 0, 0, 1, 0)
+            + struct.pack(">I", dur) + b"\x00" * 52
+            + struct.pack(">II", w << 16, hgt << 16),
+        )
+        hdlr = box(
+            b"hdlr", b"\x00" * 8 + handler + b"\x00" * 12 + b"\x00"
+        )
+        mdia = box(b"mdia", hdlr)
+        return box(b"trak", tkhd + mdia)
+
+    traks = trak(b"vide", width, height)
+    if with_audio:
+        traks += trak(b"soun", 0, 0)
+    ftyp = box(b"ftyp", brand.encode("latin-1") + struct.pack(">I", 0)
+               + b"isomiso2")
+    return ftyp + box(b"moov", mvhd + traks)

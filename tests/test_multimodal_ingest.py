@@ -452,3 +452,100 @@ def test_image_features_spark_gif(spark):
     assert got["error"] is None
     assert (got["width"], got["height"]) == (6, 4)
     assert got["mean_b"] == 200.0 and got["mean_r"] == 0.0
+
+
+def test_mpeg_audio_meta_parsing():
+    import pytest
+
+    from net_spider_spark.pipeline.multimodal import (
+        encode_mp3_frames,
+        parse_mpeg_audio_meta,
+    )
+
+    # CBR stream: duration is the exact single-division IEEE value
+    m = parse_mpeg_audio_meta(
+        encode_mp3_frames(25, bitrate_idx=9, rate_idx=0, channels=1)
+    )
+    assert m["n_frames"] == 25
+    assert m["duration_s"] == (25 * 1152) / 44100
+    assert m["bitrate_kbps"] == 128.0
+    assert m["sample_rate"] == 44100 and m["channels"] == 1
+    assert m["format"] == "mp3" and m["version"] == "1"
+
+    # leading ID3v2 + trailing ID3v1 are skipped, not parsed as frames
+    body = encode_mp3_frames(8, bitrate_idx=3, rate_idx=1, id3_bytes=137)
+    tagged = body + b"TAG" + b"\x00" * 125
+    m = parse_mpeg_audio_meta(tagged)
+    assert m["n_frames"] == 8 and m["sample_rate"] == 48000
+    assert m["channels"] == 2
+
+    # a truncated final frame stops the walk instead of mis-reading
+    cut = encode_mp3_frames(5, bitrate_idx=9, rate_idx=0)[:-10]
+    assert parse_mpeg_audio_meta(cut)["n_frames"] == 4
+
+    with pytest.raises(ValueError):
+        parse_mpeg_audio_meta(b"\x00\x01\x02\x03 not audio")
+
+
+def test_isobmff_meta_parsing():
+    import pytest
+
+    from net_spider_spark.pipeline.multimodal import (
+        encode_mp4_skeleton,
+        parse_isobmff_meta,
+    )
+
+    v = parse_isobmff_meta(
+        encode_mp4_skeleton(1920, 1080, 90_500, with_audio=True)
+    )
+    assert (v["width"], v["height"]) == (1920, 1080)
+    assert v["duration_s"] == 90.5
+    assert v["n_tracks"] == 2 and v["has_video"] and v["has_audio"]
+    assert v["brand"] == "isom" and v["format"] == "mp4"
+
+    solo = parse_isobmff_meta(encode_mp4_skeleton(320, 240, 1000))
+    assert solo["n_tracks"] == 1 and not solo["has_audio"]
+
+    with pytest.raises(ValueError):
+        parse_isobmff_meta(b"\x00\x00\x00\x08freeAAAA")  # no ftyp
+    # malformed box size must raise, not loop or mis-walk
+    bad = bytearray(encode_mp4_skeleton(320, 240, 1000))
+    bad[0:4] = (2**31).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        parse_isobmff_meta(bytes(bad))
+
+
+def test_media_metadata_spark_error_channel(spark):
+    from net_spider_spark.pipeline.multimodal import (
+        encode_mp3_frames,
+        encode_mp4_skeleton,
+        media_metadata,
+        sniff_media_headers,
+    )
+
+    rows = [
+        (1, None, bytearray(encode_mp3_frames(12, bitrate_idx=5,
+                                              rate_idx=2)), None),
+        (2, None, bytearray(encode_mp4_skeleton(640, 360, 2500)), None),
+        (3, None, bytearray(b"garbage payload, not a container"), None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, mime string, payload binary, "
+        "meta map<string,string>"
+    )
+    got = {r["media_id"]: r for r in media_metadata(df).collect()}
+    mp3 = got[1]
+    assert mp3["format"] == "mp3" and mp3["error"] is None
+    assert mp3["n_frames"] == 12 and mp3["sample_rate"] == 32000
+    assert mp3["duration_s"] == (12 * 1152) / 32000
+    assert mp3["width"] is None  # n/a fields stay NULL in the operator
+    mp4 = got[2]
+    assert mp4["format"] == "mp4" and mp4["error"] is None
+    assert (mp4["width"], mp4["height"]) == (640, 360)
+    assert mp4["duration_s"] == 2.5 and mp4["bitrate_kbps"] is None
+    assert got[3]["error"] is not None and got[3]["format"] is None
+
+    # sniff now recognizes ftyp containers and any MPEG frame sync
+    sniffed = {r["media_id"]: r["sniffed_format"]
+               for r in sniff_media_headers(df).collect()}
+    assert sniffed[1] == "mp3" and sniffed[2] == "mp4" and sniffed[3] is None

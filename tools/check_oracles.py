@@ -38,8 +38,13 @@ def normalize(rows, cols):
             return round(v, 9)
         return v
 
+    # None-safe sort: None orders before any value within a column
+    # (tuple comparison would otherwise raise on None < float)
     return sorted(
-        tuple(norm_val(r[c]) for c in cols) for r in rows
+        (tuple(norm_val(r[c]) for c in cols) for r in rows),
+        key=lambda t: tuple(
+            (v is not None, v if v is not None else 0) for v in t
+        ),
     )
 
 
