@@ -1105,6 +1105,20 @@ def q_curate_weighted_sample(spark, sf_dir):
     )
 
 
+def q_events_quantiles_sketch(spark, sf_dir):
+    # Mergeable deterministic quantile sketch (bottom-k row sample by
+    # md5 hash of event_id): the scale-safe reproducible fallback for
+    # exact per-group quantiles when one group's values no longer fit
+    # a single aggregation buffer. k=64 so the sampling path actually
+    # runs; merge==direct and small-group exactness are pinned in
+    # tests/test_sketch.py.
+    ev = _events_typed(spark, sf_dir)
+    sk = SK.quantile_sketch(ev, ["event_type"], "value", "event_id", k=64)
+    return SK.quantile_sketch_estimate(sk, (0.5, 0.9)).select(
+        "event_type", "n_kept", "p50", "p90"
+    )
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     # Approximate distinct users per event type via the portable KMV
     # sketch (k=16 so the estimator path actually runs — every event
@@ -2085,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_interval_join": q_temporal_interval_join,
         "events_funnel": q_events_funnel,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "events_quantiles_sketch": q_events_quantiles_sketch,
         "sketch_kmv_merged": q_sketch_kmv_merged,
         "multimodal_image_decode": q_multimodal_image_decode,
         "dedup_minhash": q_dedup_minhash,
@@ -3600,6 +3615,41 @@ SELECT vec_id, scale,
        CAST(list_sum(list_transform(qvec, x -> abs(x))) AS BIGINT) AS q_l1,
        CAST(list_max(qvec) AS INT) AS q_max
 FROM q
+""",
+        "events_quantiles_sketch": f"""
+WITH d AS (
+  SELECT event_type, CAST(value AS DOUBLE) AS v,
+         {SK.md5_sql('event_id')} AS m5 FROM events
+),
+h AS (
+  SELECT event_type, v, {SK.hex15_to_long_sql('m5')} AS h60 FROM d
+),
+r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY h60, v) AS rn
+  FROM h
+),
+g AS (
+  SELECT event_type, list(v ORDER BY v) AS vals,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM r WHERE rn <= 64 GROUP BY 1
+),
+p AS (
+  SELECT event_type, n_kept, vals,
+         CAST(n_kept - 1 AS DOUBLE) * 0.5 AS pos50,
+         CAST(n_kept - 1 AS DOUBLE) * 0.9 AS pos90
+  FROM g
+)
+SELECT event_type, n_kept,
+  vals[CAST(floor(pos50) AS INT) + 1]
+    + (pos50 - floor(pos50))
+      * (vals[LEAST(CAST(floor(pos50) AS INT) + 2, CAST(n_kept AS INT))]
+         - vals[CAST(floor(pos50) AS INT) + 1]) AS p50,
+  vals[CAST(floor(pos90) AS INT) + 1]
+    + (pos90 - floor(pos90))
+      * (vals[LEAST(CAST(floor(pos90) AS INT) + 2, CAST(n_kept AS INT))]
+         - vals[CAST(floor(pos90) AS INT) + 1]) AS p90
+FROM p
 """,
         "sketch_kmv_distinct": f"""
 WITH d AS (

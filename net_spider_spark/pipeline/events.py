@@ -62,9 +62,11 @@ def value_quantiles(
 
     Exact, not approx_percentile: the t-digest style sketches are
     engine-private and non-reproducible; the exact aggregate sorts
-    only within each group. For groups too large to sort, pre-filter
-    or fall back to approx_percentile and give up cross-engine
-    reproducibility.
+    only within each group. For groups too large to sort in one
+    aggregation buffer, use
+    :func:`net_spider_spark.pipeline.sketch.quantile_sketch` — the
+    mergeable, deterministic, engine-reproducible bottom-k-by-hash
+    sample with the same interpolation formula (exact below k).
     """
     group_cols = list(group_cols)
     v = F.col(value_col).cast("double")

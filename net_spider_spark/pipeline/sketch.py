@@ -40,6 +40,9 @@ __all__ = [
     "kmv_estimate",
     "kmv_merge",
     "kmv_distinct",
+    "quantile_sketch",
+    "quantile_sketch_merge",
+    "quantile_sketch_estimate",
 ]
 
 _HEX = "0123456789abcdef"
@@ -184,3 +187,115 @@ def kmv_merge_all(sketches: DataFrame, k: int = 256) -> DataFrame:
         .where(F.col("_rn") <= k)
         .agg(F.sort_array(F.collect_list("_h60")).alias("kmv"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable deterministic quantile sketch: bottom-k row sample by a
+# portable md5-derived hash of the row KEY (not the value — values
+# repeat, and deduping them would bias the distribution). The k rows
+# with the smallest hashes are a uniform random-but-deterministic
+# sample, so the empirical quantile over the sample estimates the true
+# quantile with standard error ~ sqrt(q(1-q)/k); sketches over
+# DISJOINT shards merge by "concatenate, keep k smallest by hash" —
+# associative and commutative, i.e. a safe distributed partial
+# aggregate — and the whole construction is reproducible bit-for-bit
+# by any engine (the fallback ``events.value_quantiles`` names for
+# groups too large to sort exactly).
+# ---------------------------------------------------------------------------
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    key_col: str,
+    k: int = 256,
+    seed: str = "s42",
+) -> DataFrame:
+    """Per-group quantile sketch: ``qsk`` = array of (h, v) structs for
+    the k rows with the smallest 60-bit hashes of ``key_col``, sorted
+    by (h, v). ``key_col`` must identify rows uniquely (hash ties at
+    the keep-boundary break by value, so the kept set is deterministic
+    regardless). Groups smaller than k keep every row — estimates are
+    then exact."""
+    group_cols = list(group_cols)
+    hashed = (
+        df.select(
+            *group_cols,
+            F.col(value_col).cast("double").alias("_v"),
+            F.expr(md5_sql(key_col, seed)).alias("_md5"),
+        )
+        .select(
+            *group_cols, "_v",
+            F.expr(hex15_to_long_sql("_md5")).alias("_h60"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_h60", "_v")
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("_h60").alias("h"), F.col("_v").alias("v"))
+                )
+            ).alias("qsk")
+        )
+    )
+
+
+def quantile_sketch_merge(
+    a: DataFrame,
+    b: DataFrame,
+    group_cols: Sequence[str],
+    k: int = 256,
+) -> DataFrame:
+    """Merge sketch tables built over DISJOINT row shards (the
+    partial-aggregate contract): concatenate the samples, keep the k
+    smallest by (h, v). Equals the sketch built directly on the union
+    of the shards."""
+    group_cols = list(group_cols)
+    empty = F.array().cast("array<struct<h:bigint,v:double>>")
+    return (
+        a.withColumnRenamed("qsk", "_qa")
+        .join(b.withColumnRenamed("qsk", "_qb"), on=group_cols, how="full")
+        .select(
+            *group_cols,
+            F.slice(
+                F.array_sort(
+                    F.concat(
+                        F.coalesce("_qa", empty), F.coalesce("_qb", empty)
+                    )
+                ),
+                1,
+                k,
+            ).alias("qsk"),
+        )
+    )
+
+
+def quantile_sketch_estimate(
+    sketch: DataFrame, quantiles: Sequence[float] = (0.5, 0.9, 0.99)
+) -> DataFrame:
+    """Quantile estimates off a sketch: SQL-standard continuous
+    (linear-interpolation) empirical quantiles over the sampled
+    values — the same formula ``percentile`` uses, so a group smaller
+    than k reproduces the exact aggregate. Plain double arithmetic,
+    engine-reproducible. Adds ``n_kept`` and one ``p<q>`` column per
+    requested quantile."""
+    vals = F.array_sort(F.transform("qsk", lambda s: s["v"]))
+    n = F.size("qsk")
+    out = sketch.withColumn("_vals", vals).withColumn(
+        "n_kept", n.cast("long")
+    )
+    for q in quantiles:
+        pos = (n - 1).cast("double") * F.lit(float(q))
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo.cast("double")
+        vlo = F.element_at("_vals", lo + 1)
+        vhi = F.element_at("_vals", F.least(lo + F.lit(2), n))
+        out = out.withColumn(
+            f"p{round(q * 100)}", vlo + frac * (vhi - vlo)
+        )
+    return out.drop("_vals")

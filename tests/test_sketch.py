@@ -95,3 +95,86 @@ def test_determinism_and_seed(spark, users):
         for r in kmv_distinct(users, ["grp"], "uid", k=64, seed="other").collect()
     }
     assert c["small"] == a["small"] == 10  # below-k exact path seed-free
+
+
+def test_quantile_sketch_merge_equals_direct(spark):
+    from net_spider_spark.pipeline import sketch as SK
+
+    rows = [(int(i), f"g{i % 2}", float((i * 7919) % 10000))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "rid long, grp string, value double")
+    a = SK.quantile_sketch(df.where("rid < 2000"), ["grp"], "value", "rid",
+                           k=64)
+    b = SK.quantile_sketch(df.where("rid >= 2000"), ["grp"], "value", "rid",
+                           k=64)
+    merged = {r["grp"]: r["qsk"] for r in
+              SK.quantile_sketch_merge(a, b, ["grp"], k=64).collect()}
+    direct = {r["grp"]: r["qsk"] for r in
+              SK.quantile_sketch(df, ["grp"], "value", "rid", k=64).collect()}
+    assert merged == direct  # exact array equality, not just estimates
+
+
+def test_quantile_sketch_error_bound_vs_exact(spark):
+    from pyspark.sql import functions as F
+
+    from net_spider_spark.pipeline import sketch as SK
+
+    rows = [(int(i), f"g{i % 2}", float((i * 7919) % 10000))
+            for i in range(4000)]
+    df = spark.createDataFrame(rows, "rid long, grp string, value double")
+    est = {
+        r["grp"]: r
+        for r in SK.quantile_sketch_estimate(
+            SK.quantile_sketch(df, ["grp"], "value", "rid", k=256),
+            (0.5, 0.9),
+        ).collect()
+    }
+    exact = {
+        r["grp"]: r
+        for r in df.groupBy("grp")
+        .agg(
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.9)").alias("p90"),
+        )
+        .collect()
+    }
+    # sampling stderr ~ range * sqrt(q(1-q)/k) ~ 310 at p50 with k=256;
+    # assert 3-sigma-ish bounds on this fixed (deterministic) input
+    for g, e in est.items():
+        assert e["n_kept"] == 256
+        assert abs(e["p50"] - exact[g]["p50"]) < 1000, g
+        assert abs(e["p90"] - exact[g]["p90"]) < 1000, g
+    # determinism: same input -> byte-identical estimates
+    again = {
+        r["grp"]: r
+        for r in SK.quantile_sketch_estimate(
+            SK.quantile_sketch(df, ["grp"], "value", "rid", k=256),
+            (0.5, 0.9),
+        ).collect()
+    }
+    assert {g: (r["p50"], r["p90"]) for g, r in est.items()} == {
+        g: (r["p50"], r["p90"]) for g, r in again.items()
+    }
+
+
+def test_quantile_sketch_small_group_is_exact(spark):
+    from pyspark.sql import functions as F
+
+    from net_spider_spark.pipeline import sketch as SK
+
+    rows = [(int(i), "only", float(v)) for i, v in
+            enumerate([3, 1, 4, 1, 5, 9, 2, 6, 5, 3, 5])]
+    df = spark.createDataFrame(rows, "rid long, grp string, value double")
+    est = SK.quantile_sketch_estimate(
+        SK.quantile_sketch(df, ["grp"], "value", "rid", k=256),
+        (0.5, 0.9, 0.99),
+    ).collect()[0]
+    exact = df.agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    ).collect()[0]
+    # below k the sample IS the group: interpolation matches percentile
+    assert (est["p50"], est["p90"], est["p99"]) == (
+        exact["p50"], exact["p90"], exact["p99"]
+    )
