@@ -57,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
     p_cis = sub.add_parser("cis", help="clear + input + snapshot")
     _input_args(p_cis)
     _snapshot_args(p_cis)
+
+    p_an = sub.add_parser(
+        "analyze",
+        help="DODAG health summary per family (CLI/Analyze.hs "
+             "analyzeDIO/analyzeDAO)",
+    )
+    _snapshot_args(p_an)
     return p
 
 
@@ -268,6 +275,60 @@ def _do_snapshot(spark: SparkSession, args) -> int:
     return 0
 
 
+def _do_analyze(spark: SparkSession, args) -> int:
+    """``analyze`` subcommand: whole-graph DIO and DAO snapshots (the
+    reference's dioDefQuery/daoDefQuery unifiers), then
+    ``analyzeDIO``/``analyzeDAO`` (CLI/Analyze.hs:50-55). Debug lines
+    mirror the reference's WriterLoggingM channel (Analyze.hs:74-80) on
+    stderr; the DODAGAttributes record (:39-47) prints on stdout in
+    Haskell Show layout. Analysis errors log the reference's exact
+    message and yield no record — like ``Nothing`` — without failing
+    the command."""
+    from net_spider_spark.graph.analyze import (
+        AnalyzeError,
+        analyze_dao,
+        analyze_dio,
+    )
+    from net_spider_spark.rpl.dao import dao_unifier_conf
+    from net_spider_spark.rpl.dio import dio_unifier_conf
+    from net_spider_spark.timestamp import format_timestamp, from_epoch_ms
+
+    iv = _interval(args)
+    findings = read_findings(spark, args.db, interval=iv)
+    families = (
+        ("DIO", "dio", dio_unifier_conf, analyze_dio),
+        ("DAO", "dao", dao_unifier_conf, analyze_dao),
+    )
+    for label, prefix, conf, analyze in families:
+        subset = findings.filter(
+            F.col("subject_node").startswith(f"{prefix}://")
+        )
+        q = Query(
+            time_interval=iv, found_node_policy=args.policy, unify=conf()
+        )
+        nodes, links = get_snapshot(subset, q)
+        try:
+            attrs = analyze(nodes, links)
+        except AnalyzeError as e:
+            print(str(e), file=sys.stderr)
+            continue
+        root_ip = attrs.root
+        if "://" in root_ip:
+            root_ip = root_ip.split("://", 1)[1].strip("[]")
+        if attrs.time is None:
+            print("The graph has no timestamp.", file=sys.stderr)
+            continue
+        ts_text = format_timestamp(from_epoch_ms(attrs.time))
+        print(f"Root of the {label} graph: {root_ip}", file=sys.stderr)
+        print(f"Timestamp of the {label} graph: {ts_text}", file=sys.stderr)
+        print(
+            f"{label}: DODAGAttributes {{node_num = {attrs.node_num}, "
+            f"edge_num = {attrs.edge_num}, depth = {attrs.depth}, "
+            f"root = {root_ip}, time = {ts_text}}}"
+        )
+    return 0
+
+
 def main(argv: Optional[Sequence[str]] = None,
          spark: Optional[SparkSession] = None) -> int:
     args = build_parser().parse_args(argv)
@@ -307,6 +368,8 @@ def main(argv: Optional[Sequence[str]] = None,
             return _do_input(spark, args)
         if args.command == "snapshot":
             return _do_snapshot(spark, args)
+        if args.command == "analyze":
+            return _do_analyze(spark, args)
         if args.command == "cis":
             clear_all(spark, args.db)
             rc = _do_input(spark, args)

@@ -287,3 +287,41 @@ def test_input_stdin_spool_is_cleaned_up(spark, tmp_path, monkeypatch):
     assert rc == 0
     spools = [p for p in created if p.endswith(".log")]
     assert spools and all(not os.path.exists(p) for p in spools)
+
+
+def test_cli_analyze_dodag_attributes(spark, tmp_path, capsys):
+    # `analyze` = reference CLI/Analyze.hs analyzeDIO/analyzeDAO over
+    # the family snapshots: DODAGAttributes on stdout (Show layout),
+    # WriterLoggingM-style debug lines on stderr. The syslog golden's
+    # routing links (bbb->aaa, ccc->bbb, 6G-0042->bbb, aaa = DODAG
+    # root) pin the DAO numbers exactly.
+    db = str(tmp_path / "history")
+    rc = main(
+        ["--db", db, "input", f"{DATA}/syslog_sample.log",
+         "--format", "syslog", "--year", "2023"],
+        spark=spark,
+    )
+    assert rc == 0
+    rc = main(["--db", db, "analyze"], spark=spark)
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert (
+        "DAO: DODAGAttributes {node_num = 4, edge_num = 3, depth = 2, "
+        "root = fd00::aaa:1:2:3, time = 2023-02-03T09:00:03.000}"
+    ) in cap.out
+    assert (
+        "DIO: DODAGAttributes {node_num = 4, edge_num = 1, depth = 1, "
+        "root = fd00::bbb:4:5:6, time = 2023-02-03T09:00:02.000}"
+    ) in cap.out
+    assert "Root of the DAO graph: fd00::aaa:1:2:3" in cap.err
+    assert "Timestamp of the DIO graph: 2023-02-03T09:00:02.000" in cap.err
+
+    # an empty history analyzes to errors (reference logErrorW text),
+    # not a crash, and still exits 0 like the Nothing path
+    empty_db = str(tmp_path / "empty_hist")
+    main(["--db", empty_db, "clear"], spark=spark)
+    rc = main(["--db", empty_db, "analyze"], spark=spark)
+    assert rc == 0
+    cap = capsys.readouterr()
+    assert "DODAGAttributes" not in cap.out
+    assert "The graph has no node that has no parent." in cap.err
