@@ -2061,66 +2061,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # the weakest evidence first (groups recomputed each round from the
     # latest CORRECTNESS_r{N}.json, cheapest-first within each group at
     # measured sf0.01 cost so the budget covers as many as possible):
-    # group 1 = last driver-green in r3 (stale; the driver's 50-query
-    # r4 budget did not re-sample them), group 2 = driver-green in r4
-    # (freshest signal). New queries always join the FRONT of group 1.
+    # group 1 = never attested or last driver-green in r4 (stale; the
+    # driver's 50-query r5 budget did not re-sample them), group 2 =
+    # driver-green in r5 (freshest signal). New queries always join the
+    # FRONT of group 1.
     return {
-        # Group 1: no attestation yet (new this round) or last
-        # driver-green in r3 — re-attest these first.
+        # Group 1a: new this round, never driver-attested.
         "multimodal_media_metadata": q_multimodal_media_metadata,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
-        "multimodal_png_decode": q_multimodal_png_decode,
-        "stream_rpl_dio_merged": q_stream_rpl_dio_merged,
-        "multimodal_gif_decode": q_multimodal_gif_decode,
-        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
-        "tpch_q9_nation_profit": q_tpch_q9_nation_profit,
-        "text_token_stats": q_text_token_stats,
-        "curate_stratified_sample": q_curate_stratified_sample,
-        "dedup_exact": q_dedup_exact,
-        "curate_pii_scrub": q_curate_pii_scrub,
-        "curate_shuffle_shards": q_curate_shuffle_shards,
-        "a7_graph_timestamp": q_a7_graph_timestamp,
-        "f1_interval_filter": q_f1_interval_filter,
-        "u2_union_links": q_u2_union_links,
-        "curate_pack": q_curate_pack,
-        "text_quality": q_text_quality,
-        "text_quality_filter": q_text_quality_filter,
-        "tpch_q1": q_tpch_q1,
-        "embed_quantize_int8": q_embed_quantize_int8,
-        "events_quantiles": q_events_quantiles,
-        "events_sessionize": q_events_sessionize,
-        "j9_combine_nodes": q_j9_combine_nodes,
-        "text_lang_id": q_text_lang_id,
-        "curate_weighted_sample": q_curate_weighted_sample,
-        "dedup_exact_incremental": q_dedup_exact_incremental,
-        "tpch_q18": q_tpch_q18,
-        "a1_latest_finding_per_node": q_a1_latest_finding_per_node,
-        "sim_topk": q_sim_topk,
-        "temporal_interval_join": q_temporal_interval_join,
-        "events_funnel": q_events_funnel,
-        "sketch_kmv_distinct": q_sketch_kmv_distinct,
         "events_quantiles_sketch": q_events_quantiles_sketch,
-        "sketch_kmv_merged": q_sketch_kmv_merged,
-        "multimodal_image_decode": q_multimodal_image_decode,
-        "dedup_minhash": q_dedup_minhash,
-        "events_session_stats": q_events_session_stats,
-        "curate_repetition": q_curate_repetition,
-        "temporal_asof_forward": q_temporal_asof_forward,
-        "tpch_region_revenue": q_tpch_region_revenue,
-        "snapshot_incremental_links": q_snapshot_incremental_links,
-        "sim_lsh_topk": q_sim_lsh_topk,
-        "dedup_simhash": q_dedup_simhash,
-        "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
-        "temporal_asof": q_temporal_asof,
-        "text_bm25": q_text_bm25,
-        "snapshot_links_overwrite": q_snapshot_links_overwrite,
-        "text_common_ngrams": q_text_common_ngrams,
-        "snapshot_nodes_overwrite": q_snapshot_nodes_overwrite,
-        # Group 2: driver-green in r4 (freshest); cheapest-first within.
-        "curate_hash_sample": q_curate_hash_sample,
-        "f2_node_lookup": q_f2_node_lookup,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "curate_split": q_curate_split,
+        # Group 1b: last driver-green in r4 (the driver's 50-query r5
+        # budget did not re-sample them) — re-attest these first,
+        # cheapest-first at measured sf0.01 cost.
         "embed_truncate": q_embed_truncate,
         "curate_chunks": q_curate_chunks,
         "curate_topk_per_source": q_curate_topk_per_source,
@@ -2167,6 +2119,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j5_reachability": q_j5_reachability,
         "sim_knn_join": q_sim_knn_join,
         "graph_components_dist": q_graph_components_dist,
+        # Group 2: driver-green in r5 (freshest); cheapest-first within.
+        "multimodal_png_decode": q_multimodal_png_decode,
+        "stream_rpl_dio_merged": q_stream_rpl_dio_merged,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "tpch_q9_nation_profit": q_tpch_q9_nation_profit,
+        "text_token_stats": q_text_token_stats,
+        "curate_stratified_sample": q_curate_stratified_sample,
+        "dedup_exact": q_dedup_exact,
+        "curate_pii_scrub": q_curate_pii_scrub,
+        "curate_shuffle_shards": q_curate_shuffle_shards,
+        "a7_graph_timestamp": q_a7_graph_timestamp,
+        "f1_interval_filter": q_f1_interval_filter,
+        "u2_union_links": q_u2_union_links,
+        "curate_pack": q_curate_pack,
+        "text_quality": q_text_quality,
+        "text_quality_filter": q_text_quality_filter,
+        "tpch_q1": q_tpch_q1,
+        "embed_quantize_int8": q_embed_quantize_int8,
+        "events_quantiles": q_events_quantiles,
+        "events_sessionize": q_events_sessionize,
+        "j9_combine_nodes": q_j9_combine_nodes,
+        "text_lang_id": q_text_lang_id,
+        "curate_weighted_sample": q_curate_weighted_sample,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
+        "tpch_q18": q_tpch_q18,
+        "a1_latest_finding_per_node": q_a1_latest_finding_per_node,
+        "sim_topk": q_sim_topk,
+        "temporal_interval_join": q_temporal_interval_join,
+        "events_funnel": q_events_funnel,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "sketch_kmv_merged": q_sketch_kmv_merged,
+        "multimodal_image_decode": q_multimodal_image_decode,
+        "dedup_minhash": q_dedup_minhash,
+        "events_session_stats": q_events_session_stats,
+        "curate_repetition": q_curate_repetition,
+        "temporal_asof_forward": q_temporal_asof_forward,
+        "tpch_region_revenue": q_tpch_region_revenue,
+        "snapshot_incremental_links": q_snapshot_incremental_links,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "dedup_simhash": q_dedup_simhash,
+        "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
+        "temporal_asof": q_temporal_asof,
+        "text_bm25": q_text_bm25,
+        "snapshot_links_overwrite": q_snapshot_links_overwrite,
+        "text_common_ngrams": q_text_common_ngrams,
+        "snapshot_nodes_overwrite": q_snapshot_nodes_overwrite,
+        "curate_hash_sample": q_curate_hash_sample,
+        "f2_node_lookup": q_f2_node_lookup,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "curate_split": q_curate_split,
     }
 
 
