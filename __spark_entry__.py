@@ -1830,20 +1830,22 @@ def q_stream_dedup_digests(spark, sf_dir):
     # Streaming exact dedup: the documents table replayed as a stream,
     # first occurrence per content digest kept by dropDuplicates state
     # (state = one row per distinct digest — the streaming face of
-    # pipeline.dedup.exact_duplicates). Emitting only the digest keeps
-    # the result deterministic (which doc_id survives a within-batch
-    # tie depends on partition order; the digest set does not).
+    # pipeline.dedup.exact_duplicates, forever mode: streaming/dedup.py
+    # documents the RocksDB state-store + watermark-TTL lifecycle).
+    # Emitting only the digest keeps the result deterministic (which
+    # doc_id survives a within-batch tie depends on partition order;
+    # the digest set does not).
+    from net_spider_spark.streaming.dedup import stream_dedup_digests
+
     docs = demo.read_table(spark, sf_dir, "documents")
     stream = (
         spark.readStream.schema(docs.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
     )
-    deduped = (
-        stream.select(F.md5(F.col("text")).alias("digest"))
-        .dropDuplicates(["digest"])
+    res = _run_available_now(
+        stream_dedup_digests(stream), "stream_dd_sink", "append"
     )
-    res = _run_available_now(deduped, "stream_dd_sink", "append")
     return res.select("digest").distinct()
 
 

@@ -1,0 +1,182 @@
+"""Streaming exact-dedup lifecycle: forever mode (state = every
+digest, cross-batch suppression), the RocksDB state-store provider
+(same answers, off-heap state, real metrics), and the watermark-TTL
+contract (within-horizon dropped, past-horizon re-emitted)."""
+
+import json
+import os
+import time
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from net_spider_spark.streaming.dedup import (
+    rocksdb_state_conf,
+    state_store_metrics,
+    stream_dedup_digests,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+    ]
+)
+
+
+def _write_batches(tmp_path, batches):
+    """One JSON-lines file per batch with strictly increasing mtimes so
+    the file source (maxFilesPerTrigger=1) replays them in order."""
+    src = tmp_path / "in"
+    src.mkdir()
+    t0 = time.time() - len(batches)
+    for i, rows in enumerate(batches):
+        p = src / f"b{i}.jsonl"
+        with open(p, "w") as fh:
+            for doc_id, text, ts in rows:
+                fh.write(
+                    json.dumps(
+                        {"doc_id": doc_id, "text": text, "event_time": ts}
+                    )
+                    + "\n"
+                )
+        os.utime(p, (t0 + i, t0 + i))
+    return str(src)
+
+
+def _read_stream(spark, src):
+    raw = (
+        spark.readStream.schema(
+            "doc_id string, text string, event_time string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(src)
+    )
+    return raw.withColumn(
+        "event_time", F.to_timestamp("event_time")
+    )
+
+
+def _run_append(spark, out, tmp_path, name):
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_forever_mode_suppresses_across_batches(spark, tmp_path):
+    src = _write_batches(
+        tmp_path,
+        [
+            [("d1", "alpha", "2024-01-01 00:00:00"),
+             ("d2", "beta", "2024-01-01 00:01:00")],
+            # alpha again in a later micro-batch: cross-batch state
+            # must suppress it; gamma is new.
+            [("d3", "alpha", "2024-01-01 01:00:00"),
+             ("d4", "gamma", "2024-01-01 01:01:00")],
+        ],
+    )
+    name = f"sdd_{uuid.uuid4().hex[:8]}"
+    q = _run_append(spark, stream_dedup_digests(_read_stream(spark, src)),
+                    tmp_path, name)
+    got = {r["digest"] for r in spark.table(name).collect()}
+    want = {r["d"] for r in spark.createDataFrame(
+        [("alpha",), ("beta",), ("gamma",)], ["t"]
+    ).select(F.md5("t").alias("d")).collect()}
+    assert got == want
+    # Exactly one emission per digest (no re-emit in batch 2).
+    assert spark.table(name).count() == 3
+    m = state_store_metrics(q)
+    assert m["state_rows"] == 3  # one state row per distinct digest
+
+
+def test_rocksdb_provider_same_answers_with_metrics(spark, tmp_path):
+    src = _write_batches(
+        tmp_path,
+        [
+            [("d1", "alpha", "2024-01-01 00:00:00")],
+            [("d2", "alpha", "2024-01-01 01:00:00"),
+             ("d3", "delta", "2024-01-01 01:01:00")],
+        ],
+    )
+    saved = {}
+    conf = rocksdb_state_conf(max_memory_mb=256)
+    for k, v in conf.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        name = f"sddr_{uuid.uuid4().hex[:8]}"
+        q = _run_append(
+            spark, stream_dedup_digests(_read_stream(spark, src)),
+            tmp_path, name,
+        )
+        assert spark.table(name).count() == 2  # alpha once, delta once
+        m = state_store_metrics(q)
+        assert m["state_rows"] == 2
+        # Provider actually engaged: RocksDB custom metrics present.
+        assert any(k.startswith("rocksdb") for k in m["custom"])
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_ttl_contract_within_and_past_horizon(spark, tmp_path):
+    # ttl = 1 hour. Watermark advances at batch ENDS and evictions in
+    # batch N use the watermark computed at the end of batch N-1, so
+    # the horizon needs two batches to take effect: b1's filler@04:00
+    # moves the watermark to 03:00, b2 runs under it (evicting alpha,
+    # whose expiry is 00:00+1h) and admits beta, and b3 then probes:
+    # alpha@04:30 RE-EMITS (state evicted — past horizon), beta@04:31
+    # is dropped (within horizon).
+    src = _write_batches(
+        tmp_path,
+        [
+            [("d1", "alpha", "2024-01-01 00:00:00")],
+            [("d2", "filler", "2024-01-01 04:00:00")],
+            [("d3", "beta", "2024-01-01 04:11:00")],
+            [("d4", "alpha", "2024-01-01 04:30:00"),
+             ("d5", "beta", "2024-01-01 04:31:00")],
+        ],
+    )
+    out = stream_dedup_digests(
+        _read_stream(spark, src), event_time_col="event_time", ttl="1 hour"
+    )
+    name = f"sddt_{uuid.uuid4().hex[:8]}"
+    _run_append(spark, out, tmp_path, name)
+    alpha, beta = [
+        r["d"]
+        for r in spark.createDataFrame([("alpha",), ("beta",)], ["t"])
+        .select(F.md5("t").alias("d"))
+        .collect()
+    ]
+    counts = {
+        r["digest"]: r["n"]
+        for r in spark.table(name).groupBy("digest")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert counts[alpha] == 2  # re-emitted past the horizon
+    assert counts[beta] == 1  # duplicate within the horizon dropped
+    assert counts[
+        [r["d"] for r in spark.createDataFrame([("filler",)], ["t"])
+         .select(F.md5("t").alias("d")).collect()][0]
+    ] == 1
+
+
+def test_ttl_mode_requires_event_time():
+    with pytest.raises(ValueError):
+        stream_dedup_digests(None, ttl="1 hour")

@@ -136,6 +136,61 @@ def main() -> None:
     pairs = spark.table("unified_bench").count()
     assert pairs > 0, "no merged link emissions"
 
+    # Forever-mode streaming dedup at 1M+ distinct keys under the
+    # RocksDB state store: the state-lifecycle row. Reports state rows
+    # and state-store bytes from the query progress — the numbers a
+    # year-long deploy alerts on (streaming/dedup.py contract).
+    from net_spider_spark.streaming.dedup import (
+        rocksdb_state_conf,
+        state_store_metrics,
+        stream_dedup_digests,
+    )
+
+    n_keys = int(os.environ.get("SPARK_GRAFT_STREAM_KEYS", "1000000"))
+    dd_in = os.path.join(work, "dedup_in")
+    # ~10% duplicates so the dedup actually suppresses rows.
+    (
+        spark.range(int(n_keys * 1.1))
+        .selectExpr(f"concat('doc-', id % {n_keys}) AS text")
+        .repartition(8)
+        .write.parquet(dd_in)
+    )
+    for k, v in rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    before = executor_counters(spark)
+    t0 = time.time()
+    q = (
+        stream_dedup_digests(
+            spark.readStream.schema("text string").parquet(dd_in)
+        )
+        .writeStream.format("noop")
+        .option("checkpointLocation", os.path.join(work, "ckpt_dedup"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    timings["stateful_dedup_rocksdb"] = round(time.time() - t0, 3)
+    counters["stateful_dedup_rocksdb"] = counters_delta(
+        executor_counters(spark), before
+    )
+    state = state_store_metrics(q)
+    assert state.get("state_rows") == n_keys, (
+        f"dedup state holds {state.get('state_rows')} rows, "
+        f"expected {n_keys}"
+    )
+    counters["stateful_dedup_rocksdb"]["state_rows"] = state["state_rows"]
+    counters["stateful_dedup_rocksdb"]["state_bytes"] = state["state_bytes"]
+    counters["stateful_dedup_rocksdb"]["rocksdb_pinned_mem_bytes"] = state[
+        "custom"
+    ].get("rocksdbPinnedBlocksMemoryUsage")
+    counters["stateful_dedup_rocksdb"]["rocksdb_bytes_written"] = state[
+        "custom"
+    ].get("rocksdbTotalBytesWritten")
+    counters["stateful_dedup_rocksdb"]["rocksdb_sst_bytes"] = state[
+        "custom"
+    ].get("rocksdbSstFileSize")
+
     print(
         json.dumps(
             {
@@ -146,7 +201,11 @@ def main() -> None:
                 "counters": counters,
                 "rows": n,
                 "rows_per_sec": {
-                    k: round(n / v) for k, v in timings.items()
+                    k: round(
+                        (int(n_keys * 1.1) if k == "stateful_dedup_rocksdb" else n)
+                        / v
+                    )
+                    for k, v in timings.items()
                 },
             }
         )
