@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from net_spider_spark import demo
 from net_spider_spark.interval import Interval
+from net_spider_spark.pipeline import cluster as CL
 from net_spider_spark.pipeline import curate as CU
 from net_spider_spark.pipeline import events as EV
 from net_spider_spark.pipeline import dedup as D
@@ -153,6 +154,56 @@ def _lsh_sig_sql(n_bands: int = 4, n_planes: int = 4, dim: int = 64,
         ]
         exprs.append("(" + " + ".join(bits) + ")")
     return exprs
+
+
+def _kmeans_cte_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                    seed: str = "s42") -> tuple[str, str]:
+    """DuckDB twin of pipeline.cluster.kmeans_assign: the unrolled
+    Lloyd's iteration as a WITH chain. Returns (cte_sql, final_cte) —
+    final_cte holds (vec_id, cid, v) after ``iters`` centroid updates.
+
+    Mirrors the Spark path step for step: bottom-k-by-md5 init, squared
+    L2 argmin with (dist, cid) tie-break, element-wise mean update with
+    empty clusters keeping their previous centroid."""
+    parts = [
+        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)",
+        "seeds AS (SELECT v, row_number() OVER (ORDER BY"
+        f" md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn"
+        " FROM emb)",
+        f"c0 AS (SELECT rn - 1 AS cid, v AS cv FROM seeds WHERE rn <= {k})",
+        f"pos AS (SELECT unnest(generate_series(1, {dim})) AS p)",
+    ]
+    for i in range(iters + 1):
+        parts.append(
+            f"el{i} AS (SELECT e.vec_id, c.cid, unnest(e.v) AS ev,"
+            f" unnest(c.cv) AS cv FROM emb e CROSS JOIN c{i} c)"
+        )
+        parts.append(
+            f"d{i} AS (SELECT vec_id, cid,"
+            " sum((ev - cv) * (ev - cv)) AS dist"
+            f" FROM el{i} GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cid, v FROM ("
+            "SELECT d.vec_id, d.cid, e.v, row_number() OVER ("
+            "PARTITION BY d.vec_id ORDER BY d.dist, d.cid) AS rn"
+            f" FROM d{i} d JOIN emb e USING (vec_id)) t WHERE rn = 1)"
+        )
+        if i < iters:
+            parts.append(
+                f"m{i} AS (SELECT a.cid, p.p, avg(a.v[p.p]) AS m"
+                f" FROM a{i} a CROSS JOIN pos p GROUP BY 1, 2)"
+            )
+            parts.append(
+                f"u{i} AS (SELECT cid, list(m ORDER BY p) AS cv"
+                f" FROM m{i} GROUP BY 1)"
+            )
+            parts.append(
+                f"c{i + 1} AS (SELECT c.cid, COALESCE(u.cv, c.cv) AS cv"
+                f" FROM c{i} c LEFT JOIN u{i} u USING (cid))"
+            )
+    return "WITH " + ",\n".join(parts), f"a{iters}"
 
 
 # 10 planes/band: random-pair collision 0.5^10 per band (~0.4% of all
@@ -1119,6 +1170,23 @@ def q_events_quantiles_sketch(spark, sf_dir):
     )
 
 
+def q_cluster_kmeans(spark, sf_dir):
+    # Deterministic Lloyd's k-means (bottom-k-by-hash init, min-struct
+    # argmin, posexplode mean update) — every step engine-reproducible,
+    # so the approximate-looking operator has an EXACT DuckDB oracle
+    # (the unrolled 2-iteration CTE chain in oracle_sql()).
+    emb = demo.read_table(spark, sf_dir, "embeddings")
+    return CL.kmeans_assign(emb, k=8, iters=2)
+
+
+def q_dedup_semantic(spark, sf_dir):
+    # SemDeDup (arXiv:2303.09540): cluster, then flag vectors dominated
+    # by a smaller-id same-cluster neighbor at cosine >= 0.3. The pair
+    # space is the cluster-keyed self-join, never the full n^2.
+    emb = demo.read_table(spark, sf_dir, "embeddings")
+    return CL.semantic_dedup(emb, k=8, iters=2, threshold=0.3)
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     # Approximate distinct users per event type via the portable KMV
     # sketch (k=16 so the estimator path actually runs — every event
@@ -2069,6 +2137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of group 1.
     return {
         # Group 1a: new this round, never driver-attested.
+        "cluster_kmeans": q_cluster_kmeans,
+        "dedup_semantic": q_dedup_semantic,
         "multimodal_media_metadata": q_multimodal_media_metadata,
         "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
         "events_quantiles_sketch": q_events_quantiles_sketch,
@@ -3621,6 +3691,40 @@ SELECT vec_id, scale,
        CAST(list_max(qvec) AS INT) AS q_max
 FROM q
 """,
+        # cluster_kmeans / dedup_semantic: the Lloyd's chain is fully
+        # deterministic (md5 init, (dist, cid) tie-break), so the
+        # clustering has an EXACT oracle — the same iterations unrolled
+        # as CTEs by _kmeans_cte_sql.
+        "cluster_kmeans": (
+            _kmeans_cte_sql(k=8, iters=2)[0]
+            + f"""
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
+FROM {_kmeans_cte_sql(k=8, iters=2)[1]}
+"""
+        ),
+        "dedup_semantic": (
+            _kmeans_cte_sql(k=8, iters=2)[0]
+            + f""",
+pairs AS (
+  SELECT a.vec_id AS ida, b.vec_id AS idb, a.v AS va, b.v AS vb
+  FROM {_kmeans_cte_sql(k=8, iters=2)[1]} a
+  JOIN {_kmeans_cte_sql(k=8, iters=2)[1]} b
+    ON a.cid = b.cid AND b.vec_id < a.vec_id
+),
+elp AS (
+  SELECT ida, idb, unnest(va) AS xa, unnest(vb) AS xb FROM pairs
+),
+cosp AS (
+  SELECT ida, idb,
+         sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))) AS cos
+  FROM elp GROUP BY 1, 2
+),
+dups AS (SELECT DISTINCT ida AS vec_id FROM cosp WHERE cos >= 0.3)
+SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM {_kmeans_cte_sql(k=8, iters=2)[1]} a LEFT JOIN dups d USING (vec_id)
+"""
+        ),
         "events_quantiles_sketch": f"""
 WITH d AS (
   SELECT event_type, CAST(value AS DOUBLE) AS v,

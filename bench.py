@@ -85,6 +85,9 @@ HEADLINE = [
     # round-5 addition: real PNG decode (zlib inflate + unfilter)
     # through the mapInPandas image-feature extractor.
     "multimodal_png_decode",
+    # round-6 addition: SemDeDup over the embedding corpus
+    # (deterministic k-means + cluster-blocked cosine self-join).
+    "dedup_semantic",
 ]
 
 

@@ -1,0 +1,214 @@
+"""Embedding clustering + SemDeDup-style semantic deduplication.
+
+Two operators a curation pipeline runs between embedding generation and
+training-set assembly:
+
+* :func:`kmeans_assign` — deterministic Lloyd's k-means over an
+  ``array<float>`` column. Unlike MLlib's KMeans (random init, engine-
+  private tie-breaks) every step here is engine-reproducible, so an
+  external system (the DuckDB oracle, a downstream auditor) can recompute
+  the exact same assignment:
+
+  - **init**: the k rows with the smallest ``md5(seed:id)`` — the same
+    portable bottom-k-by-hash device as
+    :mod:`net_spider_spark.pipeline.sketch`. In Spark this is
+    ``orderBy(hash).limit(k)`` = ``TakeOrderedAndProject`` (per-partition
+    top-k, only k rows cross the wire — no global sort).
+  - **assign**: squared-L2 argmin against the k broadcast centroids,
+    ties broken by centroid id. The argmin is ``min(struct(dist, cid))``
+    — a map-side-combinable hash aggregate, NOT a window (no per-vector
+    row_number sort at scale).
+  - **update**: element-wise mean per cluster via ``posexplode`` +
+    ``avg`` — one map-side-combinable shuffle of (cluster, pos) cells;
+    the k*dim result is collected to the driver (tiny, by construction)
+    and re-broadcast for the next round.
+
+  Per iteration: one broadcast join + one hash aggregate. At 100 TB the
+  only data-sized shuffle is the (cluster, pos) partial-mean combine,
+  whose post-combine width is k*dim regardless of row count.
+
+* :func:`semantic_dedup` — SemDeDup (Abbas et al. 2023,
+  arXiv:2303.09540): cluster the corpus, then compare vectors ONLY
+  within their cluster and flag every vector that has a smaller-id
+  neighbor above the cosine threshold. The cluster equi-join bounds
+  the pair space to sum(|cluster|^2) instead of n^2 — k is the knob
+  that keeps per-cluster blocks executor-sized. For skewed/giant
+  clusters, ``sub_bucket_planes`` further splits blocks by a sign-LSH
+  signature (approximate: cross-bucket pairs are not compared — the
+  standard SemDeDup accuracy/cost trade).
+
+Reference n/a: extension suite (LLM-data-pipeline operators), not a
+net-spider port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from net_spider_spark.pipeline.similarity import cosine, hyperplanes, lsh_signature
+
+__all__ = ["kmeans_assign", "kmeans_fit", "semantic_dedup"]
+
+
+def _hash_expr(id_col: str, seed: str):
+    return F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _centroid_df(df: DataFrame, centroids: list[tuple[int, list[float]]]):
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        "cid long, cv array<double>",
+    )
+
+
+def _assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
+    """(id, v) x broadcast centroids -> (id, v, cluster_id) via the
+    min-struct argmin (hash aggregate, map-side combinable)."""
+    cdf = _centroid_df(vecs, centroids)
+    scored = vecs.crossJoin(F.broadcast(cdf)).select(
+        "_id",
+        F.struct(
+            _sq_dist(F.col("_v"), F.col("cv")).alias("dist"),
+            F.col("cid").alias("cid"),
+            F.col("_v").alias("v"),
+        ).alias("_s"),
+    )
+    m = scored.groupBy("_id").agg(F.min("_s").alias("_m"))
+    return m.select(
+        "_id",
+        F.col("_m.cid").alias("cluster_id"),
+        F.col("_m.v").alias("_v"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "s42",
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Run deterministic Lloyd's; return (final centroids, assignment).
+
+    ``iters`` counts centroid UPDATE steps: the returned assignment is
+    against the centroids after ``iters`` updates (iters=0 assigns
+    against the raw bottom-k-by-hash seeds).
+    """
+    vecs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    seed_rows = (
+        vecs.withColumn("_h", _hash_expr("_id", seed))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    centroids = [(cid, list(r["_v"])) for cid, r in enumerate(seed_rows)]
+
+    assigned = _assign(vecs, centroids)
+    for _ in range(iters):
+        means = (
+            assigned.select("cluster_id", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["cluster_id"], {})[r["pos"]] = r["m"]
+        # clusters that lost every member keep their previous centroid
+        centroids = [
+            (
+                cid,
+                [by_cid[cid][p] for p in sorted(by_cid[cid])]
+                if cid in by_cid
+                else vec,
+            )
+            for cid, vec in centroids
+        ]
+        assigned = _assign(vecs, centroids)
+    return centroids, assigned
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "s42",
+) -> DataFrame:
+    """Deterministic k-means assignment: (id_col, cluster_id)."""
+    _, assigned = kmeans_fit(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    return assigned.select(
+        F.col("_id").alias(id_col), F.col("cluster_id").cast("long").alias("cluster_id")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "s42",
+    sub_bucket_planes: int = 0,
+) -> DataFrame:
+    """SemDeDup: flag vectors dominated by a smaller-id same-cluster
+    neighbor with cosine >= threshold.
+
+    Returns (id_col, cluster_id, is_dup). Keep rows with
+    ``is_dup = false``; the dominated rule (ANY smaller-id neighbor
+    above threshold) needs no connected-components pass, so the whole
+    operator is one cluster-keyed self-join over per-cluster blocks.
+
+    ``sub_bucket_planes > 0`` additionally splits each cluster's block
+    by a sign-LSH signature before the self-join (for corpora whose
+    cluster sizes outgrow an executor); pairs split across sub-buckets
+    are then not compared, so only the exact default is oracle-gated.
+    """
+    _, assigned = kmeans_fit(
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    join_keys = ["cluster_id"]
+    if sub_bucket_planes > 0:
+        dim = len(assigned.select("_v").first()["_v"])
+        planes = hyperplanes(dim, sub_bucket_planes, seed=42)
+        assigned = assigned.withColumn("_bkt", lsh_signature(F.col("_v"), planes))
+        join_keys.append("_bkt")
+    a = assigned.select(
+        *join_keys, F.col("_id").alias("_ida"), F.col("_v").alias("_va")
+    )
+    b = assigned.select(
+        *join_keys, F.col("_id").alias("_idb"), F.col("_v").alias("_vb")
+    )
+    dup_ids = (
+        a.join(b, on=join_keys)
+        .where(F.col("_idb") < F.col("_ida"))
+        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_ida").alias("_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dup_ids.withColumn("_dup", F.lit(True)), on="_id", how="left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
