@@ -56,25 +56,50 @@ def value_quantiles(
     group_cols=("event_type",),
     value_col: str = "value",
     quantiles=(0.5, 0.9, 0.99),
+    method: str = "exact",
+    key_col: str | None = None,
+    k: int = 256,
 ) -> DataFrame:
-    """Exact per-group quantiles (linear interpolation over the sorted
+    """Per-group quantiles (linear interpolation over the sorted
     values — SQL-standard continuous quantile), plus count/min/max.
 
-    Exact, not approx_percentile: the t-digest style sketches are
-    engine-private and non-reproducible; the exact aggregate sorts
-    only within each group. For groups too large to sort in one
-    aggregation buffer, use
-    :func:`net_spider_spark.pipeline.sketch.quantile_sketch` — the
-    mergeable, deterministic, engine-reproducible bottom-k-by-hash
-    sample with the same interpolation formula (exact below k).
+    ``method="exact"`` (default): the exact ``percentile`` aggregate —
+    not approx_percentile, whose t-digest sketches are engine-private
+    and non-reproducible. The aggregate buffers one group's values in
+    one task, so it is for groups that fit an aggregation buffer.
+
+    ``method="sketch"``: the scale path for giant groups — delegates to
+    :func:`net_spider_spark.pipeline.sketch.quantile_sketch`, the
+    mergeable, deterministic, engine-reproducible bottom-k-by-hash row
+    sample (exact below k rows; standard error ~ sqrt(q(1-q)/k) above),
+    using the same interpolation formula. Requires ``key_col`` — a
+    column uniquely identifying rows (the sampling hash input). Output
+    schema matches exact mode; count/min/max stay exact (they are
+    map-side-combinable aggregates at any scale).
     """
     group_cols = list(group_cols)
     v = F.col(value_col).cast("double")
-    aggs = [
+    stat_aggs = [
         F.count(F.lit(1)).alias("n_events"),
         F.min(v).alias("value_min"),
         F.max(v).alias("value_max"),
-    ] + [
+    ]
+    if method == "sketch":
+        if key_col is None:
+            raise ValueError("method='sketch' requires key_col")
+        from net_spider_spark.pipeline import sketch as SK
+
+        stats = events.groupBy(*group_cols).agg(*stat_aggs)
+        est = SK.quantile_sketch_estimate(
+            SK.quantile_sketch(events, group_cols, value_col, key_col, k=k),
+            quantiles,
+        ).drop("qsk", "n_kept")
+        # both sides are post-aggregate (rows = group count); AQE
+        # broadcasts the smaller side.
+        return stats.join(est, on=group_cols)
+    if method != "exact":
+        raise ValueError(f"unknown method: {method!r}")
+    aggs = stat_aggs + [
         F.expr(f"percentile({value_col}, {q!r})").alias(
             f"p{round(q * 100)}"
         )

@@ -17,12 +17,16 @@ external oracle. KMV keeps the k smallest *portable* hash values
 Standard error is ~1/sqrt(k-2); k=256 gives ~6%.
 
 Scale: the hash + per-group dedup is one map-side-combinable
-aggregate; selecting the k smallest per group sorts only DISTINCT
-hashes (not rows) within each group. Groups are typically many, so
-the rank window parallelizes; for a single giant group pre-prune with
-``hash60 < t * 2^60`` (any t with expected survivors >> k, e.g.
-t = 100*k/lower_bound_distinct) before ranking — uniform hashing makes
-the k minima survive such a cut with overwhelming probability.
+aggregate, and the bottom-k selection never sorts a whole group in one
+task: rows are bucketed by the first hex chars of their digest, a tiny
+per-(group, bucket) count table yields each bucket's cumulative offset
+(window over <= 4096 rows per group), buckets wholly past k are
+dropped BEFORE the shuffle, and the exact rank runs only inside the
+surviving ~1/4096-of-a-group buckets (same membership as the naive
+``row_number() OVER (PARTITION BY group ORDER BY hash)`` — hash ties
+share a bucket by construction, so tie-breaks never cross buckets).
+This is the distributed-rank shape that fixed ``curate.mixture_sample``,
+with the histogram kept fully distributed instead of driver-collected.
 """
 
 from __future__ import annotations
@@ -78,6 +82,57 @@ def hash60_sql(value_expr: str, seed: str = "s42") -> str:
     return hex15_to_long_sql(md5_sql(value_expr, seed))
 
 
+#: Hex chars of digest prefix used as the rank-distribution bucket —
+#: 3 -> 4096 buckets, so a surviving window partition holds ~1/4096 of
+#: one group.
+_BKT_HEX = 3
+
+
+def _bottom_k_rows(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    order_extra: Sequence[str] = (),
+) -> DataFrame:
+    """Rows of ``df`` whose per-group rank by ``(_h60, *order_extra)``
+    is <= k, without sorting any whole group in one task. ``df`` must
+    carry ``_md5`` (the hex digest) and ``_h60`` (its 60-bit value).
+
+    Membership is bit-identical to
+    ``row_number() OVER (PARTITION BY group ORDER BY _h60, ...) <= k``:
+    the bucket is a prefix of the hash, so equal hashes — the only rows
+    the extra tie-break columns order — always share a bucket.
+    """
+    d = df.withColumn("_bkt", F.substring("_md5", 1, _BKT_HEX))
+    counts = d.groupBy(*group_cols, "_bkt").agg(
+        F.count(F.lit(1)).alias("_bc")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        counts.withColumn(
+            "_off", F.coalesce(F.sum("_bc").over(w_off), F.lit(0))
+        )
+        # a bucket whose offset already reaches k cannot contribute:
+        # dropping it here prunes the data-sized side map-side (AQE
+        # broadcasts this post-aggregate table when it is small).
+        .where(F.col("_off") < k)
+        .select(*group_cols, "_bkt", "_off")
+    )
+    w_rank = Window.partitionBy(*group_cols, "_bkt").orderBy(
+        "_h60", *order_extra
+    )
+    return (
+        d.join(offs, group_cols + ["_bkt"])
+        .withColumn("_rn", F.col("_off") + F.row_number().over(w_rank))
+        .where(F.col("_rn") <= k)
+        .drop("_bkt", "_off", "_rn")
+    )
+
+
 def kmv_sketch(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -87,7 +142,8 @@ def kmv_sketch(
 ) -> DataFrame:
     """Per-group KMV sketch: ``kmv`` = sorted array of the k smallest
     distinct 60-bit hashes of ``value_col``. One dedup aggregate, then
-    a rank over distinct hashes only."""
+    a bucket-distributed rank over distinct hashes only (no whole-group
+    sort — see :func:`_bottom_k_rows`)."""
     group_cols = list(group_cols)
     hashed = (
         df.select(
@@ -95,15 +151,13 @@ def kmv_sketch(
             F.expr(md5_sql(value_col, seed)).alias("_md5"),
         )
         .select(
-            *group_cols,
+            *group_cols, "_md5",
             F.expr(hex15_to_long_sql("_md5")).alias("_h60"),
         )
         .dropDuplicates(group_cols + ["_h60"])
     )
-    w = Window.partitionBy(*group_cols).orderBy("_h60")
     return (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
+        _bottom_k_rows(hashed, group_cols, k)
         .groupBy(*group_cols)
         .agg(F.sort_array(F.collect_list("_h60")).alias("kmv"))
     )
@@ -226,14 +280,12 @@ def quantile_sketch(
             F.expr(md5_sql(key_col, seed)).alias("_md5"),
         )
         .select(
-            *group_cols, "_v",
+            *group_cols, "_v", "_md5",
             F.expr(hex15_to_long_sql("_md5")).alias("_h60"),
         )
     )
-    w = Window.partitionBy(*group_cols).orderBy("_h60", "_v")
     return (
-        hashed.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= k)
+        _bottom_k_rows(hashed, group_cols, k, order_extra=("_v",))
         .groupBy(*group_cols)
         .agg(
             F.array_sort(

@@ -178,3 +178,87 @@ def test_quantile_sketch_small_group_is_exact(spark):
     assert (est["p50"], est["p90"], est["p99"]) == (
         exact["p50"], exact["p90"], exact["p99"]
     )
+
+
+def test_bottom_k_matches_naive_window(spark):
+    # The bucket-distributed rank must select the EXACT same rows as
+    # row_number() OVER (PARTITION BY group ORDER BY _h60, _v) <= k.
+    from pyspark.sql import Window
+
+    from net_spider_spark.pipeline import sketch as SK
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        (F.col("id") * 7 % 101).cast("double").alias("v"),
+        F.col("id").alias("key"),
+    )
+    hashed = df.select(
+        "grp", F.col("v").alias("_v"),
+        F.expr(SK.md5_sql("key")).alias("_md5"),
+    ).select(
+        "grp", "_v", "_md5",
+        F.expr(SK.hex15_to_long_sql("_md5")).alias("_h60"),
+    )
+    got = sorted(
+        (r["grp"], r["_h60"], r["_v"])
+        for r in SK._bottom_k_rows(hashed, ["grp"], 50, ("_v",)).collect()
+    )
+    w = Window.partitionBy("grp").orderBy("_h60", "_v")
+    want = sorted(
+        (r["grp"], r["_h60"], r["_v"])
+        for r in hashed.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= 50)
+        .collect()
+    )
+    assert got == want and len(got) == 150
+
+
+def test_bottom_k_plan_has_no_whole_group_window(spark):
+    # Every Window in the plan must partition by (group, _bkt), never
+    # by the group alone — the pin that no task sorts a whole group.
+    from net_spider_spark.pipeline import sketch as SK
+
+    df = spark.range(100).select(
+        (F.col("id") % 2).cast("string").alias("grp"),
+        F.col("id").cast("double").alias("v"),
+        F.col("id").alias("key"),
+    )
+    plan = (
+        SK.quantile_sketch(df, ["grp"], "v", "key", k=8)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan  # the rank windows must still exist
+    for spec in specs:
+        if "grp" in spec:
+            # either the data-sized rank window — partitioned by
+            # (grp, _bkt) — or the offset window over the tiny
+            # (grp, _bkt) count table; never a whole-group data sort.
+            assert "_bkt" in spec, spec
+
+
+def test_value_quantiles_sketch_mode(spark):
+    from net_spider_spark.pipeline import events as EV
+
+    df = spark.range(200).select(
+        F.lit("a").alias("event_type"),
+        F.col("id").cast("double").alias("value"),
+        F.col("id").alias("event_id"),
+    )
+    exact = EV.value_quantiles(df, ("event_type",), quantiles=(0.5, 0.9))
+    # k above the group size: the sample IS the group, so sketch mode
+    # must reproduce the exact aggregate, same schema.
+    sk = EV.value_quantiles(
+        df, ("event_type",), quantiles=(0.5, 0.9),
+        method="sketch", key_col="event_id", k=512,
+    )
+    assert sk.columns == exact.columns
+    assert sorted(map(tuple, sk.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+    with pytest.raises(ValueError):
+        EV.value_quantiles(df, method="sketch")
+    with pytest.raises(ValueError):
+        EV.value_quantiles(df, method="bogus")
