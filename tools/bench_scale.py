@@ -119,11 +119,20 @@ def main() -> None:
     # gram set joins each gram OCCURRENCE against the distinct dup set
     # (never pairwise), so replication scales the gram table linearly
     # while driving duplication density up — the hostile-but-linear case.
+    # Repartition after replication: the local sf0.1 corpus is ONE
+    # small parquet file, so the replicated frame inherits 1-2 input
+    # partitions and every pre-shuffle map (the tokenizer especially —
+    # split inside higher-order filters is interpreted, not codegen)
+    # runs single-task. A real 100 TB corpus arrives as many files and
+    # gets this parallelism from the scan; locally we restore it
+    # explicitly. Measured before the fix: ONE task burned 18+ min of
+    # CPU tokenizing 3.2 M docs while 31 cores idled.
     docs = demo.read_table(spark, sf_dir, "documents")
     docs_rep = (
         docs.crossJoin(rep)
         .withColumn("doc_id", F.col("doc_id") * factor + F.col("_r"))
         .drop("_r")
+        .repartition(4 * int(cpus))
         .persist()
     )
     n_docs = docs_rep.count()
@@ -167,6 +176,7 @@ def main() -> None:
             "value",
             (demo.ts_epoch_ms(ev) + F.col("_r")).alias("ts_ms"),
         )
+        .repartition(4 * int(cpus))
         .persist()
     )
     n_events = ev_rep.count()
