@@ -156,54 +156,111 @@ def _lsh_sig_sql(n_bands: int = 4, n_planes: int = 4, dim: int = 64,
     return exprs
 
 
-def _kmeans_cte_sql(k: int = 8, iters: int = 2, dim: int = 64,
-                    seed: str = "s42") -> tuple[str, str]:
-    """DuckDB twin of pipeline.cluster.kmeans_assign: the unrolled
-    Lloyd's iteration as a WITH chain. Returns (cte_sql, final_cte) —
-    final_cte holds (vec_id, cid, v) after ``iters`` centroid updates.
+def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
+                 seed: str = "s42", prefix: str = "",
+                 vec_sql: str = "CAST(embedding AS DOUBLE[])",
+                 ) -> tuple[list[str], str, str]:
+    """DuckDB twin of pipeline.cluster.kmeans_fit: the unrolled Lloyd's
+    iteration as a list of CTE definitions (prefixed so several chains
+    — e.g. one per PQ subspace — compose in one query). Returns
+    (cte_parts, assign_cte, centroid_cte): assign_cte holds
+    (vec_id, cid, v) after ``iters`` centroid updates, centroid_cte the
+    matching (cid, cv) codebook.
 
     Mirrors the Spark path step for step: bottom-k-by-md5 init, squared
     L2 argmin with (dist, cid) tie-break, element-wise mean update with
     empty clusters keeping their previous centroid."""
+    P = prefix
     parts = [
-        "emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-        " FROM embeddings)",
-        "seeds AS (SELECT v, row_number() OVER (ORDER BY"
+        f"{P}emb AS (SELECT vec_id, {vec_sql} AS v FROM embeddings)",
+        f"{P}seeds AS (SELECT v, row_number() OVER (ORDER BY"
         f" md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn"
-        " FROM emb)",
-        f"c0 AS (SELECT rn - 1 AS cid, v AS cv FROM seeds WHERE rn <= {k})",
-        f"pos AS (SELECT unnest(generate_series(1, {dim})) AS p)",
+        f" FROM {P}emb)",
+        f"{P}c0 AS (SELECT rn - 1 AS cid, v AS cv FROM {P}seeds"
+        f" WHERE rn <= {k})",
+        f"{P}pos AS (SELECT unnest(generate_series(1, {dim})) AS p)",
     ]
     for i in range(iters + 1):
         parts.append(
-            f"el{i} AS (SELECT e.vec_id, c.cid, unnest(e.v) AS ev,"
-            f" unnest(c.cv) AS cv FROM emb e CROSS JOIN c{i} c)"
+            f"{P}el{i} AS (SELECT e.vec_id, c.cid, unnest(e.v) AS ev,"
+            f" unnest(c.cv) AS cv FROM {P}emb e CROSS JOIN {P}c{i} c)"
         )
         parts.append(
-            f"d{i} AS (SELECT vec_id, cid,"
+            f"{P}d{i} AS (SELECT vec_id, cid,"
             " sum((ev - cv) * (ev - cv)) AS dist"
-            f" FROM el{i} GROUP BY 1, 2)"
+            f" FROM {P}el{i} GROUP BY 1, 2)"
         )
         parts.append(
-            f"a{i} AS (SELECT vec_id, cid, v FROM ("
+            f"{P}a{i} AS (SELECT vec_id, cid, v FROM ("
             "SELECT d.vec_id, d.cid, e.v, row_number() OVER ("
             "PARTITION BY d.vec_id ORDER BY d.dist, d.cid) AS rn"
-            f" FROM d{i} d JOIN emb e USING (vec_id)) t WHERE rn = 1)"
+            f" FROM {P}d{i} d JOIN {P}emb e USING (vec_id)) t WHERE rn = 1)"
         )
         if i < iters:
             parts.append(
-                f"m{i} AS (SELECT a.cid, p.p, avg(a.v[p.p]) AS m"
-                f" FROM a{i} a CROSS JOIN pos p GROUP BY 1, 2)"
+                f"{P}m{i} AS (SELECT a.cid, p.p, avg(a.v[p.p]) AS m"
+                f" FROM {P}a{i} a CROSS JOIN {P}pos p GROUP BY 1, 2)"
             )
             parts.append(
-                f"u{i} AS (SELECT cid, list(m ORDER BY p) AS cv"
-                f" FROM m{i} GROUP BY 1)"
+                f"{P}u{i} AS (SELECT cid, list(m ORDER BY p) AS cv"
+                f" FROM {P}m{i} GROUP BY 1)"
             )
             parts.append(
-                f"c{i + 1} AS (SELECT c.cid, COALESCE(u.cv, c.cv) AS cv"
-                f" FROM c{i} c LEFT JOIN u{i} u USING (cid))"
+                f"{P}c{i + 1} AS (SELECT c.cid, COALESCE(u.cv, c.cv) AS cv"
+                f" FROM {P}c{i} c LEFT JOIN {P}u{i} u USING (cid))"
             )
-    return "WITH " + ",\n".join(parts), f"a{iters}"
+    return parts, f"{P}a{iters}", f"{P}c{iters}"
+
+
+def _kmeans_cte_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                    seed: str = "s42") -> tuple[str, str]:
+    parts, assign, _ = _kmeans_ctes(k=k, iters=iters, dim=dim, seed=seed)
+    return "WITH " + ",\n".join(parts), assign
+
+
+def _pq_topk_sql(m: int = 4, k: int = 16, iters: int = 1, dim: int = 64,
+                 n_neighbors: int = 3, seed: str = "s42") -> str:
+    """DuckDB twin of pipeline.pq: per-subspace Lloyd's chains (the
+    codebooks), corpus codes = each chain's final assignment, queries'
+    ADC lookup tables, summed lookup distances, per-query top-k."""
+    sub_dim = dim // m
+    parts: list[str] = []
+    score_ctes = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        sub_parts, assign, cents = _kmeans_ctes(
+            k=k, iters=iters, dim=sub_dim, seed=seed, prefix=f"s{s}_",
+            vec_sql=f"CAST(embedding AS DOUBLE[])[{lo}:{hi}]",
+        )
+        parts.extend(sub_parts)
+        parts.append(
+            f"s{s}_lel AS (SELECT q.vec_id AS query_id, c.cid AS code,"
+            " unnest(q.v) AS x, unnest(c.cv) AS y"
+            f" FROM s{s}_emb q CROSS JOIN {cents} c WHERE q.vec_id < 5)"
+        )
+        parts.append(
+            f"s{s}_lut AS (SELECT query_id, code,"
+            f" sum((x - y) * (x - y)) AS d FROM s{s}_lel GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"s{s}_sc AS (SELECT l.query_id, a.vec_id AS neighbor_id, l.d"
+            f" FROM {assign} a JOIN s{s}_lut l ON l.code = a.cid)"
+        )
+        score_ctes.append(f"SELECT * FROM s{s}_sc")
+    parts.append(
+        "pq_scored AS (SELECT query_id, neighbor_id, sum(d) AS adist"
+        f" FROM ({' UNION ALL '.join(score_ctes)}) GROUP BY 1, 2)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, neighbor_id, adist, rank FROM (
+  SELECT query_id, neighbor_id, adist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adist, neighbor_id) AS rank
+  FROM pq_scored) t
+WHERE rank <= {n_neighbors}
+"""
+    )
 
 
 # 10 planes/band: random-pair collision 0.5^10 per band (~0.4% of all
@@ -1187,6 +1244,19 @@ def q_dedup_semantic(spark, sf_dir):
     return CL.semantic_dedup(emb, k=8, iters=2, threshold=0.3)
 
 
+def q_sim_pq_topk(spark, sf_dir):
+    # Product quantization ANN: per-subspace deterministic k-means
+    # codebooks, 4-byte codes, ADC top-3. Every training/encode/score
+    # step is deterministic, so the compressed index has an exact
+    # oracle (per-subspace unrolled Lloyd's chains + lookup-table sum).
+    from net_spider_spark.pipeline import pq as PQ
+
+    emb = demo.read_table(spark, sf_dir, "embeddings")
+    books = PQ.pq_train(emb, dim=64, m=4, k=16, iters=1)
+    codes = PQ.pq_encode(emb, books)
+    return PQ.pq_topk(emb.where(F.col("vec_id") < 5), codes, books, k=3)
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     # Approximate distinct users per event type via the portable KMV
     # sketch (k=16 so the estimator path actually runs — every event
@@ -2137,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of group 1.
     return {
         # Group 1a: new this round, never driver-attested.
+        "sim_pq_topk": q_sim_pq_topk,
         "cluster_kmeans": q_cluster_kmeans,
         "dedup_semantic": q_dedup_semantic,
         "multimodal_media_metadata": q_multimodal_media_metadata,
@@ -3725,6 +3796,8 @@ SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
 FROM {_kmeans_cte_sql(k=8, iters=2)[1]} a LEFT JOIN dups d USING (vec_id)
 """
         ),
+        "sim_pq_topk": _pq_topk_sql(m=4, k=16, iters=1, dim=64,
+                                    n_neighbors=3),
         "events_quantiles_sketch": f"""
 WITH d AS (
   SELECT event_type, CAST(value AS DOUBLE) AS v,

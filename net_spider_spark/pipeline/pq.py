@@ -1,0 +1,210 @@
+"""Product quantization (PQ) for embedding compression + ANN scoring.
+
+Jégou et al. 2011 ("Product quantization for nearest neighbor
+search", IEEE TPAMI — public paper, reimplemented on DataFrame
+expressions): split each vector into ``m`` subvectors, k-means each
+subspace independently, and store a vector as ``m`` small codes. With
+m=4, k=16 a 64-dim float vector (256 bytes) becomes 4 bytes — the
+difference between "the corpus fits in cluster memory" and "it
+doesn't" at 100 TB.
+
+Querying uses ADC (asymmetric distance computation): per query, a
+lookup table of ``m * k`` exact subspace distances; a corpus vector's
+approximate distance is the sum of ``m`` table entries picked by its
+codes. The corpus is never decoded.
+
+Scale shapes:
+
+* **train** — ``m`` independent runs of
+  :func:`net_spider_spark.pipeline.cluster.kmeans_fit` over sliced
+  subvectors (broadcast argmin + one posexplode-mean shuffle per
+  iteration; nothing driver-sized but the k*dim/m centroid table).
+* **encode** — one broadcast hash-join of the exploded (id, sub,
+  subvector) table against the m*k codebook, min-struct argmin (a
+  map-side-combinable aggregate — no window), then collect_list back
+  to one codes row per vector. Shuffle is m small ints per vector.
+* **topk** — the LUT is queries x m x k rows (tiny for interactive
+  query batches; broadcast), joined to the exploded codes on
+  (sub, code) and summed per (query, corpus id) — a map-side-
+  combinable aggregate over m rows per pair, then a per-query top-k.
+  The corpus side never shuffles vectors, only codes.
+
+Like :mod:`net_spider_spark.pipeline.cluster`, every step (hash-seeded
+init, (dist, cid) tie-breaks, fixed iteration count) is deterministic,
+so the whole train -> encode -> score pipeline has an EXACT DuckDB
+oracle despite being an "approximate" index.
+
+Reference n/a: extension suite (LLM-data-pipeline operators).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from net_spider_spark.pipeline.cluster import kmeans_fit
+
+__all__ = ["pq_train", "pq_encode", "pq_topk"]
+
+
+def _subslice(vec, sub: int, sub_dim: int):
+    return F.slice(vec, sub * sub_dim + 1, sub_dim)
+
+
+def pq_train(
+    df: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "s42",
+) -> list[tuple[int, int, list[float]]]:
+    """Train one deterministic k-means codebook per subspace.
+
+    Returns [(sub, cid, centroid)] with ``m * k`` rows; ``dim`` must be
+    divisible by ``m``. Each subspace trains on the same rows (the
+    bottom-k-by-hash init reuses the row ids, so subspace s's seeds are
+    the s-th slices of the same seed rows).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    out: list[tuple[int, int, list[float]]] = []
+    for sub in range(m):
+        sliced = df.select(
+            F.col(id_col),
+            _subslice(F.col(vec_col).cast("array<double>"), sub, sub_dim).alias(
+                "_sv"
+            ),
+        )
+        centroids, _ = kmeans_fit(
+            sliced, k=k, iters=iters, id_col=id_col, vec_col="_sv", seed=seed
+        )
+        out.extend((sub, cid, cv) for cid, cv in centroids)
+    return out
+
+
+def _codebook_df(spark, codebooks):
+    return spark.createDataFrame(
+        [(s, c, [float(x) for x in v]) for s, c, v in codebooks],
+        "sub int, cid int, cv array<double>",
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_col, codes): per vector, the argmin-centroid code of each
+    subspace, as an ``array<int>`` ordered by subspace."""
+    m = max(s for s, _, _ in codebooks) + 1
+    sub_dim = len(codebooks[0][2])
+    v = F.col(vec_col).cast("array<double>")
+    exploded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        _subslice(v, s, sub_dim).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_e"),
+    ).select("_id", F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("sv"))
+    cb = _codebook_df(df.sparkSession, codebooks)
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    coded = (
+        exploded.join(F.broadcast(cb), "sub")
+        .select(
+            "_id",
+            "sub",
+            F.struct(dist.alias("d"), F.col("cid").alias("cid")).alias("_s"),
+        )
+        .groupBy("_id", "sub")
+        .agg(F.min("_s").alias("_m"))
+        .select("_id", "sub", F.col("_m.cid").alias("code"))
+    )
+    return (
+        coded.groupBy("_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("sub"), F.col("code")))
+                ),
+                lambda s: s["code"],
+            ).alias("codes")
+        )
+        .select(F.col("_id").alias(id_col), "codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    codes: DataFrame,
+    codebooks: list[tuple[int, int, list[float]]],
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, adist, rank) — the k corpus
+    vectors with the smallest summed subspace distances per query.
+
+    ``codes`` is :func:`pq_encode` output. Ties break by neighbor id,
+    so ranks are deterministic.
+    """
+    m = max(s for s, _, _ in codebooks) + 1
+    sub_dim = len(codebooks[0][2])
+    qv = F.col(vec_col).cast("array<double>")
+    q_exploded = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        _subslice(qv, s, sub_dim).alias("qs"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_e"),
+    ).select("query_id", F.col("_e.sub").alias("sub"), F.col("_e.qs").alias("qs"))
+    cb = _codebook_df(queries.sparkSession, codebooks)
+    dist = F.aggregate(
+        F.zip_with("qs", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # queries x m x k rows — the ADC lookup table; broadcast to score
+    # the (much larger) corpus without moving it.
+    lut = q_exploded.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", F.col("cid").alias("code"), dist.alias("d")
+    )
+    scored = (
+        codes.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.posexplode("codes").alias("sub", "code"),
+        )
+        .join(F.broadcast(lut), ["sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
