@@ -42,13 +42,66 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from net_spider_spark.pipeline.cluster import kmeans_fit
+from net_spider_spark.pipeline.cluster import _hash_expr
 
 __all__ = ["pq_train", "pq_encode", "pq_topk"]
 
 
 def _subslice(vec, sub: int, sub_dim: int):
     return F.slice(vec, sub * sub_dim + 1, sub_dim)
+
+
+def _explode_subvectors(df: DataFrame, m: int, sub_dim: int,
+                        id_col: str, vec_col: str,
+                        out_id: str = "_id") -> DataFrame:
+    """(out_id, sub, sv): every vector split into its m subvectors."""
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        _subslice(v, s, sub_dim).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("_e"),
+    ).select(out_id, F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("sv"))
+
+
+def _sq_dist(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _argmin_codes(sliced: DataFrame, cb: DataFrame) -> DataFrame:
+    """(_id, sub, code, sv): each subvector's argmin codebook entry —
+    min-struct over a broadcast join, a map-side-combinable aggregate
+    (never a per-vector window)."""
+    return (
+        sliced.join(F.broadcast(cb), "sub")
+        .select(
+            "_id",
+            "sub",
+            F.struct(
+                _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+                F.col("cid").alias("cid"),
+                F.col("sv").alias("sv"),
+            ).alias("_s"),
+        )
+        .groupBy("_id", "sub")
+        .agg(F.min("_s").alias("_m"))
+        .select(
+            "_id", "sub", F.col("_m.cid").alias("code"),
+            F.col("_m.sv").alias("sv"),
+        )
+    )
 
 
 def pq_train(
@@ -64,26 +117,62 @@ def pq_train(
     """Train one deterministic k-means codebook per subspace.
 
     Returns [(sub, cid, centroid)] with ``m * k`` rows; ``dim`` must be
-    divisible by ``m``. Each subspace trains on the same rows (the
-    bottom-k-by-hash init reuses the row ids, so subspace s's seeds are
-    the s-th slices of the same seed rows).
+    divisible by ``m``. All m subspaces train TOGETHER — ``sub`` is
+    just another grouping key, so each Lloyd's iteration is ONE
+    broadcast-join argmin + ONE (sub, cid, pos) mean aggregate over the
+    exploded subvector table, not m driver round-trips. The
+    bottom-k-by-hash init depends only on row ids, so subspace s's
+    seeds are the s-th slices of the same k seed rows (identical to
+    training each subspace independently — pinned by the numpy parity
+    test and the per-subspace oracle chains).
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
-    out: list[tuple[int, int, list[float]]] = []
-    for sub in range(m):
-        sliced = df.select(
-            F.col(id_col),
-            _subslice(F.col(vec_col).cast("array<double>"), sub, sub_dim).alias(
-                "_sv"
-            ),
+    spark = df.sparkSession
+    seed_rows = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
         )
-        centroids, _ = kmeans_fit(
-            sliced, k=k, iters=iters, id_col=id_col, vec_col="_sv", seed=seed
+        .withColumn("_h", _hash_expr("_id", seed))
+        .orderBy("_h", "_id")
+        .limit(k)
+        .collect()
+    )
+    books: dict[tuple[int, int], list[float]] = {}
+    for cid, r in enumerate(seed_rows):
+        full = list(r["_v"])
+        for s in range(m):
+            books[(s, cid)] = full[s * sub_dim:(s + 1) * sub_dim]
+
+    sliced = _explode_subvectors(df, m, sub_dim, id_col, vec_col)
+    for _ in range(iters):
+        assigned = _argmin_codes(sliced, _codebook_df(spark, _book_list(books)))
+        means = (
+            assigned.select(
+                "sub", F.col("code").alias("cid"),
+                F.posexplode("sv").alias("pos", "x"),
+            )
+            .groupBy("sub", "cid", "pos")
+            .agg(F.avg("x").alias("mval"))
+            .collect()
         )
-        out.extend((sub, cid, cv) for cid, cv in centroids)
-    return out
+        by_key: dict[tuple[int, int], dict[int, float]] = {}
+        for r in means:
+            by_key.setdefault((r["sub"], r["cid"]), {})[r["pos"]] = r["mval"]
+        # (sub, cid) cells that lost every member keep their centroid
+        books = {
+            key: [vals[p] for p in sorted(vals)]
+            if (vals := by_key.get(key)) is not None
+            else cv
+            for key, cv in books.items()
+        }
+    return _book_list(books)
+
+
+def _book_list(books: dict[tuple[int, int], list[float]]):
+    return [(s, c, v) for (s, c), v in sorted(books.items())]
 
 
 def _codebook_df(spark, codebooks):
@@ -103,38 +192,10 @@ def pq_encode(
     subspace, as an ``array<int>`` ordered by subspace."""
     m = max(s for s, _, _ in codebooks) + 1
     sub_dim = len(codebooks[0][2])
-    v = F.col(vec_col).cast("array<double>")
-    exploded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("sub"),
-                        _subslice(v, s, sub_dim).alias("sv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("_e"),
-    ).select("_id", F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("sv"))
-    cb = _codebook_df(df.sparkSession, codebooks)
-    dist = F.aggregate(
-        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    coded = (
-        exploded.join(F.broadcast(cb), "sub")
-        .select(
-            "_id",
-            "sub",
-            F.struct(dist.alias("d"), F.col("cid").alias("cid")).alias("_s"),
-        )
-        .groupBy("_id", "sub")
-        .agg(F.min("_s").alias("_m"))
-        .select("_id", "sub", F.col("_m.cid").alias("code"))
-    )
+    sliced = _explode_subvectors(df, m, sub_dim, id_col, vec_col)
+    coded = _argmin_codes(
+        sliced, _codebook_df(df.sparkSession, codebooks)
+    ).drop("sv")
     return (
         coded.groupBy("_id")
         .agg(
@@ -165,31 +226,15 @@ def pq_topk(
     """
     m = max(s for s, _, _ in codebooks) + 1
     sub_dim = len(codebooks[0][2])
-    qv = F.col(vec_col).cast("array<double>")
-    q_exploded = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("sub"),
-                        _subslice(qv, s, sub_dim).alias("qs"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("_e"),
-    ).select("query_id", F.col("_e.sub").alias("sub"), F.col("_e.qs").alias("qs"))
-    cb = _codebook_df(queries.sparkSession, codebooks)
-    dist = F.aggregate(
-        F.zip_with("qs", "cv", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    q_exploded = _explode_subvectors(
+        queries, m, sub_dim, id_col, vec_col, out_id="query_id"
     )
+    cb = _codebook_df(queries.sparkSession, codebooks)
     # queries x m x k rows — the ADC lookup table; broadcast to score
     # the (much larger) corpus without moving it.
     lut = q_exploded.join(F.broadcast(cb), "sub").select(
-        "query_id", "sub", F.col("cid").alias("code"), dist.alias("d")
+        "query_id", "sub", F.col("cid").alias("code"),
+        _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
     )
     scored = (
         codes.select(
