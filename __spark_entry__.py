@@ -1227,6 +1227,34 @@ def q_events_quantiles_sketch(spark, sf_dir):
     )
 
 
+def q_sketch_cms_counts(spark, sf_dir):
+    # Count-min sketch frequency estimation: depth-4 x width-256 cells
+    # over event user_ids (width << distinct users, so collisions are
+    # real and the min-over-rows estimator actually earns its keep);
+    # probe the sub-50 user ids. Post-combine sketch state is <= 1024
+    # cells however large the corpus; the one-sided (never-under)
+    # guarantee and shard-merge == direct are pinned in test_sketch.py.
+    ev = demo.read_table(spark, sf_dir, "events")
+    cells = SK.cms_build(ev, "user_id", depth=4, width=256)
+    probes = ev.where(F.col("user_id") < 50).select("user_id").distinct()
+    return SK.cms_estimate(cells, probes, "user_id", depth=4, width=256)
+
+
+def q_sketch_bloom_membership(spark, sf_dir):
+    # Bloom-filter membership pre-screen: filter built over the text
+    # digests of even-id documents, probed with every distinct digest.
+    # No false negatives ever; the bits table is bounded by m_bits, so
+    # at 100 TB it broadcasts and the probe corpus never shuffles —
+    # the scale path for decontamination / incremental exact dedup.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0).select(
+        F.md5("text").alias("digest")
+    )
+    bits = SK.bloom_build(train, "digest", n_hashes=5, m_bits=1 << 16)
+    probes = docs.select(F.md5("text").alias("digest"))
+    return SK.bloom_contains(bits, probes, "digest", n_hashes=5, m_bits=1 << 16)
+
+
 def q_cluster_kmeans(spark, sf_dir):
     # Deterministic Lloyd's k-means (bottom-k-by-hash init, min-struct
     # argmin, posexplode mean update) — every step engine-reproducible,
@@ -2207,6 +2235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of group 1.
     return {
         # Group 1a: new this round, never driver-attested.
+        "sketch_cms_counts": q_sketch_cms_counts,
+        "sketch_bloom_membership": q_sketch_bloom_membership,
         "sim_pq_topk": q_sim_pq_topk,
         "cluster_kmeans": q_cluster_kmeans,
         "dedup_semantic": q_dedup_semantic,
@@ -3855,6 +3885,63 @@ SELECT event_type, n_kept,
             ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
        END AS est_distinct
 FROM g
+""",
+        # Count-min cells rebuilt bit-identically: same seeded digest
+        # text as sketch._cms_cell_col, same positional hex-to-long.
+        "sketch_cms_counts": f"""
+WITH ri AS (SELECT unnest(range(4)) AS r),
+v AS (SELECT cast(user_id AS STRING) AS val FROM events),
+c0 AS (
+  SELECT ri.r,
+         md5(concat('s42', ':r', cast(ri.r as string), ':',
+                    cast(val as string))) AS m5
+  FROM v CROSS JOIN ri
+),
+cells AS (
+  SELECT r, {SK.hex15_to_long_sql('m5')} % 256 AS c,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM c0 GROUP BY 1, 2
+),
+probes AS (
+  SELECT DISTINCT cast(user_id AS STRING) AS val FROM events
+  WHERE user_id < 50
+),
+p0 AS (
+  SELECT val, ri.r,
+         md5(concat('s42', ':r', cast(ri.r as string), ':',
+                    cast(val as string))) AS m5
+  FROM probes CROSS JOIN ri
+),
+p AS (SELECT val, r, {SK.hex15_to_long_sql('m5')} % 256 AS c FROM p0),
+j AS (
+  SELECT p.val, coalesce(cells.cnt, 0) AS cnt
+  FROM p LEFT JOIN cells USING (r, c)
+)
+SELECT val AS user_id, CAST(min(cnt) AS BIGINT) AS est_count
+FROM j GROUP BY 1
+""",
+        "sketch_bloom_membership": f"""
+WITH ix AS (SELECT unnest(range(5)) AS i),
+train AS (SELECT md5(text) AS v FROM documents WHERE doc_id % 2 = 0),
+b0 AS (
+  SELECT md5(concat('s42', ':b', cast(ix.i as string), ':',
+             cast(v as string))) AS m5
+  FROM train CROSS JOIN ix
+),
+bits AS (SELECT DISTINCT {SK.hex15_to_long_sql('m5')} % 65536 AS pos FROM b0),
+probes AS (SELECT DISTINCT md5(text) AS v FROM documents),
+p0 AS (
+  SELECT v, md5(concat('s42', ':b', cast(ix.i as string), ':',
+                cast(v as string))) AS m5
+  FROM probes CROSS JOIN ix
+),
+p AS (SELECT v, {SK.hex15_to_long_sql('m5')} % 65536 AS pos FROM p0),
+hits AS (
+  SELECT p.v, CAST(count(*) AS BIGINT) AS n
+  FROM p JOIN bits USING (pos) GROUP BY 1
+)
+SELECT probes.v AS digest, coalesce(hits.n, 0) = 5 AS maybe_present
+FROM probes LEFT JOIN hits ON hits.v = probes.v
 """,
         "text_lm_score": f"""
 WITH t AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),

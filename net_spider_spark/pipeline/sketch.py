@@ -47,6 +47,12 @@ __all__ = [
     "quantile_sketch",
     "quantile_sketch_merge",
     "quantile_sketch_estimate",
+    "cms_build",
+    "cms_estimate",
+    "cms_merge",
+    "bloom_build",
+    "bloom_contains",
+    "bloom_merge",
 ]
 
 _HEX = "0123456789abcdef"
@@ -325,6 +331,193 @@ def quantile_sketch_merge(
             ).alias("qsk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch: frequency estimation in fixed space. The sketch is
+# a cells table (group_cols..., r, c, cnt) — depth rows x width columns
+# of counters, each input value incrementing one cell per row (column =
+# seeded 60-bit hash mod width). Post-combine state is <= depth*width
+# per group REGARDLESS of input size, the shuffle is one map-side-
+# combinable count aggregate, and two sketches over disjoint shards
+# merge by cell-wise sum (associative + commutative). Estimates are the
+# classic Cormode-Muthukrishnan min-over-rows: always >= the true
+# count, over by <= 2N/width with probability 1 - 2^-depth. Unlike an
+# engine-private binary sketch, the cells table is plain rows any
+# engine (the DuckDB oracle included) rebuilds bit-identically from the
+# same input.
+# ---------------------------------------------------------------------------
+
+
+def _cms_cell_col(value_expr: str, width: int, seed: str):
+    """(r, c) hash: column index for CMS row ``r`` (an existing int
+    column) — 60-bit seeded hash of the value, mod width. The seed
+    string embeds r, so rows are independent hash functions. The hash
+    is non-negative, so ``%`` agrees across engines."""
+    digest = (
+        f"md5(concat('{seed}', ':r', cast(r as string), ':',"
+        f" cast(({value_expr}) as string)))"
+    )
+    return F.expr(f"{hex15_to_long_sql(digest)} % {width}")
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "s42",
+) -> DataFrame:
+    """Per-group count-min sketch over ``value_col`` occurrences:
+    returns cells ``group_cols + [r, c, cnt]`` (absent cells are zero).
+    One explode (x depth) + one count aggregate."""
+    group_cols = list(group_cols)
+    rows = df.select(
+        *group_cols,
+        F.col(value_col).cast("string").alias("_val"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    )
+    return (
+        rows.withColumn("c", _cms_cell_col("_val", width, seed))
+        .groupBy(*group_cols, "r", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "s42",
+) -> DataFrame:
+    """Estimated occurrence count for each probe value: min over the
+    sketch's depth rows of the addressed cell (missing cell = 0).
+    Probe sets are small by nature; the d-cell lookup join broadcasts
+    them, so the sketch never moves."""
+    group_cols = list(group_cols)
+    p = probes.select(
+        *group_cols,
+        F.col(value_col).cast("string").alias("_val"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("r"),
+    ).withColumn("c", _cms_cell_col("_val", width, seed))
+    joined = p.join(cells, group_cols + ["r", "c"], "left")
+    return (
+        joined.groupBy(*group_cols, "_val")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .withColumnRenamed("_val", value_col)
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame, group_cols: Sequence[str] = ()) -> DataFrame:
+    """Cell-wise sum of two sketches built with identical (depth,
+    width, seed) over DISJOINT row shards — equals the sketch built on
+    the union (the distributed-partial-aggregate property)."""
+    group_cols = list(group_cols)
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "r", "c")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter: set membership in fixed space, no false negatives. The
+# filter is the distinct set of SET BIT positions (group_cols..., pos)
+# — bounded by m_bits rows however large the input — built by one
+# explode (x n_hashes) + dropDuplicates. Membership: a probe is "maybe
+# present" iff ALL of its n_hashes positions are set; false-positive
+# rate ~ (1 - e^(-kn/m))^k. Filters merge by position-set union. The
+# scale use is membership pre-screening (e.g. decontamination or
+# incremental dedup against a huge historical digest set) where the
+# full semi-join would shuffle the corpus: the positions table
+# broadcasts at m_bits <= a few hundred M, so the probe side never
+# shuffles at all.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_pos_col(value_expr: str, m_bits: int, seed: str):
+    """Bit position for hash index ``i`` (an existing int column)."""
+    digest = (
+        f"md5(concat('{seed}', ':b', cast(i as string), ':',"
+        f" cast(({value_expr}) as string)))"
+    )
+    return F.expr(f"{hex15_to_long_sql(digest)} % {m_bits}")
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    n_hashes: int = 7,
+    m_bits: int = 1 << 20,
+    seed: str = "s42",
+) -> DataFrame:
+    """Per-group Bloom filter over ``value_col``: the distinct set-bit
+    positions ``group_cols + [pos]``."""
+    group_cols = list(group_cols)
+    return (
+        df.select(
+            *group_cols,
+            F.col(value_col).cast("string").alias("_val"),
+            F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("i"),
+        )
+        .select(*group_cols, _bloom_pos_col("_val", m_bits, seed).alias("pos"))
+        .dropDuplicates(group_cols + ["pos"])
+    )
+
+
+def bloom_contains(
+    bits: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    n_hashes: int = 7,
+    m_bits: int = 1 << 20,
+    seed: str = "s42",
+) -> DataFrame:
+    """``maybe_present`` per DISTINCT probe value: true iff every one
+    of its n_hashes positions is set. Never false for a true member; false
+    positives at the designed rate. The join is probe-positions
+    left-semi bits on (group, pos) — with the bits side broadcast
+    (its size is capped by m_bits), the probe corpus streams through
+    map-side with NO shuffle of the data-sized side."""
+    group_cols = list(group_cols)
+    p = probes.select(
+        *group_cols,
+        F.col(value_col).cast("string").alias("_val"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("i"),
+    ).select(
+        *group_cols, "_val", _bloom_pos_col("_val", m_bits, seed).alias("pos")
+    )
+    hits = p.join(bits, group_cols + ["pos"], "left_semi")
+    hit_counts = hits.groupBy(*group_cols, "_val").agg(
+        F.count(F.lit(1)).alias("_n_set")
+    )
+    return (
+        probes.select(*group_cols, F.col(value_col).cast("string").alias("_val"))
+        .dropDuplicates(group_cols + ["_val"])
+        .join(hit_counts, group_cols + ["_val"], "left")
+        .select(
+            *group_cols,
+            F.col("_val").alias(value_col),
+            (F.coalesce(F.col("_n_set"), F.lit(0)) == n_hashes).alias(
+                "maybe_present"
+            ),
+        )
+    )
+
+
+def bloom_merge(
+    a: DataFrame, b: DataFrame, group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Union of set positions — equals the filter built on the
+    concatenated inputs (same (n_hashes, m_bits, seed))."""
+    group_cols = list(group_cols)
+    return a.unionByName(b).dropDuplicates(group_cols + ["pos"])
 
 
 def quantile_sketch_estimate(

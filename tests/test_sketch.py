@@ -239,6 +239,109 @@ def test_bottom_k_plan_has_no_whole_group_window(spark):
             assert "_bkt" in spec, spec
 
 
+@pytest.fixture(scope="module")
+def freq_rows(spark):
+    # value v{i} occurs (i % 17) + 1 times, i in [0, 200): known exact
+    # frequencies, enough mass to force collisions at small widths.
+    return spark.range(200).select(
+        F.concat(F.lit("v"), F.col("id")).alias("val"),
+        F.explode(
+            F.sequence(F.lit(1), (F.col("id") % 17 + 1).cast("int"))
+        ).alias("_rep"),
+    ).select("val")
+
+
+def test_cms_never_underestimates_and_tightens_with_width(spark, freq_rows):
+    from net_spider_spark.pipeline import sketch as SK
+
+    exact = {
+        r["val"]: r["n"]
+        for r in freq_rows.groupBy("val").agg(F.count("*").alias("n")).collect()
+    }
+    probes = freq_rows.select("val").distinct()
+    for width, slack_ok in ((64, False), (1 << 14, True)):
+        cells = SK.cms_build(freq_rows, "val", depth=4, width=width)
+        est = {
+            r["val"]: r["est_count"]
+            for r in SK.cms_estimate(
+                cells, probes, "val", depth=4, width=width
+            ).collect()
+        }
+        assert est.keys() == exact.keys()
+        # the one-sided CMS guarantee: never under
+        assert all(est[v] >= exact[v] for v in exact)
+        if slack_ok:
+            # width >> distinct values: collisions vanish, est == exact
+            assert est == exact
+
+
+def test_cms_absent_probe_and_merge(spark, freq_rows):
+    from net_spider_spark.pipeline import sketch as SK
+
+    depth, width = 4, 1 << 14
+    probes = spark.createDataFrame([("never-seen",), ("v3",)], "val string")
+    cells = SK.cms_build(freq_rows, "val", depth=depth, width=width)
+    est = {
+        r["val"]: r["est_count"]
+        for r in SK.cms_estimate(
+            cells, probes, "val", depth=depth, width=width
+        ).collect()
+    }
+    assert est["never-seen"] == 0 and est["v3"] == 4  # 3 % 17 + 1
+    # merge of disjoint-shard sketches == sketch of the union
+    with_id = freq_rows.withColumn("_i", F.monotonically_increasing_id())
+    a = SK.cms_build(with_id.where("_i % 2 = 0"), "val", depth=depth, width=width)
+    b = SK.cms_build(with_id.where("_i % 2 = 1"), "val", depth=depth, width=width)
+    merged = sorted(map(tuple, SK.cms_merge(a, b).collect()))
+    direct = sorted(map(tuple, cells.collect()))
+    assert merged == direct
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from net_spider_spark.pipeline import sketch as SK
+
+    members = spark.range(500).select(F.concat(F.lit("m"), F.col("id")).alias("v"))
+    others = spark.range(500).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    bits = SK.bloom_build(members, "v", n_hashes=5, m_bits=1 << 16)
+    out = {
+        r["v"]: r["maybe_present"]
+        for r in SK.bloom_contains(
+            bits, members.union(others), "v", n_hashes=5, m_bits=1 << 16
+        ).collect()
+    }
+    # every true member flagged — the Bloom contract
+    assert all(out[f"m{i}"] for i in range(500))
+    # m=65536, n=500, k=5 -> fpp ~ (1-e^(-kn/m))^k ~ 5e-8: expect zero
+    fps = [i for i in range(500) if out[f"x{i}"]]
+    assert not fps, fps
+    # merge property: union of halves == filter over the whole set
+    a = SK.bloom_build(members.where("v like 'm1%'"), "v", n_hashes=5,
+                       m_bits=1 << 16)
+    b = SK.bloom_build(members.where("v not like 'm1%'"), "v", n_hashes=5,
+                       m_bits=1 << 16)
+    merged = sorted(r["pos"] for r in SK.bloom_merge(a, b).collect())
+    direct = sorted(r["pos"] for r in bits.collect())
+    assert merged == direct
+
+
+def test_bloom_collisions_are_one_sided(spark):
+    # Tiny filter (m=64): false positives must appear, false negatives
+    # must not — the degradation mode is the documented one.
+    from net_spider_spark.pipeline import sketch as SK
+
+    members = spark.range(50).select(F.concat(F.lit("m"), F.col("id")).alias("v"))
+    others = spark.range(200).select(F.concat(F.lit("x"), F.col("id")).alias("v"))
+    bits = SK.bloom_build(members, "v", n_hashes=3, m_bits=64)
+    out = {
+        r["v"]: r["maybe_present"]
+        for r in SK.bloom_contains(
+            bits, members.union(others), "v", n_hashes=3, m_bits=64
+        ).collect()
+    }
+    assert all(out[f"m{i}"] for i in range(50))
+    assert any(out[f"x{i}"] for i in range(200))  # saturated -> FPs exist
+
+
 def test_value_quantiles_sketch_mode(spark):
     from net_spider_spark.pipeline import events as EV
 
