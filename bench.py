@@ -85,9 +85,12 @@ HEADLINE = [
     # round-5 addition: real PNG decode (zlib inflate + unfilter)
     # through the mapInPandas image-feature extractor.
     "multimodal_png_decode",
-    # round-6 addition: SemDeDup over the embedding corpus
-    # (deterministic k-means + cluster-blocked cosine self-join).
+    # round-6 additions: SemDeDup over the embedding corpus
+    # (deterministic k-means + cluster-blocked cosine self-join), and
+    # the fixed-space frequency/membership sketches.
     "dedup_semantic",
+    "sketch_cms_counts",
+    "sketch_bloom_membership",
 ]
 
 

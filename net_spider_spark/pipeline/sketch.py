@@ -486,9 +486,15 @@ def bloom_contains(
     (its size is capped by m_bits), the probe corpus streams through
     map-side with NO shuffle of the data-sized side."""
     group_cols = list(group_cols)
-    p = probes.select(
+    # Dedupe BEFORE exploding: a value probed twice would otherwise
+    # contribute 2*n_hashes position rows and the all-positions-set
+    # count test (== n_hashes) could never pass for it.
+    base = probes.select(
+        *group_cols, F.col(value_col).cast("string").alias("_val")
+    ).dropDuplicates(group_cols + ["_val"])
+    p = base.select(
         *group_cols,
-        F.col(value_col).cast("string").alias("_val"),
+        "_val",
         F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("i"),
     ).select(
         *group_cols, "_val", _bloom_pos_col("_val", m_bits, seed).alias("pos")
@@ -498,9 +504,7 @@ def bloom_contains(
         F.count(F.lit(1)).alias("_n_set")
     )
     return (
-        probes.select(*group_cols, F.col(value_col).cast("string").alias("_val"))
-        .dropDuplicates(group_cols + ["_val"])
-        .join(hit_counts, group_cols + ["_val"], "left")
+        base.join(hit_counts, group_cols + ["_val"], "left")
         .select(
             *group_cols,
             F.col("_val").alias(value_col),

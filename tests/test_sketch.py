@@ -324,6 +324,26 @@ def test_bloom_no_false_negatives_and_merge(spark):
     assert merged == direct
 
 
+def test_bloom_duplicate_probes(spark):
+    # A value probed N times must flag exactly like a value probed
+    # once (regression: pre-dedup counting made duplicates fail the
+    # all-positions-set test at 2*n_hashes rows).
+    from net_spider_spark.pipeline import sketch as SK
+
+    members = spark.createDataFrame([("a",), ("b",)], "v string")
+    bits = SK.bloom_build(members, "v", n_hashes=5, m_bits=1 << 12)
+    probes = spark.createDataFrame(
+        [("a",), ("a",), ("a",), ("c",), ("c",)], "v string"
+    )
+    out = {
+        r["v"]: r["maybe_present"]
+        for r in SK.bloom_contains(
+            bits, probes, "v", n_hashes=5, m_bits=1 << 12
+        ).collect()
+    }
+    assert out == {"a": True, "c": False}
+
+
 def test_bloom_collisions_are_one_sided(spark):
     # Tiny filter (m=64): false positives must appear, false negatives
     # must not — the degradation mode is the documented one.
