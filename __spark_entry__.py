@@ -1255,6 +1255,27 @@ def q_sketch_bloom_membership(spark, sf_dir):
     return SK.bloom_contains(bits, probes, "digest", n_hashes=5, m_bits=1 << 16)
 
 
+def q_dedup_boilerplate_lines(spark, sf_dir):
+    # Cross-document boilerplate-line removal (RefinedWeb/CCNet-style):
+    # the synthetic corpus has no naturally repeated lines, so the
+    # query stages deterministic ones — a universal footer on every
+    # doc and a second banner on every third — exactly as the oracle
+    # does; the operator must strip them and keep the unique lines.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    staged = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("subscribe to our newsletter"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("cookie notice: accept all")
+            ).otherwise(F.concat(F.lit("ref "), F.col("doc_id"))),
+        ).alias("text"),
+    )
+    return D.remove_boilerplate_lines(staged, min_docs=5)
+
+
 def q_cluster_kmeans(spark, sf_dir):
     # Deterministic Lloyd's k-means (bottom-k-by-hash init, min-struct
     # argmin, posexplode mean update) — every step engine-reproducible,
@@ -2235,6 +2256,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of group 1.
     return {
         # Group 1a: new this round, never driver-attested.
+        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
         "sketch_cms_counts": q_sketch_cms_counts,
         "sketch_bloom_membership": q_sketch_bloom_membership,
         "sim_pq_topk": q_sim_pq_topk,
@@ -3885,6 +3907,36 @@ SELECT event_type, n_kept,
             ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
        END AS est_distinct
 FROM g
+""",
+        "dedup_boilerplate_lines": """
+WITH staged AS (
+  SELECT doc_id,
+         text || chr(10) || 'subscribe to our newsletter' || chr(10) ||
+         CASE WHEN doc_id % 3 = 0 THEN 'cookie notice: accept all'
+              ELSE 'ref ' || CAST(doc_id AS VARCHAR) END AS text
+  FROM documents
+),
+base AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM staged),
+lx AS (
+  SELECT doc_id, u.i - 1 AS idx, ls[u.i] AS ln, trim(ls[u.i]) AS tln
+  FROM base, unnest(range(1, len(ls) + 1)) AS u(i)
+),
+freq AS (
+  SELECT tln, count(DISTINCT doc_id) AS dfreq FROM lx
+  WHERE tln <> '' GROUP BY 1
+),
+bp AS (SELECT tln FROM freq WHERE dfreq >= 5),
+m AS (
+  SELECT lx.doc_id, lx.idx, lx.ln,
+         (lx.tln <> '' AND bp.tln IS NOT NULL) AS is_bp
+  FROM lx LEFT JOIN bp ON lx.tln = bp.tln
+)
+SELECT doc_id,
+       coalesce(string_agg(ln, chr(10) ORDER BY idx)
+                  FILTER (WHERE NOT is_bp), '') AS clean_text,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(count(*) FILTER (WHERE is_bp) AS BIGINT) AS n_removed
+FROM m GROUP BY 1
 """,
         # Count-min cells rebuilt bit-identically: same seeded digest
         # text as sketch._cms_cell_col, same positional hex-to-long.

@@ -91,6 +91,7 @@ HEADLINE = [
     "dedup_semantic",
     "sketch_cms_counts",
     "sketch_bloom_membership",
+    "dedup_boilerplate_lines",
 ]
 
 

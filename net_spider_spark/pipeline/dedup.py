@@ -714,3 +714,65 @@ def remove_duplicate_spans(
         F.size(t).alias("n_tokens"),
         (F.size(t) - F.size(kept_toks)).alias("n_removed"),
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate-LINE removal: drop every line whose
+    trimmed content appears in at least ``min_docs`` distinct documents
+    (nav menus, cookie banners, footers — the line-level cleaning pass
+    of web-corpus pipelines; cf. RefinedWeb/CCNet line dedup, public
+    papers, reimplemented on DataFrame expressions). Complements
+    :func:`remove_duplicate_spans`, which catches duplicated token
+    runs WITHIN otherwise-unique prose; this catches short exact lines
+    repeated across the corpus that n-gram spans miss (a 4-token
+    cookie banner never forms a 10-gram).
+
+    Whitespace-only lines are never boilerplate (they are structure,
+    not content) and a document with no text yields its empty self.
+    Returns (doc_id, clean_text, n_lines, n_removed); with nothing
+    removed, clean_text round-trips the input byte-exactly (split and
+    re-join preserve trailing newlines).
+
+    Scale shape: one posexplode to (doc, idx, line) — rows = corpus
+    line count; the boilerplate set is one hash aggregate (distinct-doc
+    count per trimmed line, map-side combinable) whose output is small
+    by definition (lines repeated across >= min_docs docs); marking is
+    an equi-join of line occurrences against that set (broadcastable);
+    reconstruction re-groups each doc's kept lines by index — the only
+    data-sized shuffles are the line aggregate and the per-doc regroup,
+    both keyed on high-cardinality columns. Nothing quadratic, no
+    window over a whole corpus.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias("idx", "ln"),
+    ).withColumn("tln", F.trim(F.col("ln")))
+    freq = (
+        lines.where(F.col("tln") != "")
+        .groupBy("tln")
+        .agg(F.count_distinct(F.col(id_col)).alias("_dfreq"))
+    )
+    bp = freq.where(F.col("_dfreq") >= min_docs).select(
+        "tln", F.lit(True).alias("_bp")
+    )
+    marked = lines.join(bp, "tln", "left").withColumn(
+        "is_bp", F.coalesce(F.col("_bp"), F.lit(False))
+    )
+    kept = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(~F.col("is_bp"), F.struct(F.col("idx"), F.col("ln")))
+            )
+        ),
+        lambda s: s["ln"],
+    )
+    return marked.groupBy(id_col).agg(
+        F.concat_ws("\n", kept).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("is_bp").cast("long")).cast("long").alias("n_removed"),
+    )

@@ -284,3 +284,48 @@ def test_remove_duplicate_spans(spark):
     got3 = {r["doc_id"]: r.asDict()
             for r in D.remove_duplicate_spans(docs3, n=8, min_docs=2).collect()}
     assert got3[1]["clean_text"] == "tiny doc" and got3[1]["n_removed"] == 0
+
+
+def test_remove_boilerplate_lines(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "real content zero\ncookie banner\nmore zero"),
+            (1, "cookie banner\nunique one"),
+            (2, "unique two\n  cookie banner  \n"),
+            (3, "no banner here\n\ntrailing keeps\n"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_removed"])
+        for r in D.remove_boilerplate_lines(docs, min_docs=3).collect()
+    }
+    # the banner appears in 3 distinct docs -> removed everywhere,
+    # matched on TRIMMED content; unique lines and whitespace survive
+    assert out[0] == ("real content zero\nmore zero", 3, 1)
+    assert out[1] == ("unique one", 2, 1)
+    assert out[2] == ("unique two\n", 3, 1)
+    # nothing removed -> byte-exact round-trip incl. trailing newline
+    assert out[3] == ("no banner here\n\ntrailing keeps\n", 4, 0)
+    assert out[4] == ("", 1, 0)
+    # below threshold: min_docs=4 keeps the banner (3 distinct docs)
+    kept = {
+        r["doc_id"]: r["n_removed"]
+        for r in D.remove_boilerplate_lines(docs, min_docs=4).collect()
+    }
+    assert all(v == 0 for v in kept.values())
+
+
+def test_remove_boilerplate_lines_counts_docs_not_occurrences(spark):
+    # one doc repeating a line 10 times must NOT make it corpus
+    # boilerplate — the frequency is DISTINCT documents
+    docs = spark.createDataFrame(
+        [(0, "\n".join(["spam line"] * 10)), (1, "other")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_removed"]
+        for r in D.remove_boilerplate_lines(docs, min_docs=2).collect()
+    }
+    assert out == {0: 0, 1: 0}
