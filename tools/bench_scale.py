@@ -163,6 +163,14 @@ def main() -> None:
         "text_bm25",
         lambda: force(TX.bm25_search(docs_rep, ["the", "data", "model"], top_k=10)),
     )
+    # Boilerplate-line removal over the replicated corpus: replication
+    # makes every line cross the min_docs threshold (each text repeats
+    # in `factor` docs), so this measures the hostile all-lines-
+    # removed case — marking join carries every line occurrence.
+    timed(
+        "dedup_boilerplate_lines",
+        lambda: force(D.remove_boilerplate_lines(docs_rep, min_docs=2)),
+    )
     timed("text_common_ngrams", lambda: force(TX.common_ngrams(docs_rep, n=3)))
     docs_rep.unpersist()
 
