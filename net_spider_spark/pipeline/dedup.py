@@ -760,7 +760,11 @@ def remove_boilerplate_lines(
     bp = freq.where(F.col("_dfreq") >= min_docs).select(
         "tln", F.lit(True).alias("_bp")
     )
-    marked = lines.join(bp, "tln", "left").withColumn(
+    # shuffle_hash: the probe side is every line occurrence in the
+    # corpus — a sort-merge join would sort it all on the line text;
+    # hashing the (bounded) boilerplate side skips that sort, and AQE
+    # still upgrades to broadcast when the set is actually small.
+    marked = lines.join(bp.hint("shuffle_hash"), "tln", "left").withColumn(
         "is_bp", F.coalesce(F.col("_bp"), F.lit(False))
     )
     kept = F.transform(

@@ -231,3 +231,16 @@ def test_mixture_sample_rank_never_spans_a_source(docs):
         # the shuffle feeding the window hashes on both keys
         assert "hashpartitioning(source" in plan
         assert "_bkt" in plan.split("hashpartitioning(source", 1)[1][:80]
+
+
+def test_boilerplate_removal_plan(docs):
+    # Marking must be an equi-join on the trimmed line (hash or
+    # broadcast), never cartesian/nested-loop, and the only explode is
+    # the one line posexplode.
+    df = D.remove_boilerplate_lines(docs, min_docs=2)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Generate explode") <= plan.count("explode")
+    exec_plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "HashJoin" in exec_plan  # broadcast or shuffled-hash, either

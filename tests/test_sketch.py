@@ -385,3 +385,39 @@ def test_value_quantiles_sketch_mode(spark):
         EV.value_quantiles(df, method="sketch")
     with pytest.raises(ValueError):
         EV.value_quantiles(df, method="bogus")
+
+
+def test_cms_and_bloom_grouped_paths(spark):
+    # group_cols plumbing: per-group sketches must not leak across
+    # groups (value counted in g0 only estimates/matches in g0).
+    from net_spider_spark.pipeline import sketch as SK
+
+    rows = spark.createDataFrame(
+        [("g0", "a")] * 3 + [("g0", "b")] + [("g1", "a")],
+        "grp string, v string",
+    )
+    cells = SK.cms_build(rows, "v", group_cols=["grp"], depth=4, width=1 << 12)
+    probes = rows.dropDuplicates(["grp", "v"])
+    est = {
+        (r["grp"], r["v"]): r["est_count"]
+        for r in SK.cms_estimate(
+            cells, probes, "v", group_cols=["grp"], depth=4, width=1 << 12
+        ).collect()
+    }
+    assert est == {("g0", "a"): 3, ("g0", "b"): 1, ("g1", "a"): 1}
+    bits = SK.bloom_build(
+        rows.where("grp = 'g0'"), "v", group_cols=["grp"],
+        n_hashes=4, m_bits=1 << 12,
+    )
+    got = {
+        (r["grp"], r["v"]): r["maybe_present"]
+        for r in SK.bloom_contains(
+            bits,
+            spark.createDataFrame(
+                [("g0", "a"), ("g0", "zz"), ("g1", "a")], "grp string, v string"
+            ),
+            "v", group_cols=["grp"], n_hashes=4, m_bits=1 << 12,
+        ).collect()
+    }
+    # g1's filter has no bits at all -> nothing maybe-present there
+    assert got == {("g0", "a"): True, ("g0", "zz"): False, ("g1", "a"): False}
