@@ -1255,6 +1255,18 @@ def q_sketch_bloom_membership(spark, sf_dir):
     return SK.bloom_contains(bits, probes, "digest", n_hashes=5, m_bits=1 << 16)
 
 
+def q_curate_mixture_repeat(spark, sf_dir):
+    # Upsampled mixture: target 1000 rows at 2:1:1 over the three
+    # sources (quotas 500/250/250 against ~170-row sources, so every
+    # doc repeats and the md5-rank boundary slice gets one extra copy).
+    # The only exact rank is over the quota%count boundary slice —
+    # same bucket-distributed shape as curate_mixture_sample.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return CU.mixture_sample_with_repetition(
+        docs, {"src0": 2.0, "src1": 1.0, "src2": 1.0}, target_total=1000
+    ).select("doc_id", "source", "epoch")
+
+
 def q_dedup_boilerplate_lines(spark, sf_dir):
     # Cross-document boilerplate-line removal (RefinedWeb/CCNet-style):
     # the synthetic corpus has no naturally repeated lines, so the
@@ -2256,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of group 1.
     return {
         # Group 1a: new this round, never driver-attested.
+        "curate_mixture_repeat": q_curate_mixture_repeat,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
         "sketch_cms_counts": q_sketch_cms_counts,
         "sketch_bloom_membership": q_sketch_bloom_membership,
@@ -3907,6 +3920,32 @@ SELECT event_type, n_kept,
             ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
        END AS est_distinct
 FROM g
+""",
+        "curate_mixture_repeat": """
+WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),
+cnt AS (
+  SELECT source, count(*) AS c FROM documents
+  WHERE source IN (SELECT source FROM w) GROUP BY 1
+),
+q AS (
+  SELECT source, CAST(floor(1000 * wt) AS BIGINT) AS quota, c
+  FROM w JOIN cnt USING (source)
+),
+r AS (
+  SELECT doc_id, source, CAST(row_number() OVER (
+    PARTITION BY source
+    ORDER BY md5('s42:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rk
+  FROM documents WHERE source IN (SELECT source FROM w)
+),
+n AS (
+  SELECT r.doc_id, r.source,
+         (q.quota // q.c)
+           + CASE WHEN r.rk <= q.quota % q.c THEN 1 ELSE 0 END AS nc
+  FROM r JOIN q USING (source)
+)
+SELECT doc_id, source, CAST(u.i AS BIGINT) AS epoch
+FROM n, unnest(range(nc)) AS u(i)
+WHERE nc > 0
 """,
         "dedup_boilerplate_lines": """
 WITH staged AS (

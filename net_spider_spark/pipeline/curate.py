@@ -589,6 +589,82 @@ def mixture_sample(
     return _quota_rank_sample(scoped, hist, quotas, source_col, seed, id_col)
 
 
+def mixture_sample_with_repetition(
+    df: DataFrame,
+    weights: dict[str, float],
+    target_total: int,
+    source_col: str = "source",
+    seed: str = "s42",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture WITH upsampling: emit ``floor(target_total
+    * w_s / sum(w))`` rows for each source ``s``, repeating documents
+    when the quota exceeds the source (the "repeat small domains for N
+    epochs" move of multilingual/domain-balanced pretraining — the case
+    :func:`mixture_sample` refuses by design). Every document of an
+    upsampled source appears ``floor(quota/count)`` times, and the
+    ``quota % count`` documents with the smallest md5 keys appear once
+    more, so copies are spread maximally evenly and membership is a
+    pure function of (corpus, weights, target_total, seed). A
+    downsampled source (quota < count) degenerates to exactly
+    :func:`mixture_sample`'s membership. Sources missing from
+    ``weights`` are dropped; a weighted source with no rows emits
+    nothing (there is nothing to repeat).
+
+    Returns one row per emitted copy: (id columns..., ``epoch`` =
+    0-based copy index). Scale shape: the only rank computed is over
+    the ``quota % count`` boundary slice via the same bucket-distributed
+    rank as :func:`mixture_sample` (no whole-source window); the
+    repetition itself is a codegen ``explode(sequence(...))``.
+    """
+    if target_total <= 0:
+        raise ValueError("target_total must be positive")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    norm = {s: w / total_w for s, w in weights.items()}
+    scoped = df.where(F.col(source_col).isin(*norm.keys()))
+    hist = _mix_bucket_histogram(scoped, source_col, seed, id_col)
+    counts = {s: sum(b.values()) for s, b in hist.items()}
+    spark = df.sparkSession
+    base_rows = []
+    rem_quotas: dict[str, int] = {}
+    for s, w in norm.items():
+        c = counts.get(s, 0)
+        if c == 0:
+            continue
+        quota = int(target_total * w)
+        base_rows.append((s, quota // c))
+        rem_quotas[s] = quota % c
+    if not base_rows:
+        raise ValueError("no weighted source has any rows")
+    base_df = spark.createDataFrame(
+        base_rows, f"{source_col} string, _base long"
+    )
+    extras = (
+        _quota_rank_sample(scoped, hist, rem_quotas, source_col, seed, id_col)
+        .select(F.col(id_col), F.lit(1).alias("_extra"))
+    )
+    copies = (
+        scoped.join(F.broadcast(base_df), source_col)
+        .join(extras, id_col, "left")
+        .withColumn(
+            "_n", F.col("_base") + F.coalesce(F.col("_extra"), F.lit(0))
+        )
+        .where(F.col("_n") > 0)
+    )
+    return (
+        copies.select(
+            *[c for c in copies.columns if c not in ("_base", "_extra", "_n")],
+            F.explode(F.sequence(F.lit(1), F.col("_n"))).alias("_i"),
+        )
+        .withColumn("epoch", (F.col("_i") - 1).cast("long"))
+        .drop("_i")
+    )
+
+
 def temperature_mixture_sample(
     df: DataFrame,
     alpha: float = 0.5,

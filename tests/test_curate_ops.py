@@ -235,3 +235,52 @@ def test_write_training_shards_roundtrip(spark, tmp_path):
     b = {(r["doc_id"], r["shard"])
          for r in spark.read.parquet(path2).collect()}
     assert a == b
+
+
+def test_mixture_with_repetition_quotas_and_evenness(spark):
+    rows = [(i, "web" if i < 600 else ("code" if i < 900 else "books"), "t")
+            for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    # 2:1 over (web, code) at target 1200 -> quotas 800/400. web has
+    # 600 docs -> 200 repeat once; code has 300 -> 100 repeat once.
+    got = CU.mixture_sample_with_repetition(
+        df, {"web": 2.0, "code": 1.0}, target_total=1200
+    ).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["web"]) == 800 and len(by_src["code"]) == 400
+    assert "books" not in by_src
+    # copies spread maximally evenly: every doc 1 or 2 copies
+    from collections import Counter
+
+    for src, rows_ in by_src.items():
+        copies = Counter(r["doc_id"] for r in rows_)
+        assert set(copies.values()) <= {1, 2}, src
+        # epoch indices are 0..n-1 per doc
+        for d, n in copies.items():
+            eps = sorted(r["epoch"] for r in rows_ if r["doc_id"] == d)
+            assert eps == list(range(n))
+    # heavily upsampled source: 10x the corpus
+    big = CU.mixture_sample_with_repetition(
+        df.where("source = 'code'"), {"code": 1.0}, target_total=3100
+    ).collect()
+    copies = Counter(r["doc_id"] for r in big)
+    assert len(big) == 3100
+    assert set(copies.values()) <= {10, 11}
+    # downsample degenerates to mixture_sample membership
+    down = CU.mixture_sample_with_repetition(
+        df, {"web": 1.0, "code": 1.0}, target_total=400
+    ).collect()
+    assert all(r["epoch"] == 0 for r in down)
+    base = CU.mixture_sample(df, {"web": 1.0, "code": 1.0})
+    down_ids = {r["doc_id"] for r in down}
+    # mixture_sample keeps 300+300 (scale-limited); repetition mode
+    # targets 200+200 -- its picks must be the md5-smallest PREFIX of
+    # the scale-limited sample per source
+    base_ranked = {(r["source"], r["mix_rank"]): r["doc_id"]
+                   for r in base.collect()}
+    want = {v for (s, rk), v in base_ranked.items() if rk <= 200}
+    assert down_ids == want
+    with pytest.raises(ValueError):
+        CU.mixture_sample_with_repetition(df, {"web": 1.0}, target_total=0)
