@@ -1255,6 +1255,23 @@ def q_sketch_bloom_membership(spark, sf_dir):
     return SK.bloom_contains(bits, probes, "digest", n_hashes=5, m_bits=1 << 16)
 
 
+def q_temporal_gap_fill(spark, sf_dir):
+    # Densify the hourly rollup per event_type: ~5% of buckets are
+    # genuinely absent at sf0.01; counts zero-fill, and the synthetic
+    # rows carry is_gap. The dense grid is output-sized (calendar span
+    # / step), never corpus-sized.
+    hourly = TP.time_rollup(
+        _events_typed(spark, sf_dir), resolutions=(3_600_000,)
+    ).select("event_type", "bucket_start", "n_events", "value_sum")
+    return TP.gap_fill(
+        hourly,
+        ["event_type"],
+        step=3_600_000,
+        value_cols=["n_events", "value_sum"],
+        fill="zero",
+    )
+
+
 def q_curate_mixture_repeat(spark, sf_dir):
     # Upsampled mixture: target 1000 rows at 2:1:1 over the three
     # sources (quotas 500/250/250 against ~170-row sources, so every
@@ -2268,6 +2285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of group 1.
     return {
         # Group 1a: new this round, never driver-attested.
+        "temporal_gap_fill": q_temporal_gap_fill,
         "curate_mixture_repeat": q_curate_mixture_repeat,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
         "sketch_cms_counts": q_sketch_cms_counts,
@@ -3920,6 +3938,29 @@ SELECT event_type, n_kept,
             ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
        END AS est_distinct
 FROM g
+""",
+        "temporal_gap_fill": """
+WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events),
+hourly AS (
+  SELECT event_type, (ts_ms // 3600000) * 3600000 AS bucket_start,
+         CAST(count(*) AS BIGINT) AS n_events,
+         round(sum(value), 4) AS value_sum
+  FROM e GROUP BY 1, 2
+),
+ext AS (
+  SELECT event_type, min(bucket_start) AS lo, max(bucket_start) AS hi
+  FROM hourly GROUP BY 1
+),
+dense AS (
+  SELECT event_type,
+         unnest(generate_series(lo, hi, 3600000)) AS bucket_start
+  FROM ext
+)
+SELECT d.event_type, d.bucket_start,
+       coalesce(h.n_events, 0) AS n_events,
+       coalesce(h.value_sum, 0) AS value_sum,
+       h.n_events IS NULL AS is_gap
+FROM dense d LEFT JOIN hourly h USING (event_type, bucket_start)
 """,
         "curate_mixture_repeat": """
 WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.25), ('src2', 0.25)),

@@ -38,7 +38,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "interval_join", "time_rollup"]
+__all__ = ["asof_join", "interval_join", "time_rollup", "gap_fill"]
 
 
 def asof_join(
@@ -275,4 +275,82 @@ def time_rollup(
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    return out
+
+
+def gap_fill(
+    buckets: DataFrame,
+    group_cols: Sequence[str] = ("event_type",),
+    bucket_col: str = "bucket_start",
+    step: int = 3_600_000,
+    value_cols: Sequence[str] = ("n_events",),
+    fill: str = "zero",
+) -> DataFrame:
+    """Densify a per-group bucket series (e.g. :func:`time_rollup`
+    output at one resolution): emit one row for EVERY ``step``-spaced
+    bucket between each group's min and max observed bucket, marking
+    synthesized rows with ``is_gap`` and filling their ``value_cols``
+    by policy — ``"zero"`` (counts/sums), ``"null"`` (leave holes
+    visible), or ``"ffill"`` (carry the last observed value forward;
+    never null because a group's first bucket is observed by
+    construction). Gauges resample with ffill, counters with zero —
+    downstream window/lag analytics need the dense grid either way.
+
+    Observed ``bucket_col`` values must lie on a common ``step`` grid
+    (true for any tumbling-bucket aggregate); rows off-grid would
+    simply never be matched.
+
+    Scale shape: extents are one tiny aggregate; the dense grid is a
+    codegen ``explode(sequence(lo, hi, step))`` whose row count is the
+    OUTPUT size (time-range/step per group — a function of calendar
+    span, not corpus size); observed rows attach by equi-join; the
+    ffill window orders each group's buckets — state bounded by the
+    same calendar span, so it cannot grow with data volume.
+    """
+    if fill not in ("zero", "null", "ffill"):
+        raise ValueError(f"unknown fill: {fill!r}")
+    if step <= 0:
+        raise ValueError("step must be positive")
+    group_cols = list(group_cols)
+    value_cols = list(value_cols)
+    ext = buckets.groupBy(*group_cols).agg(
+        F.min(bucket_col).alias("_lo"), F.max(bucket_col).alias("_hi")
+    )
+    dense = ext.select(
+        *group_cols,
+        F.explode(
+            F.sequence(F.col("_lo"), F.col("_hi"), F.lit(int(step)))
+        ).alias(bucket_col),
+    )
+    joined = dense.join(
+        buckets, group_cols + [bucket_col], "left"
+    ).withColumn("is_gap", F.col(value_cols[0]).isNull())
+    if fill == "zero":
+        out = joined.select(
+            *group_cols,
+            bucket_col,
+            *[
+                F.coalesce(F.col(c), F.lit(0).cast(joined.schema[c].dataType))
+                .alias(c)
+                for c in value_cols
+            ],
+            "is_gap",
+        )
+    elif fill == "ffill":
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy(bucket_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = joined.select(
+            *group_cols,
+            bucket_col,
+            *[
+                F.last(F.col(c), ignorenulls=True).over(w).alias(c)
+                for c in value_cols
+            ],
+            "is_gap",
+        )
+    else:
+        out = joined.select(*group_cols, bucket_col, *value_cols, "is_gap")
     return out

@@ -258,3 +258,52 @@ def test_time_rollup_coarse_equals_direct(spark):
 
     with pytest.raises(ValueError):
         time_rollup(events, resolutions=(60_000, 90_000))
+
+
+def test_gap_fill_modes(spark):
+    from net_spider_spark.pipeline import temporal as TP
+
+    # group a: buckets 0,2,5 (of 0..5); group b: dense already
+    rows = [
+        ("a", 0, 10, 1.5), ("a", 200, 20, 2.5), ("a", 500, 30, 3.5),
+        ("b", 100, 7, 0.5), ("b", 200, 8, 1.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, bucket_start long, n_events long, value_sum double"
+    )
+    zero = {
+        (r["grp"], r["bucket_start"]): (r["n_events"], r["value_sum"], r["is_gap"])
+        for r in TP.gap_fill(
+            df, ["grp"], step=100, value_cols=["n_events", "value_sum"],
+            fill="zero",
+        ).collect()
+    }
+    assert len(zero) == 6 + 2
+    assert zero[("a", 100)] == (0, 0.0, True)
+    assert zero[("a", 300)] == (0, 0.0, True)
+    assert zero[("a", 200)] == (20, 2.5, False)
+    assert zero[("b", 100)] == (7, 0.5, False)
+    ffill = {
+        (r["grp"], r["bucket_start"]): (r["n_events"], r["is_gap"])
+        for r in TP.gap_fill(
+            df, ["grp"], step=100, value_cols=["n_events"], fill="ffill"
+        ).collect()
+    }
+    # carried forward from the last observed bucket
+    assert ffill[("a", 100)] == (10, True)
+    assert ffill[("a", 300)] == (20, True)
+    assert ffill[("a", 400)] == (20, True)
+    assert ffill[("a", 500)] == (30, False)
+    nul = {
+        (r["grp"], r["bucket_start"]): (r["n_events"], r["is_gap"])
+        for r in TP.gap_fill(
+            df, ["grp"], step=100, value_cols=["n_events"], fill="null"
+        ).collect()
+    }
+    assert nul[("a", 300)] == (None, True)
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        TP.gap_fill(df, ["grp"], step=0)
+    with _pt.raises(ValueError):
+        TP.gap_fill(df, ["grp"], fill="bogus")
