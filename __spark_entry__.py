@@ -1255,6 +1255,18 @@ def q_sketch_bloom_membership(spark, sf_dir):
     return SK.bloom_contains(bits, probes, "digest", n_hashes=5, m_bits=1 << 16)
 
 
+def q_stream_cms_cells(spark, sf_dir):
+    # Streaming-maintained count-min sketch: the cells table is one
+    # count aggregate over (r, c), so Structured Streaming maintains
+    # it incrementally with bounded state (<= depth*width rows forever,
+    # however long the stream runs — the mergeable-sketch property as
+    # a streaming-state bound). The availableNow replay must equal the
+    # batch cells bit-for-bit; the oracle rebuilds them in DuckDB.
+    ev, stream = _events_stream(spark, sf_dir)
+    cells = SK.cms_build(stream, "user_id", depth=4, width=256)
+    return _run_available_now(cells, "stream_cms_sink", "complete")
+
+
 def q_temporal_gap_fill(spark, sf_dir):
     # Densify the hourly rollup per event_type: ~5% of buckets are
     # genuinely absent at sf0.01; counts zero-fill, and the synthetic
@@ -2285,6 +2297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of group 1.
     return {
         # Group 1a: new this round, never driver-attested.
+        "stream_cms_cells": q_stream_cms_cells,
         "temporal_gap_fill": q_temporal_gap_fill,
         "curate_mixture_repeat": q_curate_mixture_repeat,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -3938,6 +3951,19 @@ SELECT event_type, n_kept,
             ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
        END AS est_distinct
 FROM g
+""",
+        "stream_cms_cells": f"""
+WITH ri AS (SELECT unnest(range(4)) AS r),
+v AS (SELECT cast(user_id AS STRING) AS val FROM events),
+c0 AS (
+  SELECT ri.r,
+         md5(concat('s42', ':r', cast(ri.r as string), ':',
+                    cast(val as string))) AS m5
+  FROM v CROSS JOIN ri
+)
+SELECT r, {SK.hex15_to_long_sql('m5')} % 256 AS c,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM c0 GROUP BY 1, 2
 """,
         "temporal_gap_fill": """
 WITH e AS (SELECT event_type, epoch_ms(ts) AS ts_ms, value FROM events),

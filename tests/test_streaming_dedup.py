@@ -180,3 +180,45 @@ def test_ttl_contract_within_and_past_horizon(spark, tmp_path):
 def test_ttl_mode_requires_event_time():
     with pytest.raises(ValueError):
         stream_dedup_digests(None, ttl="1 hour")
+
+
+def test_stream_cms_multibatch_equals_batch(spark, tmp_path):
+    # The CMS cells aggregate maintained across MANY micro-batches must
+    # equal the batch sketch bit-for-bit, and its state is bounded by
+    # depth*width however long the stream runs.
+    import pyspark.sql.functions as F
+
+    from net_spider_spark.pipeline import sketch as SK
+
+    src = str(tmp_path / "cms_src")
+    rows = spark.range(3000).select(
+        (F.col("id") % 97).cast("string").alias("val")
+    )
+    # three separate files -> three micro-batches at maxFilesPerTrigger=1
+    for i in range(3):
+        rows.where(F.col("val").cast("long") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("val string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    cells = SK.cms_build(stream, "val", depth=4, width=64)
+    ckpt = str(tmp_path / "cms_ckpt")
+    q = (
+        cells.writeStream.format("memory")
+        .queryName("cms_mb_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(map(tuple, spark.table("cms_mb_sink").collect()))
+    want = sorted(
+        map(tuple, SK.cms_build(
+            spark.read.parquet(src), "val", depth=4, width=64
+        ).collect())
+    )
+    assert got == want and len(got) <= 4 * 64
