@@ -1255,6 +1255,29 @@ def q_sketch_bloom_membership(spark, sf_dir):
     return SK.bloom_contains(bits, probes, "digest", n_hashes=5, m_bits=1 << 16)
 
 
+def q_layout_zorder(spark, sf_dir):
+    # Z-order (Morton) layout key over (user_id, value): quantize both
+    # onto 256-cell grids between their observed extents and interleave
+    # the bits — the deterministic sort key write_zordered lays files
+    # out by so min/max pruning works on BOTH columns. Pure codegen bit
+    # arithmetic; the oracle recomputes identical codes in DuckDB.
+    from net_spider_spark import layout as LY
+
+    ev = demo.read_table(spark, sf_dir, "events")
+    return LY.zorder_value(ev, ["user_id", "value"], bits=8).select(
+        "event_id", "z_value"
+    )
+
+
+def _zorder_sql_terms(qa: str, qb: str, bits: int) -> str:
+    """DuckDB bit-interleave expression mirroring layout.zorder_interleave."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({qa} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qb} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
 def q_stream_cms_cells(spark, sf_dir):
     # Streaming-maintained count-min sketch: the cells table is one
     # count aggregate over (r, c), so Structured Streaming maintains
@@ -2297,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of group 1.
     return {
         # Group 1a: new this round, never driver-attested.
+        "layout_zorder": q_layout_zorder,
         "stream_cms_cells": q_stream_cms_cells,
         "temporal_gap_fill": q_temporal_gap_fill,
         "curate_mixture_repeat": q_curate_mixture_repeat,
@@ -3951,6 +3975,23 @@ SELECT event_type, n_kept,
             ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
        END AS est_distinct
 FROM g
+""",
+        "layout_zorder": f"""
+WITH ext AS (
+  SELECT min(CAST(user_id AS DOUBLE)) AS a_lo, max(CAST(user_id AS DOUBLE)) AS a_hi,
+         min(value) AS b_lo, max(value) AS b_hi
+  FROM events
+),
+q AS (
+  SELECT event_id,
+         CAST(floor((CAST(user_id AS DOUBLE) - a_lo) * 255.0
+                    / (a_hi - a_lo)) AS BIGINT) AS qa,
+         CAST(floor((value - b_lo) * 255.0 / (b_hi - b_lo)) AS BIGINT) AS qb
+  FROM events, ext
+)
+SELECT event_id,
+       CAST({_zorder_sql_terms('qa', 'qb', 8)} AS BIGINT) AS z_value
+FROM q
 """,
         "stream_cms_cells": f"""
 WITH ri AS (SELECT unnest(range(4)) AS r),

@@ -1,0 +1,109 @@
+"""Z-order layout: interleave math vs a python spec, and the property
+that actually matters — per-file min/max stats prune on BOTH columns."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from net_spider_spark import layout as LY
+
+
+def py_interleave(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_interleave_matches_spec(spark):
+    rows = [(a, b) for a in (0, 1, 5, 255, 1023) for b in (0, 2, 7, 255, 1023)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", LY.zorder_interleave(F.col("a"), F.col("b"), 10).alias("z")
+        ).collect()
+    }
+    for (a, b), z in got.items():
+        assert z == py_interleave(a, b, 10), (a, b)
+    # z-order locality: adjacent points differ in few low bits
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1 and got[(0, 2)] == 8
+    with pytest.raises(ValueError):
+        LY.zorder_interleave(F.col("a"), F.col("b"), 0)
+
+
+def test_zorder_value_null_and_determinism(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0, 10.0), (1, None, 20.0), (2, 3.0, None), (3, 4.0, 40.0)],
+        "rid long, x double, y double",
+    )
+    out = {r["rid"]: r["z_value"]
+           for r in LY.zorder_value(df, ["x", "y"], bits=8).collect()}
+    assert out[1] is None and out[2] is None
+    assert out[0] is not None and out[3] is not None
+    again = {r["rid"]: r["z_value"]
+             for r in LY.zorder_value(df, ["x", "y"], bits=8).collect()}
+    assert out == again
+    with pytest.raises(ValueError):
+        LY.zorder_value(df, ["x"], bits=8)
+
+
+def _file_extents(spark, path, cols):
+    """Per parquet file: (min, max) of each col — what a stats-based
+    scan pruner sees."""
+    import glob
+
+    exts = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        row = (
+            spark.read.parquet(f)
+            .agg(
+                *[F.min(c).alias(f"lo_{c}") for c in cols],
+                *[F.max(c).alias(f"hi_{c}") for c in cols],
+            )
+            .first()
+        )
+        exts.append({c: (row[f"lo_{c}"], row[f"hi_{c}"]) for c in cols})
+    return exts
+
+
+def test_write_zordered_prunes_both_columns(spark, tmp_path):
+    # 2-D uniform grid: a layout sorted by x alone would leave y stats
+    # useless (every file spans all of y). Z-order must keep BOTH
+    # per-file ranges narrow enough that a point predicate on either
+    # column skips most files.
+    import random
+
+    rng = random.Random(42)
+    rows = [(i, rng.randrange(1 << 20), rng.randrange(1 << 20))
+            for i in range(20000)]
+    df = spark.createDataFrame(rows, "rid long, x long, y long")
+    path = str(tmp_path / "zord")
+    LY.write_zordered(df, path, ["x", "y"], n_files=16, bits=10)
+    back = spark.read.parquet(path)
+    assert back.count() == 20000 and "z_value" in back.columns
+    exts = _file_extents(spark, path, ["x", "y"])
+    assert len(exts) >= 8  # files actually split along the curve
+
+    def hit_fraction(col):
+        probes = [rng.randrange(1 << 20) for _ in range(50)]
+        hits = sum(
+            sum(1 for e in exts if e[col][0] <= p <= e[col][1])
+            for p in probes
+        )
+        return hits / (len(probes) * len(exts))
+
+    fx, fy = hit_fraction("x"), hit_fraction("y")
+    # balanced curve: a point survives ~sqrt(1/n_files) of files per
+    # dimension (~25% at 16) — assert well under the 100% a
+    # single-column sort leaves for the OTHER column
+    assert fx < 0.6, fx
+    assert fy < 0.6, fy
+    # and within each file, rows are in z order
+    for i, _ in enumerate(exts):
+        pass  # extents existence already proves the partitioning; order:
+    import glob
+
+    f0 = sorted(glob.glob(f"{path}/part-*.parquet"))[0]
+    zs = [r["z_value"] for r in spark.read.parquet(f0).select("z_value").collect()]
+    assert zs == sorted(zs)
