@@ -1255,6 +1255,14 @@ def q_sketch_bloom_membership(spark, sf_dir):
     return SK.bloom_contains(bits, probes, "digest", n_hashes=5, m_bits=1 << 16)
 
 
+def q_events_retention(spark, sf_dir):
+    # Daily retention cohorts over the event stream: first-seen day x
+    # day offset, n_active / cohort_size. Hash aggregates + one
+    # equi-join — no windows, no sort; the division is one IEEE op on
+    # exact integers, so the oracle matches bit-for-bit.
+    return EV.retention_cohorts(_events_typed(spark, sf_dir))
+
+
 def q_layout_zorder(spark, sf_dir):
     # Z-order (Morton) layout key over (user_id, value): quantize both
     # onto 256-cell grids between their observed extents and interleave
@@ -2320,6 +2328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of group 1.
     return {
         # Group 1a: new this round, never driver-attested.
+        "events_retention": q_events_retention,
         "layout_zorder": q_layout_zorder,
         "stream_cms_cells": q_stream_cms_cells,
         "temporal_gap_fill": q_temporal_gap_fill,
@@ -3975,6 +3984,30 @@ SELECT event_type, n_kept,
             ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
        END AS est_distinct
 FROM g
+""",
+        "events_retention": """
+WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),
+act AS (
+  SELECT DISTINCT user_id AS u,
+         (ts_ms // 86400000) * 86400000 AS b
+  FROM e
+),
+fs AS (SELECT u, min(b) AS cohort FROM act GROUP BY 1),
+cells AS (
+  SELECT fs.cohort AS cohort_start,
+         (act.b - fs.cohort) // 86400000 AS day_offset,
+         CAST(count(DISTINCT act.u) AS BIGINT) AS n_active
+  FROM act JOIN fs USING (u)
+  WHERE (act.b - fs.cohort) // 86400000 <= 30
+  GROUP BY 1, 2
+),
+sz AS (
+  SELECT cohort AS cohort_start, CAST(count(*) AS BIGINT) AS cohort_size
+  FROM fs GROUP BY 1
+)
+SELECT c.cohort_start, c.day_offset, c.n_active, s.cohort_size,
+       CAST(c.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE) AS retention
+FROM cells c JOIN sz s USING (cohort_start)
 """,
         "layout_zorder": f"""
 WITH ext AS (

@@ -175,3 +175,67 @@ def funnel(
     for lvl in levels[1:]:
         out = out.unionByName(lvl)
     return out
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ms",
+    bucket_ms: int = 86_400_000,
+    max_offset: int = 30,
+) -> DataFrame:
+    """Cohort retention table: users are cohorted by the bucket (day,
+    by default) of their FIRST event, and each (cohort, offset) cell
+    counts the cohort's users active ``offset`` buckets later, with
+    ``retention = n_active / cohort_size``. The product-analytics
+    staple (and, for a training-data platform, the shape of
+    contributor/source churn analysis).
+
+    Offsets beyond ``max_offset`` are dropped (the table stays
+    calendar-sized); offset 0 is every cohort's full size by
+    construction, so ``retention`` is 1.0 there and the division is
+    one IEEE op on exact integers — engine-reproducible with no
+    rounding step.
+
+    Scale shape: distinct (user, bucket) activity → min-bucket per
+    user (both map-side-combinable hash aggregates on the user key) →
+    equi-join → count per (cohort, offset). No window functions, no
+    sort; the widest shuffle is the distinct-activity aggregate, rows
+    bounded by users x active-buckets.
+    """
+    bucket = (
+        (F.col(ts_col).cast("long") / F.lit(int(bucket_ms))).cast("long")
+        * F.lit(int(bucket_ms))
+    )
+    activity = events.select(
+        F.col(user_col).alias("_u"), bucket.alias("_b")
+    ).distinct()
+    first_seen = activity.groupBy("_u").agg(F.min("_b").alias("_cohort"))
+    cells = (
+        activity.join(first_seen, "_u")
+        .withColumn(
+            "day_offset",
+            ((F.col("_b") - F.col("_cohort")) / F.lit(int(bucket_ms))).cast(
+                "long"
+            ),
+        )
+        .where(F.col("day_offset") <= max_offset)
+        .groupBy(F.col("_cohort").alias("cohort_start"), "day_offset")
+        .agg(F.count_distinct(F.col("_u")).alias("n_active"))
+    )
+    sizes = first_seen.groupBy(F.col("_cohort").alias("cohort_start")).agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        cells.join(sizes, "cohort_start")
+        .select(
+            "cohort_start",
+            "day_offset",
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            (
+                F.col("n_active").cast("double")
+                / F.col("cohort_size").cast("double")
+            ).alias("retention"),
+        )
+    )

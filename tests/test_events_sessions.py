@@ -70,3 +70,30 @@ def test_funnel_order_matters(spark):
         for r in funnel(ev, ("signup", "click", "purchase")).collect()
     }
     assert got == {"signup": 4, "click": 3, "purchase": 2}
+
+
+def test_retention_cohorts(spark):
+    from net_spider_spark.pipeline import events as EV
+
+    day = 86_400_000
+    # u1: days 0,1,3; u2: days 0,2; u3: day 1 only
+    rows = [(1, 0), (1, day), (1, 3 * day), (1, day + 500),
+            (2, 100), (2, 2 * day), (3, day)]
+    df = spark.createDataFrame(rows, "user_id long, ts_ms long")
+    got = {
+        (r["cohort_start"], r["day_offset"]): (
+            r["n_active"], r["cohort_size"], r["retention"])
+        for r in EV.retention_cohorts(df).collect()
+    }
+    # cohort day0 = {u1, u2}; cohort day1 = {u3}
+    assert got[(0, 0)] == (2, 2, 1.0)
+    assert got[(0, 1)] == (1, 2, 0.5)   # u1 back on day 1
+    assert got[(0, 2)] == (1, 2, 0.5)   # u2 back on day 2
+    assert got[(0, 3)] == (1, 2, 0.5)   # u1 back on day 3
+    assert got[(day, 0)] == (1, 1, 1.0)
+    assert len(got) == 5
+    # max_offset drops the tail
+    trimmed = EV.retention_cohorts(df, max_offset=1).collect()
+    assert {(r["cohort_start"], r["day_offset"]) for r in trimmed} == {
+        (0, 0), (0, 1), (day, 0)
+    }
