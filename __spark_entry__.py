@@ -1255,6 +1255,18 @@ def q_sketch_bloom_membership(spark, sf_dir):
     return SK.bloom_contains(bits, probes, "digest", n_hashes=5, m_bits=1 << 16)
 
 
+def q_text_divergence(spark, sf_dir):
+    # Token-distribution drift between the even- and odd-id halves of
+    # the corpus: add-1-smoothed unigram probabilities over the union
+    # vocabulary, top-20 tokens by probability gap with per-token KL
+    # contributions (no cross-token float sum — engine-reproducible).
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return TX.token_divergence(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
 def q_events_retention(spark, sf_dir):
     # Daily retention cohorts over the event stream: first-seen day x
     # day offset, n_active / cohort_size. Hash aggregates + one
@@ -2328,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of group 1.
     return {
         # Group 1a: new this round, never driver-attested.
+        "text_divergence": q_text_divergence,
         "events_retention": q_events_retention,
         "layout_zorder": q_layout_zorder,
         "stream_cms_cells": q_stream_cms_cells,
@@ -3984,6 +3997,36 @@ SELECT event_type, n_kept,
             ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
        END AS est_distinct
 FROM g
+""",
+        "text_divergence": f"""
+WITH ta AS (
+  SELECT unnest(toks) AS token FROM
+    (SELECT {SQL_TOKS} AS toks FROM documents WHERE doc_id % 2 = 0)
+),
+tb AS (
+  SELECT unnest(toks) AS token FROM
+    (SELECT {SQL_TOKS} AS toks FROM documents WHERE doc_id % 2 = 1)
+),
+ca AS (SELECT token, CAST(count(*) AS BIGINT) AS c_a FROM ta GROUP BY 1),
+cb AS (SELECT token, CAST(count(*) AS BIGINT) AS c_b FROM tb GROUP BY 1),
+j AS (
+  SELECT token, coalesce(c_a, 0) AS cnt_a, coalesce(c_b, 0) AS cnt_b
+  FROM ca FULL JOIN cb USING (token)
+),
+t AS (
+  SELECT sum(cnt_a) AS na, sum(cnt_b) AS nb,
+         CAST(count(*) AS BIGINT) AS v
+  FROM j
+),
+s AS (
+  SELECT j.token, j.cnt_a, j.cnt_b,
+         CAST(j.cnt_a + 1 AS DOUBLE) / CAST(t.na + t.v AS DOUBLE) AS p_a,
+         CAST(j.cnt_b + 1 AS DOUBLE) / CAST(t.nb + t.v AS DOUBLE) AS p_b
+  FROM j, t
+)
+SELECT token, cnt_a, cnt_b, p_a, p_b, p_a - p_b AS prob_gap,
+       round(p_a * ln(p_a / p_b), 6) AS kl_term
+FROM s ORDER BY abs(p_a - p_b) DESC, token LIMIT 20
 """,
         "events_retention": """
 WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms FROM events),

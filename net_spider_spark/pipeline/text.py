@@ -356,3 +356,67 @@ def ngram_lm_score(
             F.round(F.avg("_lp"), 4).alias("lm_score"),
         )
     )
+
+
+def token_divergence(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """Per-token distribution shift between two corpora (train vs val,
+    this month's crawl vs last month's): add-1-smoothed unigram
+    probabilities over the union vocabulary, returning the ``top_k``
+    tokens by absolute probability gap with their KL(p_a || p_b)
+    contributions — the drift/skew report a corpus pipeline runs before
+    trusting a new snapshot.
+
+    Determinism: probabilities are single IEEE divisions of exact
+    integer counts (no cross-token float summation anywhere — the KL
+    CONTRIBUTION per token ships instead of a total, and is rounded to
+    6 decimals to absorb libm ``ln`` ulp differences across engines).
+    Top-k ties break on the token text.
+
+    Scale shape: one token-count aggregate per corpus (map-side
+    combinable word-count — the canonical linear job), a full-outer
+    equi-join on the token, scalar totals broadcast, and a TakeOrdered
+    top-k. Nothing holds a vocabulary in one task.
+    """
+    def counts(df, side):
+        toks = df.select(
+            F.explode(tokens_col(F.lower(F.col(text_col)))).alias("token")
+        )
+        return toks.groupBy("token").agg(F.count(F.lit(1)).alias(f"c_{side}"))
+
+    ca, cb = counts(df_a, "a"), counts(df_b, "b")
+    joined = ca.join(cb, "token", "full").select(
+        "token",
+        F.coalesce("c_a", F.lit(0)).cast("long").alias("cnt_a"),
+        F.coalesce("c_b", F.lit(0)).cast("long").alias("cnt_b"),
+    )
+    totals = joined.agg(
+        F.sum("cnt_a").alias("_na"),
+        F.sum("cnt_b").alias("_nb"),
+        F.count(F.lit(1)).alias("_v"),
+    )
+    p = (F.col("cnt_a") + 1).cast("double") / (
+        F.col("_na") + F.col("_v")
+    ).cast("double")
+    q = (F.col("cnt_b") + 1).cast("double") / (
+        F.col("_nb") + F.col("_v")
+    ).cast("double")
+    scored = (
+        joined.crossJoin(F.broadcast(totals))
+        .withColumn("p_a", p)
+        .withColumn("p_b", q)
+        .withColumn("prob_gap", F.col("p_a") - F.col("p_b"))
+        .withColumn(
+            "kl_term",
+            F.round(F.col("p_a") * F.log(F.col("p_a") / F.col("p_b")), 6),
+        )
+    )
+    return (
+        scored.orderBy(F.abs(F.col("prob_gap")).desc(), F.col("token"))
+        .limit(top_k)
+        .select("token", "cnt_a", "cnt_b", "p_a", "p_b", "prob_gap", "kl_term")
+    )

@@ -64,3 +64,33 @@ def test_value_quantiles_match_numpy(spark):
         want = float(np.quantile(np.array(vals), q))  # linear interp
         assert abs(r[col] - want) < 1e-9, col
     assert r["value_min"] == 0.0 and r["value_max"] == 96.0
+
+
+def test_token_divergence(spark):
+    from net_spider_spark.pipeline import text as TX
+
+    a = spark.createDataFrame(
+        [(0, "apple apple apple shared"), (1, "apple shared")],
+        "doc_id long, text string",
+    )
+    b = spark.createDataFrame(
+        [(2, "banana shared"), (3, "banana banana shared shared")],
+        "doc_id long, text string",
+    )
+    rows = TX.token_divergence(a, b, top_k=10).collect()
+    got = {r["token"]: r for r in rows}
+    # vocab = {apple, banana, shared}, na=6, nb=6, V=3
+    assert got["apple"]["cnt_a"] == 4 and got["apple"]["cnt_b"] == 0
+    assert got["apple"]["p_a"] == 5 / 9 and got["apple"]["p_b"] == 1 / 9
+    assert got["banana"]["prob_gap"] == 1 / 9 - 4 / 9
+    # shared: 2 in a, 3 in b -> p 3/9 vs 4/9, slightly under-represented
+    assert got["shared"]["prob_gap"] == 3 / 9 - 4 / 9
+    assert got["shared"]["kl_term"] < 0
+    # ordering: largest |gap| first, tie on token
+    gaps = [abs(r["prob_gap"]) for r in rows]
+    assert gaps == sorted(gaps, reverse=True)
+    # over-represented token has positive KL contribution
+    assert got["apple"]["kl_term"] > 0
+    # determinism across reruns
+    again = TX.token_divergence(a, b, top_k=10).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
