@@ -92,6 +92,11 @@ HEADLINE = [
     "sketch_cms_counts",
     "sketch_bloom_membership",
     "dedup_boilerplate_lines",
+    "curate_mixture_repeat",
+    "temporal_gap_fill",
+    "events_retention",
+    "text_divergence",
+    "layout_zorder",
 ]
 
 
