@@ -225,18 +225,30 @@ def bm25_search(
     terms = list(dict.fromkeys(t.lower() for t in query_terms))
     toks = tokens_col(F.lower(F.col(text_col)))
 
-    def _eq(word):
-        # closure factory: a 2-arg lambda would be read by PySpark as
-        # an (element, index) higher-order-function signature
-        return lambda t: t == F.lit(word)
-
+    # tf as size(toks) - size(array_remove(toks, w)): array_remove is a
+    # plain codegen expression, unlike F.filter(toks, ...) whose
+    # higher-order function drops the projection to interpreted eval
+    # (measured at 512x replication: 114 s -> the tokenizer's own
+    # docstring warning, re-learned). Keeping everything codegen also
+    # lets whole-stage subexpression elimination run the regex split
+    # ONCE per row even though `toks` appears in every column.
+    #
+    # Deliberately NOT persisted: the stats and scoring passes each
+    # re-tokenize (13.5 s per scan at 2.56 M docs), but caching this
+    # projection costs 106 s — the InMemoryRelation build evaluates
+    # its child without whole-stage codegen, losing the CSE and
+    # re-running the split per column. Two cheap scans beat one
+    # pathological cache build.
+    with_toks = df.select(F.col(id_col), toks.alias("_toks"))
     tf_cols = [
-        F.size(F.filter(toks, _eq(w))).cast("double").alias(f"_tf{i}")
+        (F.size("_toks") - F.size(F.array_remove("_toks", w)))
+        .cast("double")
+        .alias(f"_tf{i}")
         for i, w in enumerate(terms)
     ]
-    per_doc = df.select(
+    per_doc = with_toks.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("_dl"),
+        F.size("_toks").cast("long").alias("_dl"),
         *tf_cols,
     )
     stats = per_doc.agg(
