@@ -33,15 +33,16 @@ def tokens_col(text: Column) -> Column:
     Deliberately NOT ``F.filter(F.split(...), t -> t != "")``: a
     higher-order function drops the whole enclosing projection out of
     whole-stage codegen into interpreted eval (measured: one task
-    burned 18 min tokenizing 3.2 M docs that way). Stripping the ends
-    first makes the filter unnecessary — ``\\s+`` splitting a
-    whitespace-stripped non-empty string can produce no empty tokens —
-    and keeps split/regexp_replace inside codegen.
+    burned 18 min tokenizing 3.2 M docs that way). And deliberately not
+    strip-then-split either: ``regexp_replace(text, '^\\s+|\\s+$', '')``
+    costs 3.4x the split itself (measured at 2.56 M docs: 115 s vs
+    34 s total) — the alternation forces a second full regex pass.
+    ``array_remove(tokens, '')`` is a plain codegen expression that
+    drops the boundary empties split produces, and is value-identical
+    to strip-then-split for every input (incl. empty, all-whitespace,
+    and NULL).
     """
-    stripped = F.regexp_replace(text, r"^\s+|\s+$", "")
-    return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
-        F.split(stripped, r"\s+")
-    )
+    return F.array_remove(F.split(text, r"\s+"), "")
 
 
 def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -229,28 +230,40 @@ def bm25_search(
     # plain codegen expression, unlike F.filter(toks, ...) whose
     # higher-order function drops the projection to interpreted eval
     # (measured at 512x replication: 114 s -> the tokenizer's own
-    # docstring warning, re-learned). Keeping everything codegen also
-    # lets whole-stage subexpression elimination run the regex split
-    # ONCE per row even though `toks` appears in every column.
+    # docstring warning, re-learned).
     #
-    # Deliberately NOT persisted: the stats and scoring passes each
-    # re-tokenize (13.5 s per scan at 2.56 M docs), but caching this
-    # projection costs 106 s — the InMemoryRelation build evaluates
-    # its child without whole-stage codegen, losing the CSE and
-    # re-running the split per column. Two cheap scans beat one
-    # pathological cache build.
-    with_toks = df.select(F.col(id_col), toks.alias("_toks"))
+    # explode(array(toks)) is a deliberate materialization barrier:
+    # a Generate node that CollapseProject cannot merge through, so the
+    # regex split runs exactly once per row and every downstream tf/dl
+    # expression reads the CONCRETE array column. Without it the
+    # projections collapse and the tokenizer re-runs once per term
+    # column — codegen subexpression elimination does not reach across
+    # the collapsed aggregate/sort boundaries (measured at 512x: 191 s
+    # collapsed vs ~30 s with the barrier). NOT persisted either:
+    # caching the token arrays costs more to build (the InMemoryRelation
+    # child evaluates without codegen CSE, ~106 s) than the two cheap
+    # barrier scans it would save.
+    with_toks = df.select(
+        F.col(id_col), F.explode(F.array(toks)).alias("_toks")
+    )
     tf_cols = [
         (F.size("_toks") - F.size(F.array_remove("_toks", w)))
         .cast("double")
         .alias(f"_tf{i}")
         for i, w in enumerate(terms)
     ]
+    # per_doc is consumed twice (corpus stats, then scoring); persisting
+    # it makes the tokenizer run ONCE. The cached rows are narrow
+    # numerics — doc_id + dl + one double per term, ~40 B/doc — so at
+    # any corpus size this is O(rows) small-column cache, never the
+    # token arrays (caching those costs more to build than it saves —
+    # the InMemoryRelation child evaluates without codegen CSE).
+    # MEMORY_AND_DISK by default, so oversized corpora spill, not OOM.
     per_doc = with_toks.select(
         F.col(id_col),
         F.size("_toks").cast("long").alias("_dl"),
         *tf_cols,
-    )
+    ).persist()
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_dl").alias("_dlsum"),
