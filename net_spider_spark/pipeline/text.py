@@ -232,17 +232,17 @@ def bm25_search(
     # (measured at 512x replication: 114 s -> the tokenizer's own
     # docstring warning, re-learned).
     #
-    # explode(array(toks)) is a deliberate materialization barrier:
-    # a Generate node that CollapseProject cannot merge through, so the
-    # regex split runs exactly once per row and every downstream tf/dl
-    # expression reads the CONCRETE array column. Without it the
-    # projections collapse and the tokenizer re-runs once per term
-    # column — codegen subexpression elimination does not reach across
-    # the collapsed aggregate/sort boundaries (measured at 512x: 191 s
-    # collapsed vs ~30 s with the barrier). NOT persisted either:
-    # caching the token arrays costs more to build (the InMemoryRelation
-    # child evaluates without codegen CSE, ~106 s) than the two cheap
-    # barrier scans it would save.
+    # explode(array(toks)) is a Generate-node materialization barrier
+    # guaranteeing the split evaluates once per row regardless of
+    # optimizer heuristics. CollapseProject's cheap-expression check
+    # usually protects a multi-referenced alias anyway (measured: the
+    # barrier alone moved 191 s -> 184 s at 512x), so this is
+    # belt-and-braces; the real costs were the strip regex (fixed in
+    # tokens_col) and the duplicate scan (fixed by the per_doc persist
+    # below: 191 s -> 57 s combined). The TOKEN ARRAYS are deliberately
+    # never persisted: caching them costs more to build (the
+    # InMemoryRelation child evaluates without codegen CSE, ~106 s)
+    # than the scans it would save.
     with_toks = df.select(
         F.col(id_col), F.explode(F.array(toks)).alias("_toks")
     )
