@@ -1550,6 +1550,27 @@ def q_sketch_kmv_merged(spark, sf_dir):
     return SK.kmv_estimate(merged, k=16).select("n_kept", "est_distinct")
 
 
+def q_sketch_kmv_setops(spark, sf_dir):
+    # Audience overlap between event types WITHOUT joining the raw
+    # events: per-type KMV user sketches (k=16 so the estimator path
+    # runs), paired, and sketch.kmv_set_estimates derives the
+    # union / intersection / Jaccard estimates from the sketch arrays
+    # alone. The pair join touches only the sketch table (one row of
+    # 16 longs per event type), so it is broadcast-trivial at any
+    # corpus size — the whole point of sketch algebra at 100 TB.
+    sk = SK.kmv_sketch(
+        _events_typed(spark, sf_dir), ["event_type"], "user_id", k=16
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("kmv").alias("kmv_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("kmv").alias("kmv_b")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    return SK.kmv_set_estimates(pairs, k=16).drop("kmv_a", "kmv_b")
+
+
 def q_curate_temperature_mixture(spark, sf_dir):
     # Temperature mixing at alpha=0.5: weight per source = sqrt(count).
     # Every quota operation is IEEE correctly-rounded (no normalizing
@@ -2340,6 +2361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of group 1.
     return {
         # Group 1a: new this round, never driver-attested.
+        "sketch_kmv_setops": q_sketch_kmv_setops,
         "text_divergence": q_text_divergence,
         "events_retention": q_events_retention,
         "layout_zorder": q_layout_zorder,
@@ -3997,6 +4019,57 @@ SELECT event_type, n_kept,
             ELSE CAST(round(15.0 * 1152921504606846976.0 / hk) AS BIGINT)
        END AS est_distinct
 FROM g
+""",
+        "sketch_kmv_setops": f"""
+WITH d AS (
+  SELECT DISTINCT event_type, {SK.md5_sql('user_id')} AS m5 FROM events
+),
+h AS (
+  SELECT DISTINCT event_type, {SK.hex15_to_long_sql('m5')} AS h60 FROM d
+),
+r AS (
+  SELECT event_type, h60,
+         row_number() OVER (PARTITION BY event_type ORDER BY h60) AS rn
+  FROM h
+),
+s AS (
+  SELECT event_type, list_sort(list(h60)) AS kmv
+  FROM r WHERE rn <= 16 GROUP BY 1
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.kmv AS ka, b.kmv AS kb,
+         list_slice(list_sort(list_distinct(a.kmv || b.kmv)), 1, 16) AS mk
+  FROM s a JOIN s b ON a.event_type < b.event_type
+),
+c AS (
+  SELECT type_a, type_b,
+         CAST(len(mk) AS BIGINT) AS n_merged,
+         CAST(mk[len(mk)] AS DOUBLE) AS hk,
+         len(list_filter(mk, x -> list_contains(ka, x)
+                                  AND list_contains(kb, x))) AS n_both,
+         len(list_filter(mk, x -> list_contains(ka, x)
+                                  AND NOT list_contains(kb, x))) AS n_a,
+         len(list_filter(mk, x -> list_contains(kb, x)
+                                  AND NOT list_contains(ka, x))) AS n_b
+  FROM p
+),
+u AS (
+  SELECT *, CASE WHEN n_merged < 16 THEN n_merged
+                 ELSE CAST(round(15.0 * 1152921504606846976.0 / hk)
+                           AS BIGINT)
+            END AS est_union
+  FROM c
+)
+SELECT type_a, type_b, n_merged, est_union,
+  CAST(round(CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE)
+             * CAST(est_union AS DOUBLE)) AS BIGINT) AS est_intersection,
+  CAST(round(CAST(n_a AS DOUBLE) / CAST(n_merged AS DOUBLE)
+             * CAST(est_union AS DOUBLE)) AS BIGINT) AS est_only_a,
+  CAST(round(CAST(n_b AS DOUBLE) / CAST(n_merged AS DOUBLE)
+             * CAST(est_union AS DOUBLE)) AS BIGINT) AS est_only_b,
+  round(CAST(n_both AS DOUBLE) / CAST(n_merged AS DOUBLE), 6) AS jaccard_est
+FROM u
 """,
         "text_divergence": f"""
 WITH ta AS (

@@ -97,6 +97,7 @@ HEADLINE = [
     "events_retention",
     "text_divergence",
     "layout_zorder",
+    "sketch_kmv_setops",
 ]
 
 

@@ -44,6 +44,7 @@ __all__ = [
     "kmv_estimate",
     "kmv_merge",
     "kmv_distinct",
+    "kmv_set_estimates",
     "quantile_sketch",
     "quantile_sketch_merge",
     "quantile_sketch_estimate",
@@ -246,6 +247,65 @@ def kmv_merge_all(sketches: DataFrame, k: int = 256) -> DataFrame:
         exploded.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") <= k)
         .agg(F.sort_array(F.collect_list("_h60")).alias("kmv"))
+    )
+
+
+def kmv_set_estimates(
+    df: DataFrame,
+    a_col: str = "kmv_a",
+    b_col: str = "kmv_b",
+    k: int = 256,
+) -> DataFrame:
+    """Set-operation estimates from two KMV sketch columns (Beyer et
+    al. 2007's multiset-operation synopses): given per-row arrays
+    ``a_col`` / ``b_col`` (each a KMV sketch of some corpus), add
+
+    * ``n_merged``   — size of the merged bottom-k sketch K,
+    * ``est_union``  — distinct count of A ∪ B (KMV estimator off K),
+    * ``est_intersection`` / ``est_only_a`` / ``est_only_b`` — the
+      fraction of K's hashes seen in both/only-one sketch, scaled by
+      the union estimate, and
+    * ``jaccard_est`` — |K ∩ A ∩ B| / |K| (rounded to 6 dp).
+
+    Why this shape: the merged sketch K is a uniform sample of the
+    union's distinct values, so the share of K that lies in both input
+    sketches is an unbiased estimate of |A ∩ B| / |A ∪ B| — an
+    intersection estimate WITHOUT ever joining the raw corpora. When
+    ``n_merged < k`` both inputs were exact distinct sets and every
+    output is exact. All arithmetic is plain double ops + array
+    intersections both Spark and DuckDB reproduce bit-identically.
+
+    Scale: pure per-row array math over sketch rows (groups x k longs)
+    — no shuffle, no join; the expensive part already happened in the
+    map-side-combinable :func:`kmv_sketch` aggregates."""
+    a, b = F.col(a_col), F.col(b_col)
+    merged = F.slice(F.array_sort(F.array_union(a, b)), 1, k)
+    d = df.withColumn("_K", merged)
+    n = F.size("_K")
+    hk = F.element_at("_K", -1).cast("double")
+    est_union = F.when(n < k, n.cast("long")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(HASH_SPACE) / hk).cast("long")
+    )
+    d = d.withColumn("n_merged", n.cast("long")).withColumn(
+        "est_union", est_union
+    )
+    in_both = F.size(F.array_intersect(F.array_intersect("_K", a_col), b_col))
+    only_a = F.size(F.array_except(F.array_intersect("_K", a_col), b_col))
+    only_b = F.size(F.array_except(F.array_intersect("_K", b_col), a_col))
+    kd = F.col("n_merged").cast("double")
+    ud = F.col("est_union").cast("double")
+
+    def scaled(cnt):
+        return F.round(cnt.cast("double") / kd * ud).cast("long")
+
+    return (
+        d.withColumn("est_intersection", scaled(in_both))
+        .withColumn("est_only_a", scaled(only_a))
+        .withColumn("est_only_b", scaled(only_b))
+        .withColumn(
+            "jaccard_est", F.round(in_both.cast("double") / kd, 6)
+        )
+        .drop("_K")
     )
 
 

@@ -239,6 +239,65 @@ def test_bottom_k_plan_has_no_whole_group_window(spark):
             assert "_bkt" in spec, spec
 
 
+def test_set_estimates_exact_below_k(spark):
+    # Both corpora below k: the sketches ARE the distinct sets, so
+    # every estimate must be exact (A = 0..39, B = 20..69).
+    from net_spider_spark.pipeline import sketch as SK
+
+    a = spark.range(40).select(F.lit("x").alias("g"), F.col("id").alias("u"))
+    b = spark.range(20, 70).select(
+        F.lit("x").alias("g"), F.col("id").alias("u")
+    )
+    pair = (
+        SK.kmv_sketch(a, ["g"], "u", k=256)
+        .withColumnRenamed("kmv", "kmv_a")
+        .join(
+            SK.kmv_sketch(b, ["g"], "u", k=256)
+            .withColumnRenamed("kmv", "kmv_b"),
+            "g",
+        )
+    )
+    r = SK.kmv_set_estimates(pair, k=256).collect()[0]
+    assert r["n_merged"] == 70 and r["est_union"] == 70
+    assert r["est_intersection"] == 20
+    assert r["est_only_a"] == 20 and r["est_only_b"] == 30
+    assert abs(r["jaccard_est"] - round(20 / 70, 6)) < 1e-12
+
+
+def test_set_estimates_estimator_accuracy(spark):
+    # Above k: A = 0..3999, B = 2000..7999 -> union 8000, inter 2000,
+    # true jaccard 0.25. k=256 SE ~6%; allow 4-sigma-ish slack.
+    from net_spider_spark.pipeline import sketch as SK
+
+    a = spark.range(4000).select(F.lit("x").alias("g"), F.col("id").alias("u"))
+    b = spark.range(2000, 8000).select(
+        F.lit("x").alias("g"), F.col("id").alias("u")
+    )
+    pair = (
+        SK.kmv_sketch(a, ["g"], "u", k=256)
+        .withColumnRenamed("kmv", "kmv_a")
+        .join(
+            SK.kmv_sketch(b, ["g"], "u", k=256)
+            .withColumnRenamed("kmv", "kmv_b"),
+            "g",
+        )
+    )
+    r = SK.kmv_set_estimates(pair, k=256).collect()[0]
+    assert r["n_merged"] == 256
+    assert abs(r["est_union"] - 8000) / 8000 < 0.25
+    assert abs(r["est_intersection"] - 2000) / 2000 < 0.4
+    assert abs(r["jaccard_est"] - 0.25) < 0.1
+    # identity consistency: the three parts partition the union exactly
+    # in sample space, so their scaled sum stays within rounding of it
+    assert (
+        abs(
+            r["est_intersection"] + r["est_only_a"] + r["est_only_b"]
+            - r["est_union"]
+        )
+        <= 2
+    )
+
+
 @pytest.fixture(scope="module")
 def freq_rows(spark):
     # value v{i} occurs (i % 17) + 1 times, i in [0, 200): known exact
