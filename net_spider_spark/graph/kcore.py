@@ -85,30 +85,36 @@ def kcore(
             )
         finally:
             und.unpersist()
-    alive = und.select(F.col("src").alias("v")).distinct().localCheckpoint(
-        eager=True
-    )
-    n_alive = alive.count()
-    for _ in range(max_rounds):
-        deg = (
-            und.join(alive.withColumnRenamed("v", "src"), "src")
-            .join(alive.withColumnRenamed("v", "dst"), "dst")
-            .groupBy(F.col("src").alias("v"))
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        nxt = deg.where(F.col("deg") >= k).select("v").localCheckpoint(
+    try:
+        alive = und.select(F.col("src").alias("v")).distinct().localCheckpoint(
             eager=True
         )
-        n_nxt = nxt.count()
-        alive = nxt
-        if n_nxt == n_alive or n_nxt == 0:
-            break
-        n_alive = n_nxt
-    out = (
-        und.join(alive.withColumnRenamed("v", "src"), "src")
-        .join(alive.withColumnRenamed("v", "dst"), "dst")
-        .groupBy(F.col("src").alias("node_id"))
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
-    und.unpersist()
+        n_alive = alive.count()
+        for _ in range(max_rounds):
+            deg = (
+                und.join(alive.withColumnRenamed("v", "src"), "src")
+                .join(alive.withColumnRenamed("v", "dst"), "dst")
+                .groupBy(F.col("src").alias("v"))
+                .agg(F.count(F.lit(1)).alias("deg"))
+            )
+            nxt = deg.where(F.col("deg") >= k).select("v").localCheckpoint(
+                eager=True
+            )
+            n_nxt = nxt.count()
+            alive = nxt
+            if n_nxt == n_alive or n_nxt == 0:
+                break
+            n_alive = n_nxt
+        # Materialize before unpersisting ``und`` — returning the lazy
+        # plan would silently recompute the symmetrized edge set from
+        # source at the caller's action.
+        out = (
+            und.join(alive.withColumnRenamed("v", "src"), "src")
+            .join(alive.withColumnRenamed("v", "dst"), "dst")
+            .groupBy(F.col("src").alias("node_id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        und.unpersist()
     return out

@@ -110,30 +110,38 @@ def pagerank(
     # static out-degree edge list — computed once, reused per round
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_od"))
     ew = e.join(outdeg, "src").select("src", "dst", "_od").persist()
-    ew.count()
+    try:
+        ew.count()
 
-    ranks = nodes.withColumn("pr", F.lit(_SCALE).cast("long"))
-    for i in range(n_iter):
-        contribs = (
-            ew.join(ranks.withColumnRenamed("node_id", "src"), "src")
-            .withColumn("_c", F.expr("pr div _od"))
-            .groupBy(F.col("dst").alias("node_id"))
-            .agg(F.sum("_c").alias("_in"))
-        )
-        ranks = (
-            nodes.join(contribs, "node_id", "left")
-            .withColumn("_in", F.coalesce("_in", F.lit(0).cast("long")))
-            .selectExpr(
-                "node_id",
-                f"CAST({base_int} AS BIGINT)"
-                f" + (({d_num} * _in) div 1000) AS pr",
+        ranks = nodes.withColumn("pr", F.lit(_SCALE).cast("long"))
+        for i in range(n_iter):
+            contribs = (
+                ew.join(ranks.withColumnRenamed("node_id", "src"), "src")
+                .withColumn("_c", F.expr("pr div _od"))
+                .groupBy(F.col("dst").alias("node_id"))
+                .agg(F.sum("_c").alias("_in"))
             )
-        )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = (
+                nodes.join(contribs, "node_id", "left")
+                .withColumn("_in", F.coalesce("_in", F.lit(0).cast("long")))
+                .selectExpr(
+                    "node_id",
+                    f"CAST({base_int} AS BIGINT)"
+                    f" + (({d_num} * _in) div 1000) AS pr",
+                )
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
+                ranks = ranks.localCheckpoint(eager=False)
 
-    out = ranks.select(
+        # Materialize the final ranks so the returned plan owns RDD
+        # blocks (ContextCleaner-freed) and references none of the
+        # three caches this call created — they unpersist in finally
+        # with no recompute and no session-lifetime CacheManager leak.
+        ranks = ranks.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+        nodes.unpersist()
+        ew.unpersist()
+    return ranks.select(
         "node_id", (F.col("pr") / F.lit(float(_SCALE))).alias("pagerank")
     )
-    e.unpersist()
-    return out

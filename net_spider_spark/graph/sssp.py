@@ -80,23 +80,29 @@ def shortest_paths(
         finally:
             e.unpersist()
 
-    dist = spark.createDataFrame(
-        [(s, 0) for s in sources], f"node_id {id_type}, dist bigint"
-    )
-    for i in range(max_hops):
-        relaxed = (
-            dist.join(e, dist.node_id == e.src)
-            .select(
-                F.col("dst").alias("node_id"),
-                (F.col("dist") + F.col("weight")).alias("dist"),
+    try:
+        dist = spark.createDataFrame(
+            [(s, 0) for s in sources], f"node_id {id_type}, dist bigint"
+        )
+        for i in range(max_hops):
+            relaxed = (
+                dist.join(e, dist.node_id == e.src)
+                .select(
+                    F.col("dst").alias("node_id"),
+                    (F.col("dist") + F.col("weight")).alias("dist"),
+                )
             )
-        )
-        dist = (
-            dist.unionByName(relaxed)
-            .groupBy("node_id")
-            .agg(F.min("dist").alias("dist"))
-        )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < max_hops:
-            dist = dist.localCheckpoint(eager=False)
-    e.unpersist()
+            dist = (
+                dist.unionByName(relaxed)
+                .groupBy("node_id")
+                .agg(F.min("dist").alias("dist"))
+            )
+            if (i + 1) % checkpoint_every == 0 and i + 1 < max_hops:
+                dist = dist.localCheckpoint(eager=False)
+        # Materialize before unpersisting ``e`` — the lazy plan holds
+        # max_hops references to the edge table and would recompute it
+        # from source that many times at the caller's action.
+        dist = dist.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
     return dist

@@ -555,19 +555,26 @@ def dedup_representatives(
 
     # 3 downstream consumers re-read the per-doc shingle sets
     # (signatures, both verify join sides): one persist beats
-    # re-running the tokenize+shingle scan per consumer.
+    # re-running the tokenize+shingle scan per consumer.  The cache is
+    # owned by THIS call: connected_components materializes its result
+    # (localCheckpoint / driver table) before returning, so nothing in
+    # the returned plan references ``sets`` — unpersist in finally, no
+    # session-lifetime leak.
     sets = doc_shingle_sets(df, text_col=text_col, id_col=id_col, n=n).persist()
-    cand = minhash_candidates(
-        minhash_signatures_sets(sets, n_hashes=n_hashes, id_col=id_col),
-        id_col=id_col,
-    )
-    verified = jaccard_verify_sets(
-        cand, sets, threshold=threshold, id_col=id_col
-    )
-    edges = verified.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    comps = connected_components(edges)
+    try:
+        cand = minhash_candidates(
+            minhash_signatures_sets(sets, n_hashes=n_hashes, id_col=id_col),
+            id_col=id_col,
+        )
+        verified = jaccard_verify_sets(
+            cand, sets, threshold=threshold, id_col=id_col
+        )
+        edges = verified.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        comps = connected_components(edges)
+    finally:
+        sets.unpersist()
     reps = comps.groupBy("component").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )

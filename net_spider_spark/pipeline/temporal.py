@@ -241,7 +241,13 @@ def time_rollup(
         F.min(F.col(value_col).cast("double")).alias("value_min"),
         F.max(F.col(value_col).cast("double")).alias("value_max"),
     )
-    base = base.persist()
+    # The finest-resolution partials feed every coarser rollup;
+    # localCheckpoint (not persist) materializes them once with
+    # RDD-owned blocks the ContextCleaner frees when the caller drops
+    # the result — a persist() here would leak a CacheManager entry
+    # for the session lifetime since this function never sees the
+    # caller's final action.
+    base = base.localCheckpoint(eager=True)
 
     def _finish(df: DataFrame, r: int) -> DataFrame:
         return df.select(

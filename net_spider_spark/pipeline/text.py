@@ -252,18 +252,22 @@ def bm25_search(
         .alias(f"_tf{i}")
         for i, w in enumerate(terms)
     ]
-    # per_doc is consumed twice (corpus stats, then scoring); persisting
-    # it makes the tokenizer run ONCE. The cached rows are narrow
-    # numerics — doc_id + dl + one double per term, ~40 B/doc — so at
-    # any corpus size this is O(rows) small-column cache, never the
-    # token arrays (caching those costs more to build than it saves —
-    # the InMemoryRelation child evaluates without codegen CSE).
-    # MEMORY_AND_DISK by default, so oversized corpora spill, not OOM.
+    # per_doc is consumed twice (corpus stats, then scoring);
+    # materializing it makes the tokenizer run ONCE. The rows are
+    # narrow numerics — doc_id + dl + one double per term, ~40 B/doc —
+    # so at any corpus size this is O(rows) small-column storage, never
+    # the token arrays (storing those costs more to build than it saves
+    # — the InMemoryRelation child evaluates without codegen CSE).
+    # localCheckpoint (MEMORY_AND_DISK: oversized corpora spill, not
+    # OOM) rather than persist(): checkpoint blocks are owned by the
+    # RDD and freed by the ContextCleaner when the caller drops the
+    # result, where a persist() entry would sit in the session
+    # CacheManager forever with no owner to unpersist it.
     per_doc = with_toks.select(
         F.col(id_col),
         F.size("_toks").cast("long").alias("_dl"),
         *tf_cols,
-    ).persist()
+    ).localCheckpoint(eager=True)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_dl").alias("_dlsum"),

@@ -291,8 +291,13 @@ def parse_contiki_logs(
     classified = _with_blocks(
         _classified(_with_head(lines, head, year, tz_offset_min))
     )
-    classified = classified.persist()
-    blocks = _block_table(classified).persist()
+    # Both returned findings tables re-read the classified lines and
+    # the block table several times; localCheckpoint materializes the
+    # parse once with RDD-owned blocks (freed by the ContextCleaner
+    # when the caller drops the results) — persist() would leave an
+    # ownerless CacheManager entry alive for the whole session.
+    classified = classified.localCheckpoint(eager=True)
+    blocks = _block_table(classified).localCheckpoint(eager=True)
 
     # ---- DIO findings: one per valid dio block ------------------------
     dio_blocks = blocks.where(F.col("block_type") == "dio_head")

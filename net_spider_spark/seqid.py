@@ -39,7 +39,12 @@ def convert_graph(
     Returns (mapping, nodes_int, links_int); reverse lookup
     (``originalIDFor``) is a join against the mapping.
     """
-    mapping = make_seq_ids(nodes, start=start).persist()
+    # The mapping is consumed three times (returned, node relabel, two
+    # link-endpoint joins); localCheckpoint materializes the
+    # single-partition row_number once, with blocks freed by the
+    # ContextCleaner when the caller drops the mapping — unlike
+    # persist(), which would pin a CacheManager entry nobody owns.
+    mapping = make_seq_ids(nodes, start=start).localCheckpoint(eager=True)
     nodes_int = (
         nodes.join(mapping, "node_id")
         .drop("node_id")
