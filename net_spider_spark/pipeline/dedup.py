@@ -192,10 +192,49 @@ def jaccard_verify_sets(
     )
 
 
-def minhash_candidates(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def minhash_hot_buckets(
+    signatures: DataFrame, max_bucket_size: int = 1000
+) -> DataFrame:
+    """The (band, sig, n_docs) buckets a capped candidate pass would
+    drop. A pipeline that caps buckets should report this mass — the
+    members of a dropped bucket are usually degenerate near-identical
+    rows (empty docs, template boilerplate) better handled by exact
+    dedup on the raw text than by an |bucket|² pair explosion."""
+    return (
+        signatures.groupBy("band", "sig")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > max_bucket_size)
+    )
+
+
+def minhash_candidates(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on any band's signature.
     Self-equi-join on (band, sig) — Catalyst picks the join strategy;
-    the key space is tiny relative to the corpus."""
+    the key space is tiny relative to the corpus.
+
+    ``max_bucket_size`` bounds the self-join: a single degenerate
+    (band, sig) bucket — empty documents, boilerplate sharing one
+    min-shingle — otherwise produces |bucket|² candidate rows and
+    dominates the stage at scale. Buckets over the cap are dropped
+    from THIS banding pass (their members can still pair through
+    their other bands); use :func:`minhash_hot_buckets` with the same
+    cap to report the dropped mass. ``None`` disables the cap.
+    """
+    if max_bucket_size is not None:
+        # Anti-join on the same (band, sig) key as the main join: the
+        # per-bucket count is one partial-aggregated shuffle over the
+        # narrow signature table, and hot keys are few by definition.
+        hot = (
+            signatures.groupBy("band", "sig")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("band", "sig")
+        )
+        signatures = signatures.join(hot, ["band", "sig"], "left_anti")
     a = signatures.select(
         F.col(id_col).alias("doc_a"), F.col("band"), F.col("sig")
     )
@@ -253,6 +292,7 @@ def minhash_candidates_against(
     new_sigs: DataFrame,
     corpus_sigs: DataFrame,
     id_col: str = "doc_id",
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
     """Incremental near-dup candidates: new-batch docs that agree with
     ANY corpus doc on any MinHash band. Both sides come from
@@ -262,7 +302,19 @@ def minhash_candidates_against(
     with the day's batch; no self-join over the corpus ever runs.
     Returns distinct (new_id, corpus_id) candidate pairs for exact
     verification (:func:`jaccard_verify_candidates`).
+
+    ``max_bucket_size`` caps the CORPUS side of each (band, sig)
+    bucket, same rationale as :func:`minhash_candidates`: a degenerate
+    corpus bucket fans every matching probe row out |bucket|-wide.
     """
+    if max_bucket_size is not None:
+        hot = (
+            corpus_sigs.groupBy("band", "sig")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("band", "sig")
+        )
+        corpus_sigs = corpus_sigs.join(hot, ["band", "sig"], "left_anti")
     a = new_sigs.select(F.col(id_col).alias("new_id"), "band", "sig")
     b = corpus_sigs.select(F.col(id_col).alias("corpus_id"), "band", "sig")
     return (

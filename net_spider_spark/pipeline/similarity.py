@@ -249,14 +249,19 @@ def knn_join(
     if method != "exact":
         raise ValueError(f"unknown method: {method}")
 
+    # Guard BEFORE materializing anything on the driver: a bounded
+    # limit(n+1).count() runs distributed, short-circuits at n+1 rows,
+    # and never ships a single vector — so an over-threshold corpus
+    # raises instead of OOMing the driver on collect.
+    probe = corpus.select(id_col).limit(max_broadcast_rows + 1).count()
+    if probe > max_broadcast_rows:
+        raise ValueError(
+            f"corpus has > max_broadcast_rows={max_broadcast_rows} rows;"
+            f" use method='lsh'"
+        )
     rows = corpus.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("v")
     ).collect()
-    if len(rows) > max_broadcast_rows:
-        raise ValueError(
-            f"corpus has {len(rows)} rows > max_broadcast_rows="
-            f"{max_broadcast_rows}; use method='lsh'"
-        )
     # sort by id so argpartition tie-breaks resolve to the lowest id
     rows.sort(key=lambda r: r["nid"])
     ids = np.array([r["nid"] for r in rows], dtype=np.int64)

@@ -296,14 +296,21 @@ def kmv_set_estimates(
     ud = F.col("est_union").cast("double")
 
     def scaled(cnt):
-        return F.round(cnt.cast("double") / kd * ud).cast("long")
+        # Guard n_merged == 0 (both sketches empty): every estimate is
+        # exactly 0, and the unguarded division would emit NaN.
+        return F.when(kd == 0, F.lit(0).cast("long")).otherwise(
+            F.round(cnt.cast("double") / kd * ud).cast("long")
+        )
 
     return (
         d.withColumn("est_intersection", scaled(in_both))
         .withColumn("est_only_a", scaled(only_a))
         .withColumn("est_only_b", scaled(only_b))
         .withColumn(
-            "jaccard_est", F.round(in_both.cast("double") / kd, 6)
+            "jaccard_est",
+            F.when(kd == 0, F.lit(0.0)).otherwise(
+                F.round(in_both.cast("double") / kd, 6)
+            ),
         )
         .drop("_K")
     )

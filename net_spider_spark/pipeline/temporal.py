@@ -219,6 +219,13 @@ def time_rollup(
 
     Returns ``group_cols + [resolution, bucket_start, n_events,
     value_sum, value_min, value_max, value_avg]``.
+
+    Evaluation contract: the finest-resolution partials materialize
+    EAGERLY at call time (``localCheckpoint(eager=True)``) — the call
+    runs Spark jobs even if the result is never acted on, and caller
+    filters do not prune below the checkpoint. Checkpoint blocks are
+    unreplicated: executor loss (failure / dynamic-allocation
+    decommission) fails the downstream action instead of recomputing.
     """
     group_cols = list(group_cols)
     res = sorted(int(r) for r in resolutions)

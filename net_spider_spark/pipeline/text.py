@@ -222,6 +222,15 @@ def bm25_search(
 
     Scale: one corpus scan for stats + one for scoring; top-k is a
     TakeOrdered, not a global sort.
+
+    Evaluation contract: the tokenize pass is materialized EAGERLY at
+    call time (``localCheckpoint(eager=True)``) — building the plan
+    runs Spark jobs even if the caller never acts on the result, and
+    caller predicates cannot prune below the checkpoint boundary.
+    Checkpoint blocks are not replicated: on a cluster that loses an
+    executor (failure or dynamic-allocation decommission) a downstream
+    action fails instead of recomputing — re-call on that failure, or
+    swap for persist()+finally-unpersist where recomputation matters.
     """
     terms = list(dict.fromkeys(t.lower() for t in query_terms))
     toks = tokens_col(F.lower(F.col(text_col)))

@@ -286,7 +286,13 @@ def parse_contiki_logs(
     tz_offset_min: Optional[int] = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Parse RPL logs -> (dio_findings, dao_findings), both in
-    model.FINDINGS_SCHEMA with FindingID node IDs (``parseFile``)."""
+    model.FINDINGS_SCHEMA with FindingID node IDs (``parseFile``).
+
+    Evaluation contract: the line-classification pass materializes
+    eagerly at call time (``localCheckpoint``); blocks are
+    unreplicated, so executor loss fails downstream actions instead of
+    recomputing — re-call to recover.
+    """
     lines = read_log_lines(spark, path)
     classified = _with_blocks(
         _classified(_with_head(lines, head, year, tz_offset_min))

@@ -38,6 +38,10 @@ def convert_graph(
 
     Returns (mapping, nodes_int, links_int); reverse lookup
     (``originalIDFor``) is a join against the mapping.
+
+    Evaluation contract: the mapping materializes eagerly at call time
+    (``localCheckpoint``), and its blocks are unreplicated — executor
+    loss on a cluster fails downstream actions instead of recomputing.
     """
     # The mapping is consumed three times (returned, node relabel, two
     # link-endpoint joins); localCheckpoint materializes the

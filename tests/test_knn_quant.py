@@ -86,6 +86,24 @@ def test_knn_refuses_oversized_broadcast(spark, emb):
         S.knn_join(emb, k=3, max_broadcast_rows=5)
 
 
+def test_knn_guard_fires_before_any_vector_materializes(spark, emb):
+    """The size guard must run BEFORE the corpus collect: poison the
+    vector column with a UDF that throws on evaluation. The guard's
+    limit(n+1).count() reads only the id column (column pruning), so
+    an over-threshold corpus raises the helpful ValueError; the old
+    guard-after-collect order would evaluate the poison UDF (i.e. on a
+    real 100 TB corpus: OOM the driver) before ever checking."""
+    from pyspark.sql.types import ArrayType, FloatType
+
+    @F.udf(ArrayType(FloatType()))
+    def _poison(v):
+        raise RuntimeError("vector column materialized before size guard")
+
+    poisoned = emb.select("vec_id", _poison("embedding").alias("embedding"))
+    with pytest.raises(ValueError, match="max_broadcast_rows"):
+        S.knn_join(poisoned, k=3, max_broadcast_rows=5)
+
+
 def test_quantize_roundtrip_error(spark, emb):
     q = S.quantize_int8(emb)
     joined = q.join(emb, "vec_id").select(

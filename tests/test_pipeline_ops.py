@@ -40,6 +40,43 @@ def test_minhash_candidates_find_near_dup(docs):
     assert (1, 4) not in pairs and (3, 4) not in pairs
 
 
+def test_minhash_hot_bucket_cap_bounds_degenerate_corpus(spark, docs):
+    """A planted degenerate corpus — many docs sharing one (band, sig)
+    bucket — must complete with a BOUNDED candidate count instead of
+    |bucket|² pairs, while normal-data recall is unchanged (the
+    find_near_dup test above runs with the default cap)."""
+    # 200 byte-identical texts -> identical signatures in every band.
+    degen = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate line repeated across the corpus x").alias(
+            "text"
+        ),
+    )
+    sigs = D.minhash_signatures(D.doc_shingles(degen))
+    capped = D.minhash_candidates(sigs, max_bucket_size=50)
+    assert capped.count() == 0  # every bucket > cap -> dropped
+    hot = D.minhash_hot_buckets(sigs, max_bucket_size=50).collect()
+    assert hot and all(r["n_docs"] == 200 for r in hot)
+    # uncapped is the quadratic shape the cap exists to prevent
+    assert D.minhash_candidates(sigs, max_bucket_size=None).count() == (
+        200 * 199 // 2
+    )
+
+
+def test_minhash_cap_preserves_small_bucket_pairs(docs):
+    sh = D.doc_shingles(docs)
+    sigs = D.minhash_signatures(sh)
+    with_cap = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_candidates(sigs, max_bucket_size=1000).collect()
+    }
+    no_cap = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_candidates(sigs, max_bucket_size=None).collect()
+    }
+    assert with_cap == no_cap  # 4-doc corpus: no bucket near the cap
+
+
 def test_jaccard_scores(docs):
     sh = D.doc_shingles(docs)
     got = {

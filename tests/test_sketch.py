@@ -298,6 +298,22 @@ def test_set_estimates_estimator_accuracy(spark):
     )
 
 
+def test_set_estimates_empty_sketches_no_nan(spark):
+    # Both sketches empty (a group with zero values): every estimate
+    # must be an exact 0, never NaN from the /n_merged divisions.
+    from net_spider_spark.pipeline import sketch as SK
+
+    pair = spark.createDataFrame(
+        [("x", [], [])],
+        "g string, kmv_a array<bigint>, kmv_b array<bigint>",
+    )
+    r = SK.kmv_set_estimates(pair, k=256).collect()[0]
+    assert r["n_merged"] == 0 and r["est_union"] == 0
+    assert r["est_intersection"] == 0
+    assert r["est_only_a"] == 0 and r["est_only_b"] == 0
+    assert r["jaccard_est"] == 0.0
+
+
 @pytest.fixture(scope="module")
 def freq_rows(spark):
     # value v{i} occurs (i % 17) + 1 times, i in [0, 200): known exact
