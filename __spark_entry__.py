@@ -894,6 +894,34 @@ def q_text_bpe_tokens(spark, sf_dir):
     return TX.bpe_token_stats(docs)
 
 
+# Learned-BPE contract size: small enough that the DuckDB oracle can
+# unroll the merge loop as a CTE chain, large enough to exercise
+# multi-character merges (rank-6 'mer' merges a rank-2 output).
+BPE_N_MERGES = 10
+
+
+def q_text_bpe_learned(spark, sf_dir):
+    # Sennrich-style BPE learned as grouped aggregates over the
+    # (pretoken, freq) table — one corpus scan, then per-merge
+    # vocabulary-sized jobs (pipeline/text.py bpe_learn). Output is
+    # the merge table itself; the oracle replays the identical
+    # algorithm as an unrolled DuckDB CTE chain.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    merges = TX.bpe_learn(docs, n_merges=BPE_N_MERGES)
+    return spark.createDataFrame(
+        merges, "rank long, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
+def q_text_bpe_encode(spark, sf_dir):
+    # Per-doc token stats under the LEARNED vocabulary — the honest
+    # token counter behind curation budgets. Encoding is a chain of
+    # literal replaces (codegen, no UDF) applied per pretoken.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    merges = TX.bpe_learn(docs, n_merges=BPE_N_MERGES)
+    return TX.bpe_encode_stats(docs, merges)
+
+
 def q_text_quality_filter(spark, sf_dir):
     docs = demo.read_table(spark, sf_dir, "documents")
     return TX.quality_filter(
@@ -2067,6 +2095,103 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     )
 
 
+def q_dedup_image_phash(spark, sf_dir):
+    # Perceptual image dedup over RE-ENCODED copies — the case byte
+    # digests cannot catch: each event renders one of 6 fixed
+    # photo-like pictures (class = event_id % 6), encoded LOSSLESSLY
+    # as BMP / PNG / PPM by event_id % 3, so same-class payloads have
+    # different bytes but identical pixels -> identical pHash
+    # (Hamming 0), while inter-class pHash distances are >> the
+    # threshold (smoothed-noise pictures; measured 26-38 bits). The
+    # dup structure is therefore analytically predictable: a media row
+    # is a duplicate iff it is not the smallest event_id of its class
+    # — which is exactly what the oracle computes with one window
+    # function, touching no image math.
+    import pandas as pd
+
+    from net_spider_spark.pipeline import dedup as DD
+    from net_spider_spark.pipeline import multimodal as MM
+
+    ev = (
+        _events_typed(spark, sf_dir)
+        .where(F.col("event_id") % 25 == 21)
+        .select("event_id")
+    )
+
+    def synth(batches):
+        import struct
+
+        import numpy as np
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        def picture(cls: int) -> "np.ndarray":
+            # smoothed random noise: photo-like spectrum, so the pHash
+            # low-frequency block is well-populated (no near-median
+            # coefficient instability)
+            r = np.random.RandomState(cls)
+            n = r.rand(12, 16) * 255
+            big = np.kron(n, np.ones((4, 4)))
+            pad = np.pad(big, 2, mode="edge")
+            k = np.ones(25) / 25
+            sm = sliding_window_view(pad, (5, 5)).reshape(48, 64, 25) @ k
+            return (
+                np.stack([sm, sm * 0.9 + 10, 255 - sm * 0.5], axis=2)
+                .clip(0, 255)
+                .astype(np.uint8)
+            )
+
+        def to_bmp(px: "np.ndarray") -> bytes:
+            h, w = px.shape[:2]
+            stride = ((w * 3) + 3) & ~3
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+            data = rows.tobytes()
+            header = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+            info = struct.pack(
+                "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 0, 0, 0, 0
+            )
+            return header + info + data
+
+        def to_ppm(px: "np.ndarray") -> bytes:
+            h, w = px.shape[:2]
+            return b"P6 %d %d 255\n" % (w, h) + px.tobytes()
+
+        pics = {c: picture(c) for c in range(6)}
+        for pdf in batches:
+            payloads, mimes = [], []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                px = pics[eid % 6]
+                fmt = eid % 3
+                if fmt == 0:
+                    payloads.append(to_bmp(px))
+                    mimes.append("image/bmp")
+                elif fmt == 1:
+                    payloads.append(MM.encode_png(px, filter_type=eid % 5))
+                    mimes.append("image/png")
+                else:
+                    payloads.append(to_ppm(px))
+                    mimes.append("image/x-portable-pixmap")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["event_id"],
+                    "mime": mimes,
+                    "payload": payloads,
+                    "meta": [None] * len(pdf),
+                }
+            )
+
+    media = ev.mapInPandas(
+        synth,
+        schema="media_id bigint, mime string, payload binary, "
+        "meta map<string,string>",
+    )
+    hashes = MM.image_phash(media)
+    return DD.image_phash_dedup(hashes, max_hamming=2).select(
+        "media_id", "is_dup"
+    )
+
+
 def _run_available_now(stream_df, name: str, output_mode: str):
     """Run a streaming DataFrame to completion with availableNow into a
     memory sink and return the sink contents as a batch DataFrame.
@@ -2433,6 +2558,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rotation goal is clearing the r4/r5 backlog; new queries
         # are pinned by pytest + tools/check_oracles.py locally and
         # rotate to the front at r9).
+        "text_bpe_learned": q_text_bpe_learned,
+        "text_bpe_encode": q_text_bpe_encode,
+        "dedup_image_phash": q_dedup_image_phash,
         # Group 4: driver-green in r7 (freshest signal).
         "curate_chunks": q_curate_chunks,
         "curate_decontaminate": q_curate_decontaminate,
@@ -2487,8 +2615,101 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+def _bpe_oracle_ctes(n: int) -> str:
+    """DuckDB CTE chain replaying bpe_learn's merge loop, unrolled:
+    w0 = (pretoken-seq, freq); per merge i: p{i} = adjacent-pair
+    counts, b{i} = argmax with the (count desc, lhs, rhs) tie-break,
+    w{i} = the greedy left-to-right merge via literal string replace
+    on the chr(31)-wrapped symbol sequence — byte-identical semantics
+    to pipeline/text.py (same separator encoding, same replace scan)."""
+    sep = "chr(31)"
+    parts = [
+        f"""toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text,
+    '''(?:s|d|m|t|ll|ve|re)| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+',
+    0)) AS w
+  FROM documents
+),
+w0 AS (
+  SELECT {sep} || regexp_replace(w, '(.)', '\\1' || {sep}, 'g') AS seq,
+         count(*) AS freq
+  FROM toks WHERE w NOT LIKE '%' || {sep} || '%' GROUP BY 1
+)"""
+    ]
+    for i in range(1, n + 1):
+        parts.append(
+            f"""p{i} AS (
+  SELECT list_extract(l, i) AS s1, list_extract(l, i+1) AS s2,
+         sum(freq) AS c
+  FROM (SELECT list_filter(str_split(seq, {sep}), x -> x <> '') AS l,
+               freq FROM w{i - 1}),
+       unnest(range(1, len(l))) AS u(i)
+  GROUP BY 1, 2
+),
+b{i} AS (SELECT s1, s2, c FROM p{i} ORDER BY c DESC, s1 ASC, s2 ASC LIMIT 1),
+w{i} AS (
+  SELECT replace(seq, {sep} || s1 || {sep} || s2 || {sep},
+                      {sep} || s1 || s2 || {sep}) AS seq, freq
+  FROM w{i - 1}, b{i}
+)"""
+        )
+    return ",\n".join(parts)
+
+
+def _bpe_learn_sql(n: int) -> str:
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, s1 AS lhs, s2 AS rhs, s1 || s2 AS merged,"
+        f" CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n + 1)
+    )
+    return f"WITH {_bpe_oracle_ctes(n)}\n{sel}"
+
+
+def _bpe_encode_sql(n: int) -> str:
+    sep = "chr(31)"
+    expr = f"{sep} || regexp_replace(w, '(.)', '\\1' || {sep}, 'g')"
+    for i in range(1, n + 1):
+        expr = (
+            f"replace({expr}, {sep} || b{i}.s1 || {sep} || b{i}.s2 || {sep},"
+            f" {sep} || b{i}.s1 || b{i}.s2 || {sep})"
+        )
+    froms = ", ".join(f"b{i}" for i in range(1, n + 1))
+    return f"""WITH {_bpe_oracle_ctes(n)},
+enc AS (
+  SELECT doc_id,
+         CASE WHEN w LIKE '%' || {sep} || '%' THEN [w]
+              ELSE list_filter(str_split({expr}, {sep}), x -> x <> '')
+         END AS tl
+  FROM toks, {froms}
+),
+agg AS (
+  SELECT doc_id, sum(len(tl)) AS n_tokens,
+         len(list_distinct(flatten(list(tl)))) AS n_distinct_tokens
+  FROM enc GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    d["text_bpe_learned"] = _bpe_learn_sql(BPE_N_MERGES)
+    d["text_bpe_encode"] = _bpe_encode_sql(BPE_N_MERGES)
+    # Perceptual dedup oracle: the synthesized corpus makes the dup
+    # structure analytic (class = event_id % 6; lossless re-encodes
+    # share pixels -> pHash Hamming 0; inter-class distance >> the
+    # threshold), so the oracle is pure window SQL with no image math.
+    d["dedup_image_phash"] = """
+WITH m AS (
+  SELECT event_id AS media_id, event_id % 6 AS cls
+  FROM events WHERE event_id % 25 = 21
+)
+SELECT media_id,
+       media_id > min(media_id) OVER (PARTITION BY cls) AS is_dup
+FROM m
+"""
     # Distributed-path pins share their base query's answer contract:
     # both plans must agree with the same SQL.
     for dist, base in (

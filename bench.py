@@ -108,6 +108,10 @@ HEADLINE = [
     "text_divergence",
     "layout_zorder",
     "sketch_kmv_setops",
+    # round-8 additions: Sennrich BPE learned as grouped aggregates
+    # (merge table + per-doc token counts under the learned vocab).
+    "text_bpe_learned",
+    "text_bpe_encode",
 ]
 
 

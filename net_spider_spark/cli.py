@@ -78,6 +78,12 @@ def _input_args(p: argparse.ArgumentParser) -> None:
         "-F", "--filter", choices=["none", "latest"], default="none",
         help="pre-ingest filter (latest = newest finding per node)",
     )
+    p.add_argument(
+        "--layout", choices=["day", "zorder"], default="day",
+        help="history layout: 'day' = partition by found_day (interval "
+             "pruning), 'zorder' = (subject_node, found_at) Z-curve "
+             "(point lookups AND intervals prune by file stats)",
+    )
 
 
 def _snapshot_args(
@@ -167,7 +173,12 @@ def _do_input(spark: SparkSession, args) -> int:
         if args.filter == "latest":
             findings = latest_findings_per_node(findings)
         n = findings.count()
-        write_findings(findings, args.db)
+        if getattr(args, "layout", "day") == "zorder":
+            from net_spider_spark.ingest import write_findings_zordered
+
+            write_findings_zordered(findings, args.db, mode="append")
+        else:
+            write_findings(findings, args.db)
     finally:
         if spooled_path is not None:
             import os

@@ -81,6 +81,70 @@ def read_findings(
     return df.drop("found_day")
 
 
+def subject_prefix_key(col) -> "F.Column":
+    """Order-preserving integer key for a node-ID string: the first 6
+    chars base-256 big-endian (absent chars are 0, so shorter strings
+    sort first — lexicographic order for ASCII; code points above 255
+    clamp, mildly distorting order for non-ASCII IDs, which only costs
+    a little pruning selectivity, never correctness). 6 chars = 48
+    bits — exact in the double arithmetic the quantizer uses. Pure
+    codegen; gives a STRING column a numeric axis for Z-order
+    quantization that agrees with the parquet min/max string stats a
+    scan pruner consults."""
+    k = F.lit(0).cast("long")
+    for i in range(1, 7):
+        k = k * 256 + F.least(
+            F.coalesce(F.ascii(F.substring(col, i, 1)), F.lit(0)),
+            F.lit(255),
+        )
+    return k
+
+
+def write_findings_zordered(
+    findings: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    n_files: int = 64,
+    bits: int = 16,
+) -> None:
+    """History table laid out along the (subject_node, found_at)
+    Z-curve — the storage answer to the reference's @node_id composite
+    index (janusgraph-conf/net-spider-index.groovy:18-34), but one
+    that ALSO serves the time axis.
+
+    Why not :func:`write_findings`'s day-partition + per-file subject
+    sort: that layout prunes F1 interval queries perfectly but leaves
+    F2 point lookups reading every file of every day (each write task
+    spans the full subject range, so per-file subject stats are
+    useless). Z-ordering interleaves a quantized subject prefix with
+    found_at, so every file covers a narrow range of BOTH — a point
+    lookup on subject_node skips ~(1 - 1/sqrt(n_files)) of files by
+    parquet min/max stats alone, and interval predicates still skip
+    along the time axis. tests/test_layout.py measures both.
+
+    The written schema is exactly the findings schema (the z machinery
+    columns are dropped); readers need no layout knowledge — the
+    benefit arrives through pushed-down predicates. ``mode="append"``
+    z-orders the new batch independently (per-batch clustering;
+    :func:`compact_history` can re-layout later).
+    """
+    from net_spider_spark import layout as LY
+
+    df = findings.withColumn(
+        "_subj_key", subject_prefix_key(F.col("subject_node"))
+    )
+    LY.write_zordered(
+        df,
+        path,
+        ["_subj_key", "found_at"],
+        n_files=n_files,
+        bits=bits,
+        mode=mode,
+        keep_z=False,
+        drop_cols=["_subj_key"],
+    )
+
+
 def write_findings_bucketed(
     findings: DataFrame,
     table_name: str,

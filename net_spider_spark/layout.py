@@ -91,6 +91,9 @@ def write_zordered(
     cols: Sequence[str],
     n_files: int = 64,
     bits: int = 16,
+    mode: str = "overwrite",
+    keep_z: bool = True,
+    drop_cols: Sequence[str] = (),
 ) -> None:
     """Write ``df`` as ``n_files`` parquet files laid out along the
     Z-curve: rows land in file ``z_value * n_files >> (2*bits)`` (a
@@ -99,7 +102,13 @@ def write_zordered(
     file. Each file then covers a narrow range of BOTH layout columns,
     so min/max pruning works for predicates on either — the property
     :mod:`tests.test_layout` measures. One all-to-all shuffle + an
-    in-partition sort, the floor for any re-layout."""
+    in-partition sort, the floor for any re-layout.
+
+    ``keep_z=False`` drops the ``z_value`` column before the write
+    (the layout survives — it lives in row placement and file stats,
+    not in the column) for tables whose schema is a public contract,
+    e.g. the findings history (:func:`ingest.write_findings_zordered`).
+    """
     with_z = zorder_value(df, cols, bits)
     slice_col = (
         F.coalesce(
@@ -109,11 +118,16 @@ def write_zordered(
         .cast("int")
         .alias("_zslice")
     )
-    (
+    out = (
         with_z.withColumn("_zslice", slice_col)
         .repartition(n_files, F.col("_zslice"))
         .sortWithinPartitions("_zslice", "z_value")
         .drop("_zslice")
-        .write.mode("overwrite")
-        .parquet(path)
     )
+    if not keep_z:
+        out = out.drop("z_value")
+    if drop_cols:
+        # derived layout-key columns (e.g. a string-prefix integer) the
+        # caller added only to give zorder_value a numeric axis
+        out = out.drop(*drop_cols)
+    out.write.mode(mode).parquet(path)

@@ -579,6 +579,115 @@ def simhash16(
     return agg.select(F.col(id_col), sig.alias("simhash"))
 
 
+def phash_candidates(
+    hashes: DataFrame,
+    bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Candidate near-dup image pairs from 64-bit perceptual hashes
+    (``multimodal.image_phash``): band the hash into ``bands`` equal
+    bit slices and self-equi-join per (band, slice) — the SimHash
+    banding trick applied to pHash. Pigeonhole guarantee: any pair
+    within Hamming distance < ``bands`` shares at least one exact
+    band, so recall is 100% for the tight thresholds perceptual dedup
+    uses (lossless re-encodes are distance 0; JPEG re-encodes a few
+    bits). Hot buckets are capped like :func:`minhash_candidates`
+    (flat-color corpora put thousands of images in one band bucket).
+    """
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = hashes.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col(hash_col), i * width
+                        ).bitwiseAND(F.lit(mask)).alias("sig"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    if max_bucket_size is not None:
+        hot = (
+            sigs.groupBy("band", "sig")
+            .agg(F.count("*").alias("_n"))
+            .where(F.col("_n") > max_bucket_size)
+            .select("band", "sig")
+        )
+        sigs = sigs.join(hot, ["band", "sig"], "left_anti")
+    a = sigs.select(F.col(id_col).alias("id_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("id_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def image_phash_dedup(
+    hashes: DataFrame,
+    max_hamming: int = 2,
+    bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Perceptual image dedup: flag images dominated by a smaller-id
+    image within ``max_hamming`` pHash bits (the byte-digest-defeating
+    case: re-encoded/transcoded copies of the same picture). Returns
+    (id, phash, is_dup) — keep ``is_dup = false``.
+
+    Candidates come from banded equi-joins (:func:`phash_candidates`;
+    exact recall while ``max_hamming < bands``), verification is one
+    codegen ``bit_count(xor)`` per candidate pair, and the dominated
+    rule (ANY smaller-id neighbor) needs no connected-components pass
+    — same shape as ``cluster.semantic_dedup``. Rows with NULL hash
+    (decode errors) pass through as is_dup = false for the caller's
+    error channel to handle."""
+    if max_hamming >= bands:
+        raise ValueError(
+            "banding guarantees recall only for max_hamming < bands"
+        )
+    cand = phash_candidates(
+        hashes, bands=bands, id_col=id_col, hash_col=hash_col
+    )
+    ha = hashes.select(
+        F.col(id_col).alias("id_a"), F.col(hash_col).alias("_pa")
+    )
+    hb = hashes.select(
+        F.col(id_col).alias("id_b"), F.col(hash_col).alias("_pb")
+    )
+    dup_ids = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .where(
+            F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb")))
+            <= max_hamming
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        hashes.join(
+            dup_ids.withColumn("_dup", F.lit(True)), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.col(hash_col),
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def dedup_representatives(
     df: DataFrame,
     text_col: str = "text",

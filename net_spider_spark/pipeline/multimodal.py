@@ -720,6 +720,81 @@ def image_features(
     return media.mapInPandas(run, schema=IMAGE_FEATURE_SCHEMA)
 
 
+def phash64(
+    img: np.ndarray, hash_size: int = 8, img_size: int = 32
+) -> int:
+    """64-bit perceptual hash (pHash): grayscale -> ``img_size``²
+    resize -> 2-D DCT-II -> threshold the ``hash_size``² low-frequency
+    block against its median (the classic imagehash/pHash recipe:
+    dctlowfreq = dct[:8, :8]; bit = coeff > median). Lossy re-encodes
+    of the same picture (JPEG quality changes, format conversions)
+    keep low-frequency structure, so their hashes differ in few bits —
+    compare with Hamming distance, unlike byte digests which any
+    re-encode defeats.
+
+    Deviations from the PIL-based imagehash, both deterministic and
+    irrelevant to thresholding: nearest-neighbor resize (no antialias
+    dependency) and an unnormalized DCT (thresholding against the
+    block median is scale-invariant). Returned as a SIGNED 64-bit int
+    so it round-trips a Spark ``long`` column exactly."""
+    gray = (
+        img.astype(np.float64).mean(axis=2)
+        if img.ndim == 3
+        else img.astype(np.float64)
+    )
+    small = resize_nearest(gray, img_size, img_size)
+    n = img_size
+    k = np.arange(n)[:, None]
+    m = np.arange(n)[None, :]
+    c = np.cos(np.pi * (2 * m + 1) * k / (2 * n))  # DCT-II basis rows
+    d = c @ small @ c.T
+    low = d[:hash_size, :hash_size]
+    med = float(np.median(low))
+    bits = (low > med).ravel()
+    v = 0
+    for i, b in enumerate(bits):
+        if b:
+            v |= 1 << i
+    if v >= 1 << 63:
+        v -= 1 << 64
+    return v
+
+
+PHASH_SCHEMA = "media_id bigint, phash bigint, error string"
+
+
+def image_phash(media: DataFrame, batch_rows: int = 64) -> DataFrame:
+    """Perceptual hash per image: (media_id, phash, error) — the
+    near-dup key byte digests cannot provide (a re-encode changes
+    every byte but few pHash bits). Same Arrow-batch ``mapInPandas``
+    shape and per-row error channel as :func:`image_features`; pair
+    with ``pipeline.dedup.image_phash_dedup`` for the banded
+    candidate join."""
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                rows = []
+                for _, row in chunk.iterrows():
+                    rec = {
+                        "media_id": row["media_id"],
+                        "phash": None,
+                        "error": None,
+                    }
+                    try:
+                        img = decode_media(row["payload"], row["mime"])
+                        if not isinstance(img, np.ndarray):
+                            raise ValueError("payload is audio, not image")
+                        rec["phash"] = phash64(img)
+                    except Exception as e:
+                        rec["error"] = f"{type(e).__name__}: {e}"
+                    rows.append(rec)
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-Catalyst media accounting (no decode): size and digest per
     mime class — the cheap pre-pass that sizes the decode job."""

@@ -10,6 +10,8 @@ gate.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -138,6 +140,165 @@ def bpe_token_stats(
         F.size(F.array_distinct(F.transform(toks, lambda t: F.trim(t))))
         .cast("long")
         .alias("n_distinct_bpe_tokens"),
+    )
+
+
+# Symbol separator for the learned-BPE sequence encoding: a word's
+# symbol sequence is stored as the string SEP s1 SEP s2 ... SEP (every
+# symbol wrapped in separators), so "merge adjacent pair (a, b)" is the
+# literal string replace SEP+a+SEP+b+SEP -> SEP+ab+SEP — and because
+# replace() scans left-to-right and resumes AFTER each replacement, it
+# reproduces exactly the greedy non-overlapping merge order of the
+# reference BPE algorithm (Sennrich et al. 2016, learn_bpe.py) in both
+# Spark and DuckDB without any per-row Python.
+BPE_SEP = "\x1f"
+
+
+def bpe_word_seq(word: Column) -> Column:
+    """A pretoken as its initial BPE symbol sequence: one symbol per
+    character, encoded as the SEP-wrapped string (see BPE_SEP)."""
+    return F.concat(
+        F.lit(BPE_SEP), F.regexp_replace(word, "(.)", "$1" + BPE_SEP)
+    )
+
+
+def _seq_symbols(seq: Column) -> Column:
+    return F.filter(F.split(seq, BPE_SEP), lambda x: x != F.lit(""))
+
+
+def bpe_learn(
+    df: DataFrame,
+    n_merges: int = 16,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, str, int]]:
+    """Learn byte-pair-encoding merge rules from a corpus (Sennrich et
+    al. 2016): start from characters, repeatedly merge the most
+    frequent adjacent symbol pair. Returns
+    ``[(rank, lhs, rhs, merged, pair_count), ...]`` — at most
+    ``n_merges`` rules (fewer if the corpus runs out of pairs).
+
+    Distribution shape for 100 TB: the corpus is scanned ONCE, into a
+    (pretoken, frequency) table — bounded by the vocabulary, not the
+    corpus. Every merge iteration then runs on that word table alone:
+    one grouped aggregate over exploded adjacent pairs (map-side
+    combinable; key space = symbol-pair vocabulary) plus a 1-row argmax
+    pull to the driver, then a literal string replace over the word
+    table — no UDF, no re-scan of the corpus, lineage truncated by
+    localCheckpoint every few rounds. Driver state is the merge list
+    (n_merges rows), never data.
+
+    Ties break by (count desc, lhs asc, rhs asc) — binary string order,
+    reproducible across engines. Pretokens containing the internal
+    separator byte 0x1F are excluded from learning (and from
+    :func:`bpe_encode_stats`), so the separator encoding is safe on
+    arbitrary text.
+
+    Evaluation contract: runs ~2 Spark jobs per merge at call time.
+    Like the reference algorithm, this is an offline vocabulary build,
+    not a per-query path.
+    """
+    sep = BPE_SEP
+    words = (
+        df.select(F.explode(bpe_ish_tokens(F.col(text_col))).alias("w"))
+        .where(~F.col("w").contains(sep))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(bpe_word_seq(F.col("w")).alias("seq"), "freq")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, n_merges + 1):
+        syms = _seq_symbols(F.col("seq"))
+        # Adjacent overlapping pairs, weighted by word frequency; the
+        # sequence() guard avoids Spark's descending sequence(1, 0) on
+        # single-symbol words.
+        idx = F.when(
+            F.size(syms) >= 2, F.sequence(F.lit(1), F.size(syms) - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pair = F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(syms, i).alias("s1"),
+                    F.element_at(syms, i + F.lit(1)).alias("s2"),
+                ),
+            )
+        )
+        best = (
+            words.select(pair.alias("p"), "freq")
+            .groupBy("p.s1", "p.s2")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), F.asc("s1"), F.asc("s2"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        s1, s2, c = best[0]["s1"], best[0]["s2"], int(best[0]["c"])
+        merges.append((r, s1, s2, s1 + s2, c))
+        words = words.withColumn(
+            "seq",
+            F.replace(
+                "seq",
+                F.lit(sep + s1 + sep + s2 + sep),
+                F.lit(sep + s1 + s2 + sep),
+            ),
+        )
+        if r % 4 == 0:
+            words = words.localCheckpoint(eager=True)
+    return merges
+
+
+def bpe_apply_merges(word: Column, merges: Sequence[tuple]) -> Column:
+    """Tokenize one pretoken column under learned merges: chained
+    literal replaces over the SEP-wrapped symbol string, in merge-rank
+    order — whole-stage-codegen expressions, no UDF. Returns the
+    symbol array."""
+    sep = BPE_SEP
+    s = bpe_word_seq(word)
+    for m in merges:
+        _, lhs, rhs, merged = m[0], m[1], m[2], m[3]
+        s = F.replace(
+            s, F.lit(sep + lhs + sep + rhs + sep), F.lit(sep + merged + sep)
+        )
+    return _seq_symbols(s)
+
+
+def bpe_encode_stats(
+    df: DataFrame,
+    merges: Sequence[tuple],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document token statistics under a LEARNED BPE vocabulary
+    (from :func:`bpe_learn`): (id, n_tokens, n_distinct_tokens).
+    This is the honest token counter behind curation budgets
+    (curate_pack / mixtures) — the heuristic pretokenizer
+    (:func:`bpe_token_stats`) over-counts exactly the frequent words a
+    real vocab merges into single tokens.
+
+    One projection over the corpus: pretokenize, apply the merge chain
+    per pretoken (literal replaces — codegen, no Python), flatten.
+    Pretokens containing the 0x1F separator byte pass through as
+    single unmergeable tokens, mirroring their exclusion in learning.
+    """
+    sep = BPE_SEP
+    toks = F.filter(
+        bpe_ish_tokens(F.col(text_col)),
+        lambda w: ~w.contains(sep),
+    )
+    all_syms = F.flatten(
+        F.transform(toks, lambda w: bpe_apply_merges(w, merges))
+    )
+    raw = F.filter(
+        bpe_ish_tokens(F.col(text_col)), lambda w: w.contains(sep)
+    )
+    return df.select(
+        F.col(id_col),
+        (F.size(all_syms) + F.size(raw)).cast("long").alias("n_tokens"),
+        F.size(
+            F.array_distinct(F.concat(all_syms, raw))
+        ).cast("long").alias("n_distinct_tokens"),
     )
 
 

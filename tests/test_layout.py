@@ -107,3 +107,65 @@ def test_write_zordered_prunes_both_columns(spark, tmp_path):
     f0 = sorted(glob.glob(f"{path}/part-*.parquet"))[0]
     zs = [r["z_value"] for r in spark.read.parquet(f0).select("z_value").collect()]
     assert zs == sorted(zs)
+
+
+def test_write_findings_zordered_prunes_subject_lookups(spark, tmp_path):
+    """The r8 history-table layout claim: vs write_findings (whose
+    per-file subject stats are useless — every write task spans the
+    full subject range), write_findings_zordered must (a) return
+    byte-identical query results and (b) leave per-file subject_node
+    min/max ranges narrow enough that an F2 point lookup skips most
+    files on stats alone, while found_at stats still prune intervals."""
+    import glob
+
+    from net_spider_spark import demo
+    from net_spider_spark import ingest as IG
+
+    findings = demo.events_findings(spark, "/root/testdata/sf0.001")
+    flat = str(tmp_path / "flat")
+    zord = str(tmp_path / "zord")
+    IG.write_findings(findings, flat, mode="overwrite", partition_by_day=False)
+    IG.write_findings_zordered(findings, zord, n_files=16, bits=12)
+
+    back_flat = spark.read.parquet(flat)
+    back_zord = spark.read.parquet(zord)
+    # identical schema (no layout columns leak) and identical data
+    assert sorted(back_zord.columns) == sorted(back_flat.columns)
+    key = [r["finding_id"] for r in back_zord.select("finding_id").collect()]
+    assert sorted(key) == sorted(
+        r["finding_id"] for r in back_flat.select("finding_id").collect()
+    )
+    probe = back_flat.select("subject_node").first()["subject_node"]
+    got = sorted(
+        r["finding_id"]
+        for r in back_zord.where(F.col("subject_node") == probe).collect()
+    )
+    want = sorted(
+        r["finding_id"]
+        for r in back_flat.where(F.col("subject_node") == probe).collect()
+    )
+    assert got == want and got
+
+    def hit_fraction(path, col, probes):
+        exts = _file_extents(spark, path, [col])
+        hits = sum(
+            sum(1 for e in exts if e[col][0] <= p <= e[col][1])
+            for p in probes
+        )
+        return hits / (len(probes) * len(exts)), len(exts)
+
+    subjects = [
+        r["subject_node"]
+        for r in back_flat.select("subject_node").distinct().limit(20).collect()
+    ]
+    f_zord, n_zord = hit_fraction(zord, "subject_node", subjects)
+    f_flat, n_flat = hit_fraction(flat, "subject_node", subjects)
+    assert n_zord >= 8  # layout actually split along the curve
+    # flat layout: every file spans ~all subjects -> ~1.0; z-order must
+    # skip most files for a point subject
+    assert f_flat > 0.9, f_flat
+    assert f_zord < 0.5, (f_zord, f_flat)
+    # and the time axis still prunes: a tight found_at probe hits few files
+    ts = [r["found_at"] for r in back_flat.select("found_at").limit(10).collect()]
+    f_time, _ = hit_fraction(zord, "found_at", ts)
+    assert f_time < 0.7, f_time

@@ -549,3 +549,97 @@ def test_media_metadata_spark_error_channel(spark):
     sniffed = {r["media_id"]: r["sniffed_format"]
                for r in sniff_media_headers(df).collect()}
     assert sniffed[1] == "mp3" and sniffed[2] == "mp4" and sniffed[3] is None
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash): re-encode invariance that byte digests lack,
+# and the banded dedup operator built on it.
+# ---------------------------------------------------------------------------
+
+def _photo(seed: int, h: int = 48, w: int = 64) -> np.ndarray:
+    """Photo-like test picture: smoothed random noise (rich spectrum,
+    so the pHash low-frequency block has no near-median instability)."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    r = np.random.RandomState(seed)
+    n = r.rand(h // 4, w // 4) * 255
+    big = np.kron(n, np.ones((4, 4)))
+    pad = np.pad(big, 2, mode="edge")
+    sm = sliding_window_view(pad, (5, 5)).reshape(h, w, 25) @ (
+        np.ones(25) / 25
+    )
+    return (
+        np.stack([sm, sm * 0.9 + 10, 255 - sm * 0.5], axis=2)
+        .clip(0, 255)
+        .astype(np.uint8)
+    )
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_phash_jpeg_reencode_recall():
+    """The carried r6 requirement: a JPEG RE-ENCODE (every byte
+    changes, digest dedup is blind) must stay within a tight pHash
+    Hamming distance of the original, while different pictures are
+    far — at quality 85 and a harsher 60."""
+    from net_spider_spark.pipeline.jpeg import decode_jpeg, encode_jpeg
+    from net_spider_spark.pipeline.multimodal import phash64
+
+    for seed in range(5):
+        img = _photo(seed)
+        p = phash64(img)
+        assert _ham(p, phash64(decode_jpeg(encode_jpeg(img)))) <= 4
+        assert _ham(p, phash64(decode_jpeg(encode_jpeg(img, quality=60)))) <= 4
+        assert _ham(p, phash64(_photo(seed + 100))) > 10
+
+
+def test_phash_format_invariance():
+    # identical pixels through different containers -> identical hash
+    from net_spider_spark.pipeline.multimodal import (
+        decode_png, encode_png, phash64
+    )
+
+    img = _photo(1)
+    assert phash64(decode_png(encode_png(img))) == phash64(img)
+
+
+def test_image_phash_dedup_flags_reencodes(spark):
+    """End-to-end through Spark: originals + JPEG re-encodes + PNG
+    copies; the dominated rule must flag every copy and keep every
+    original, with NULL-hash (undecodable) rows passing through."""
+    from net_spider_spark.pipeline.dedup import image_phash_dedup
+    from net_spider_spark.pipeline.jpeg import encode_jpeg
+    from net_spider_spark.pipeline.multimodal import encode_png, image_phash
+
+    rows = []
+    for i in range(4):
+        img = _photo(i)
+        rows.append((i * 10, "image/png", bytearray(encode_png(img)), None))
+        rows.append(
+            (i * 10 + 1, "image/jpeg", bytearray(encode_jpeg(img)), None)
+        )
+    rows.append((99, "application/x-bogus", bytearray(b"????bogus"), None))
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, mime string, payload binary, meta map<string,string>",
+    )
+    hashes = image_phash(media)
+    out = {
+        r["media_id"]: r["is_dup"]
+        for r in image_phash_dedup(hashes, max_hamming=4, bands=8).collect()
+    }
+    for i in range(4):
+        assert out[i * 10] is False      # original kept
+        assert out[i * 10 + 1] is True   # re-encode flagged
+    assert out[99] is False              # decode error passes through
+
+
+def test_phash_dedup_rejects_loose_threshold():
+    import pytest as _pytest
+
+    from net_spider_spark.pipeline.dedup import image_phash_dedup
+
+    with _pytest.raises(ValueError, match="max_hamming < bands"):
+        image_phash_dedup(None, max_hamming=4, bands=4)

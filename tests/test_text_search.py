@@ -94,3 +94,122 @@ def test_token_divergence(spark):
     # determinism across reruns
     again = TX.token_divergence(a, b, top_k=10).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+# ---------------------------------------------------------------------------
+# Learned BPE: distributed grouped-aggregate learning must reproduce the
+# reference algorithm (Sennrich et al. 2016 learn_bpe) exactly —
+# pure-Python spec below mirrors its get_stats + greedy merge loop.
+# ---------------------------------------------------------------------------
+
+def _py_pretok(text):
+    import re
+
+    return re.findall(
+        r"'(?:s|d|m|t|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+", text
+    )
+
+
+def _py_bpe_learn(texts, n_merges):
+    from collections import Counter
+
+    wc = Counter(w for t in texts for w in _py_pretok(t))
+    vocab = [(list(w), f) for w, f in wc.items()]
+
+    def merge_word(syms, pair):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    merges = []
+    for r in range(1, n_merges + 1):
+        stats = Counter()
+        for syms, f in vocab:
+            for i in range(len(syms) - 1):
+                stats[(syms[i], syms[i + 1])] += f
+        if not stats:
+            break
+        (a, b), c = min(
+            stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, a, b, a + b, c))
+        vocab = [(merge_word(s, (a, b)), f) for s, f in vocab]
+    return merges, vocab
+
+
+_BPE_TEXTS = [
+    "low lower lowest low low newer newest new",
+    "wider wide widest new newer lower low",
+    "the lowest of the low, the newest of the new",
+    "999 new lows, 42 wide rows!!",
+]
+
+
+def test_bpe_learn_matches_python_spec(spark):
+    df = spark.createDataFrame(
+        list(enumerate(_BPE_TEXTS)), "doc_id long, text string"
+    )
+    got = TX.bpe_learn(df, n_merges=12)
+    want, _ = _py_bpe_learn(_BPE_TEXTS, 12)
+    assert got == want
+
+
+def test_bpe_encode_matches_python_spec(spark):
+    df = spark.createDataFrame(
+        list(enumerate(_BPE_TEXTS)), "doc_id long, text string"
+    )
+    merges = TX.bpe_learn(df, n_merges=12)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct_tokens"])
+        for r in TX.bpe_encode_stats(df, merges).collect()
+    }
+
+    # encode each doc with the python spec's merge_word loop
+    def enc(text):
+        toks = []
+        for w in _py_pretok(text):
+            syms = list(w)
+            for _, a, b, _m, _c in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            toks.extend(syms)
+        return toks
+
+    for doc_id, text in enumerate(_BPE_TEXTS):
+        toks = enc(text)
+        assert got[doc_id] == (len(toks), len(set(toks)))
+
+
+def test_bpe_learn_stops_when_pairs_run_out(spark):
+    # single-char pretokens only -> zero adjacent pairs -> no merges
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    merges = TX.bpe_learn(df, n_merges=5)
+    # pretokens are ' b', ' c', ' d' (2 symbols) and 'a' -> pairs exist
+    assert 0 < len(merges) <= 5
+    df2 = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert TX.bpe_learn(df2, n_merges=5) == []
+
+
+def test_bpe_encode_separator_byte_passthrough(spark):
+    # a pretoken containing the 0x1F separator must pass through as one
+    # unmergeable token, not corrupt the merge encoding
+    df = spark.createDataFrame(
+        [(1, "low low\x1flow low")], "doc_id long, text string"
+    )
+    merges = TX.bpe_learn(df, n_merges=3)
+    assert all("\x1f" not in m[3] for m in merges)
+    row = TX.bpe_encode_stats(df, merges).collect()[0]
+    assert row["n_tokens"] >= 2
