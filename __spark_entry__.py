@@ -922,6 +922,17 @@ def q_text_bpe_encode(spark, sf_dir):
     return TX.bpe_encode_stats(docs, merges)
 
 
+def q_text_quality_model(spark, sf_dir):
+    # Model-based quality scoring (r6 item 7): logistic-style
+    # classifier distilled from the heuristic gate, trained by 8
+    # full-batch gradient aggregates with fixed-point (1/2^20) gradient
+    # quantization so the run is bit-reproducible on any partitioning
+    # — the DuckDB oracle replays the identical training as unrolled
+    # CTEs and must land on the same weights, scores, and labels.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return TX.quality_model_scores(docs)
+
+
 def q_text_quality_filter(spark, sf_dir):
     docs = demo.read_table(spark, sf_dir, "documents")
     return TX.quality_filter(
@@ -2561,6 +2572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_learned": q_text_bpe_learned,
         "text_bpe_encode": q_text_bpe_encode,
         "dedup_image_phash": q_dedup_image_phash,
+        "text_quality_model": q_text_quality_model,
         # Group 4: driver-green in r7 (freshest signal).
         "curate_chunks": q_curate_chunks,
         "curate_decontaminate": q_curate_decontaminate,
@@ -2693,8 +2705,62 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
 
 
+def _qmodel_sql(n_steps: int = 8, lr: float = 2.0) -> str:
+    """DuckDB replay of quality_model_train + quality_model_scores as
+    unrolled CTEs: feat = the quality_scores features + heuristic-gate
+    label; per step k: s{k} = EXACT integer sums of the 1/2^20-floored
+    per-row gradients, w{k} = the weight update in the same arithmetic
+    order as the Spark driver loop. Bit-identical by construction: the
+    sigmoid is rational (no libm exp), the only sums are of integers,
+    and every double op is IEEE correctly-rounded in both engines."""
+    feat = f"""feat AS (
+  SELECT doc_id,
+         1.0 AS x0,
+         CAST(length(text) AS DOUBLE) / 1000.0 AS x1,
+         (length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g')))
+           / greatest(length(text), 1) AS x2,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+           / greatest(length(text), 1) AS x3,
+         len(list_filter({SQL_TOKS_RAW}, t -> list_contains({_STOP_SQL}, lower(t))))
+           / greatest(len({SQL_TOKS_RAW}), 1) AS x4,
+         CAST(length(text) >= 100
+              AND (length(text) - length(regexp_replace(text, '[,.!?;:]', '', 'g')))
+                  / greatest(length(text), 1) <= 0.2
+              AND length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  / greatest(length(text), 1) >= 0.5 AS DOUBLE) AS y
+  FROM documents
+),
+w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4,
+              (SELECT count(*) FROM feat) AS n)"""
+    parts = [feat]
+    for k in range(1, n_steps + 1):
+        t = " + ".join(f"w{k - 1}.w{i} * x{i}" for i in range(5))
+        sig = f"(0.5 + 0.5 * ({t}) / (1.0 + abs({t})))"
+        gs = ", ".join(
+            f"sum(CAST(floor((({sig}) - y) * x{i} * 1048576.0) AS BIGINT))"
+            f" AS g{i}"
+            for i in range(5)
+        )
+        parts.append(f"s{k} AS (SELECT {gs} FROM feat, w{k - 1})")
+        ws = ", ".join(
+            f"w{k - 1}.w{i} - {lr!r} * ((CAST(g{i} AS DOUBLE) / 1048576.0)"
+            f" / CAST(n AS DOUBLE)) AS w{i}"
+            for i in range(5)
+        )
+        parts.append(f"w{k} AS (SELECT {ws}, n FROM w{k - 1}, s{k})")
+    t = " + ".join(f"w{n_steps}.w{i} * x{i}" for i in range(5))
+    sig = f"(0.5 + 0.5 * ({t}) / (1.0 + abs({t})))"
+    body = ",\n".join(parts)
+    return (
+        "WITH " + body
+        + "\nSELECT doc_id, round(" + sig + ", 6) AS quality_score, "
+        + sig + " >= 0.5 AS pred_good\nFROM feat, w" + str(n_steps)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
+    d["text_quality_model"] = _qmodel_sql()
     d["text_bpe_learned"] = _bpe_learn_sql(BPE_N_MERGES)
     d["text_bpe_encode"] = _bpe_encode_sql(BPE_N_MERGES)
     # Perceptual dedup oracle: the synthesized corpus makes the dup

@@ -109,9 +109,14 @@ HEADLINE = [
     "layout_zorder",
     "sketch_kmv_setops",
     # round-8 additions: Sennrich BPE learned as grouped aggregates
-    # (merge table + per-doc token counts under the learned vocab).
+    # (merge table + per-doc token counts under the learned vocab),
+    # perceptual image dedup (pHash banding over re-encoded copies),
+    # and the fixed-point logistic quality model (8 training
+    # aggregates + one scoring projection).
     "text_bpe_learned",
     "text_bpe_encode",
+    "dedup_image_phash",
+    "text_quality_model",
 ]
 
 

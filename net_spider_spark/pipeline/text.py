@@ -323,6 +323,131 @@ def quality_filter(
     return df.join(keep, id_col, "left_semi")
 
 
+# Fixed-point grid for the quality-model gradient quantization: per-row
+# gradient contributions are floored onto 1/2^20 steps and summed as
+# INTEGERS, so the distributed sum is exact and order-independent —
+# the whole training run is bit-reproducible on any partitioning, any
+# engine (the DuckDB oracle replays it as unrolled CTEs).
+QMODEL_SCALE = float(1 << 20)
+
+
+def _qmodel_sigmoid(t: Column) -> Column:
+    # Rational sigmoid 0.5 + 0.5 * t / (1 + |t|): same shape as the
+    # logistic, but built from +,*,/,abs only — IEEE-754 correctly
+    # rounded everywhere, unlike exp(), whose last-ulp behavior varies
+    # by libm and would break cross-engine reproducibility.
+    return F.lit(0.5) + F.lit(0.5) * t / (F.lit(1.0) + F.abs(t))
+
+
+def _qmodel_features(scores: DataFrame) -> list[Column]:
+    # [bias, n_chars/1000, punct_ratio, alpha_ratio, stopword_ratio] —
+    # every non-bias feature is integer counts + ONE division, so both
+    # engines produce identical doubles.
+    return [
+        F.lit(1.0),
+        F.col("n_chars").cast("double") / F.lit(1000.0),
+        F.col("punct_ratio"),
+        F.col("alpha_ratio"),
+        F.col("stopword_ratio"),
+    ]
+
+
+def quality_model_train(
+    df: DataFrame,
+    n_steps: int = 8,
+    lr: float = 2.0,
+    min_chars: int = 100,
+    max_punct_ratio: float = 0.2,
+    min_alpha_ratio: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> list[float]:
+    """Train a logistic-style quality classifier over the
+    :func:`quality_scores` features by full-batch gradient descent,
+    each step ONE grouped aggregate over the corpus — the C4/DCLM move
+    of replacing hard thresholds with a smooth model score, here
+    distilled from the heuristic gate itself (label = the
+    ``quality_filter`` predicate), so it needs no external labels.
+
+    Determinism is the design center: per-row gradient contributions
+    are floored onto a 1/2^20 fixed-point grid and summed as integers
+    (exact, order-independent — safe under any partitioning), the
+    sigmoid is a rational approximation (no libm exp), and the weight
+    update sequence is fixed — so Spark, the DuckDB oracle, and the
+    numpy spec in tests produce bit-identical weights.
+
+    Scale: n_steps scans of the 5-column feature table (derive it once
+    — the function materializes it via localCheckpoint; unreplicated
+    blocks, executor loss fails the step instead of recomputing).
+    Driver state is 5 floats. Returns the weight list.
+    """
+    scores = quality_scores(df, text_col=text_col, id_col=id_col)
+    label = (
+        (F.col("n_chars") >= min_chars)
+        & (F.col("punct_ratio") <= max_punct_ratio)
+        & (F.col("alpha_ratio") >= min_alpha_ratio)
+    ).cast("double")
+    feats = _qmodel_features(scores)
+    base = scores.select(
+        label.alias("_y"),
+        *[fx.alias(f"_x{i}") for i, fx in enumerate(feats)],
+    ).localCheckpoint(eager=True)
+    n = base.count()
+    if n == 0:
+        raise ValueError("empty corpus")
+    w = [0.0] * len(feats)
+    for _ in range(n_steps):
+        t = F.lit(w[0]) * F.col("_x0")
+        for i in range(1, len(w)):
+            t = t + F.lit(w[i]) * F.col(f"_x{i}")
+        resid = _qmodel_sigmoid(t) - F.col("_y")
+        sums = base.agg(
+            *[
+                F.sum(
+                    F.floor(
+                        (resid * F.col(f"_x{i}")) * F.lit(QMODEL_SCALE)
+                    ).cast("long")
+                ).alias(f"g{i}")
+                for i in range(len(w))
+            ]
+        ).first()
+        for i in range(len(w)):
+            upd = (float(sums[f"g{i}"]) / QMODEL_SCALE) / float(n)
+            w[i] = w[i] - lr * upd
+    return w
+
+
+def quality_model_scores(
+    df: DataFrame,
+    weights: Sequence[float] | None = None,
+    n_steps: int = 8,
+    lr: float = 2.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score every document with the trained quality model:
+    (id, quality_score, pred_good). ``weights=None`` trains first
+    (:func:`quality_model_train` — n_steps aggregates), then scoring
+    is one codegen projection over the corpus. ``quality_score`` is
+    rounded to 6 dp (reproducible; well above any cross-engine float
+    noise), ``pred_good`` is score >= 0.5."""
+    if weights is None:
+        weights = quality_model_train(
+            df, n_steps=n_steps, lr=lr, text_col=text_col, id_col=id_col
+        )
+    scores = quality_scores(df, text_col=text_col, id_col=id_col)
+    feats = _qmodel_features(scores)
+    t = F.lit(weights[0]) * feats[0]
+    for i in range(1, len(weights)):
+        t = t + F.lit(weights[i]) * feats[i]
+    p = _qmodel_sigmoid(t)
+    return scores.select(
+        F.col(id_col),
+        F.round(p, 6).alias("quality_score"),
+        (p >= F.lit(0.5)).alias("pred_good"),
+    )
+
+
 def common_ngrams(
     df: DataFrame,
     n: int = 3,

@@ -213,3 +213,78 @@ def test_bpe_encode_separator_byte_passthrough(spark):
     assert all("\x1f" not in m[3] for m in merges)
     row = TX.bpe_encode_stats(df, merges).collect()[0]
     assert row["n_tokens"] >= 2
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring: distributed fixed-point training must be
+# bit-identical to the sequential pure-Python spec (the determinism the
+# DuckDB oracle relies on).
+# ---------------------------------------------------------------------------
+
+def _py_quality_model(rows, n_steps=8, lr=2.0):
+    import math
+
+    SCALE = float(1 << 20)
+    feats, ys = [], []
+    for r in rows:
+        feats.append(
+            [1.0, r["n_chars"] / 1000.0, r["punct_ratio"],
+             r["alpha_ratio"], r["stopword_ratio"]]
+        )
+        ys.append(
+            1.0
+            if (
+                r["n_chars"] >= 100
+                and r["punct_ratio"] <= 0.2
+                and r["alpha_ratio"] >= 0.5
+            )
+            else 0.0
+        )
+    n = len(feats)
+    w = [0.0] * 5
+    for _ in range(n_steps):
+        g = [0] * 5
+        for x, y in zip(feats, ys):
+            t = w[0] * x[0]
+            for i in range(1, 5):
+                t = t + w[i] * x[i]
+            p = 0.5 + 0.5 * t / (1.0 + abs(t))
+            for i in range(5):
+                g[i] += math.floor(((p - y) * x[i]) * SCALE)
+        for i in range(5):
+            w[i] = w[i] - lr * ((float(g[i]) / SCALE) / float(n))
+    return w
+
+
+def test_quality_model_train_matches_python_spec(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = TX.quality_model_train(docs, n_steps=8, lr=2.0)
+    rows = TX.quality_scores(docs).collect()
+    want = _py_quality_model(rows)
+    assert got == want  # bit-identical, not approximately equal
+
+
+def test_quality_model_train_partitioning_invariant(spark):
+    # the fixed-point integer gradient sums make training independent
+    # of partitioning/aggregation order — the 100 TB guarantee
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w1 = TX.quality_model_train(docs.coalesce(1))
+    w8 = TX.quality_model_train(docs.repartition(8))
+    assert w1 == w8
+
+
+def test_quality_model_scores_separate_good_from_bad(spark):
+    rows = [
+        (1, "A long, well formed document " * 20),  # passes the gate
+        (2, "??!! ### 123"),                        # fails everything
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # train on the real corpus, score the planted docs
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    w = TX.quality_model_train(corpus)
+    out = {
+        r["doc_id"]: r
+        for r in TX.quality_model_scores(df, weights=w).collect()
+    }
+    assert out[1]["quality_score"] > out[2]["quality_score"]
+    assert out[1]["pred_good"]
