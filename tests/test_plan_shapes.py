@@ -244,3 +244,41 @@ def test_boilerplate_removal_plan(docs):
     assert plan.count("Generate explode") <= plan.count("explode")
     exec_plan = df._jdf.queryExecution().executedPlan().toString()
     assert "HashJoin" in exec_plan  # broadcast or shuffled-hash, either
+
+
+def test_bpe_encode_plan_stays_in_codegen(docs):
+    # Learned-BPE encoding is a chain of literal replaces per pretoken:
+    # one projection, zero Python evaluators, zero Exchange.
+    from net_spider_spark.pipeline import text as TX
+
+    merges = [(1, "d", "u", "du", 9), (2, "du", "p", "dup", 9)]
+    df = TX.bpe_encode_stats(docs, merges)
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_quality_model_scoring_plan_stays_in_codegen(docs):
+    # Scoring under fixed weights is one narrow projection.
+    from net_spider_spark.pipeline import text as TX
+
+    df = TX.quality_model_scores(docs, weights=[0.1, 0.2, 0.3, 0.4, 0.5])
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_phash_candidates_plan_no_cartesian(spark):
+    # Banded candidate join must be an equi-join on (band, sig) with
+    # the hot-bucket anti-join — never cartesian/nested-loop.
+    from net_spider_spark.pipeline import dedup as DD
+
+    hashes = spark.createDataFrame(
+        [(i, (i * 2654435761) % (1 << 63)) for i in range(50)],
+        "media_id long, phash long",
+    )
+    df = DD.image_phash_dedup(hashes, max_hamming=2)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
