@@ -124,9 +124,14 @@ def main() -> None:
         for k in in_budget
         if last_green.get(k, 0) < max(last_green.values(), default=0)
     )
-    print(f"# first {args.budget} keys cover {stale_hit} stale/new queries")
-    for k in order:
-        print(k)
+    try:
+        print(
+            f"# first {args.budget} keys cover {stale_hit} stale/new queries"
+        )
+        for k in order:
+            print(k)
+    except BrokenPipeError:  # e.g. piped through head
+        pass
 
 
 if __name__ == "__main__":
