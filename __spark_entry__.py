@@ -595,6 +595,20 @@ def q_curate_pack(spark, sf_dir):
     return CU.pack_documents(docs, window_tokens=256, n_groups=32)
 
 
+def q_curate_pack_bpe(spark, sf_dir):
+    # Packing driven by LEARNED-BPE token counts instead of the
+    # whitespace counter — the point of r8's bpe_learn: the window
+    # budget is denominated in the tokens a trainer actually sees.
+    # The oracle replays the BPE learning (unrolled CTEs), re-encodes
+    # every doc, and packs with the same window math.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    merges = TX.bpe_learn(docs, n_merges=BPE_N_MERGES)
+    counts = TX.bpe_encode_stats(docs, merges).select("doc_id", "n_tokens")
+    return CU.pack_documents(
+        docs, window_tokens=256, n_groups=32, token_counts=counts
+    )
+
+
 def q_curate_hash_sample(spark, sf_dir):
     docs = demo.read_table(spark, sf_dir, "documents")
     return CU.hash_sample(docs, fraction=0.25).select("doc_id", "n_chars")
@@ -629,6 +643,17 @@ def q_curate_decontaminate(spark, sf_dir):
     train = docs.where(F.col("doc_id") % 5 != 0)
     eval_df = docs.where(F.col("doc_id") % 5 == 0)
     return CU.decontaminate(train, eval_df, n=8)
+
+
+def q_curate_decontaminate_fuzzy(spark, sf_dir):
+    # Near-duplicate benchmark leakage: the synthetic corpus's
+    # near-duplicate families straddle the train/eval split, so banded
+    # candidates + exact Jaccard find real cross-split overlap the
+    # exact-8-gram decontaminate would undercount.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    eval_df = docs.where(F.col("doc_id") % 5 == 0)
+    return CU.decontaminate_fuzzy(train, eval_df, n=3, threshold=0.5)
 
 
 def q_dedup_exact_incremental(spark, sf_dir):
@@ -2573,6 +2598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": q_text_bpe_encode,
         "dedup_image_phash": q_dedup_image_phash,
         "text_quality_model": q_text_quality_model,
+        "curate_pack_bpe": q_curate_pack_bpe,
+        "curate_decontaminate_fuzzy": q_curate_decontaminate_fuzzy,
         # Group 4: driver-green in r7 (freshest signal).
         "curate_chunks": q_curate_chunks,
         "curate_decontaminate": q_curate_decontaminate,
@@ -2677,7 +2704,9 @@ def _bpe_learn_sql(n: int) -> str:
     return f"WITH {_bpe_oracle_ctes(n)}\n{sel}"
 
 
-def _bpe_encode_sql(n: int) -> str:
+def _bpe_encode_core(n: int) -> str:
+    """Learning CTEs + per-doc re-encode under the learned merges,
+    through an ``agg`` CTE of (doc_id, n_tokens, n_distinct_tokens)."""
     sep = "chr(31)"
     expr = f"{sep} || regexp_replace(w, '(.)', '\\1' || {sep}, 'g')"
     for i in range(1, n + 1):
@@ -2686,7 +2715,7 @@ def _bpe_encode_sql(n: int) -> str:
             f" {sep} || b{i}.s1 || b{i}.s2 || {sep})"
         )
     froms = ", ".join(f"b{i}" for i in range(1, n + 1))
-    return f"""WITH {_bpe_oracle_ctes(n)},
+    return f"""{_bpe_oracle_ctes(n)},
 enc AS (
   SELECT doc_id,
          CASE WHEN w LIKE '%' || {sep} || '%' THEN [w]
@@ -2698,11 +2727,36 @@ agg AS (
   SELECT doc_id, sum(len(tl)) AS n_tokens,
          len(list_distinct(flatten(list(tl)))) AS n_distinct_tokens
   FROM enc GROUP BY doc_id
-)
+)"""
+
+
+def _bpe_encode_sql(n: int) -> str:
+    return f"""WITH {_bpe_encode_core(n)}
 SELECT d.doc_id,
        CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
        CAST(coalesce(a.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens
 FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
+
+
+def _bpe_pack_sql(n: int, window_tokens: int = 256, n_groups: int = 32) -> str:
+    return f"""WITH {_bpe_encode_core(n)},
+t AS (
+  SELECT d.doc_id,
+         CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         d.doc_id % {n_groups} AS grp
+  FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+),
+c AS (
+  SELECT doc_id, n_tokens, grp,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY grp ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(grp * 1099511627776 + cumb // {window_tokens} AS BIGINT) AS pack_id,
+       CAST(cumb % {window_tokens} AS BIGINT) AS pack_pos
+FROM c"""
 
 
 def _qmodel_sql(n_steps: int = 8, lr: float = 2.0) -> str:
@@ -2763,6 +2817,45 @@ def oracle_sql() -> dict[str, str]:
     d["text_quality_model"] = _qmodel_sql()
     d["text_bpe_learned"] = _bpe_learn_sql(BPE_N_MERGES)
     d["text_bpe_encode"] = _bpe_encode_sql(BPE_N_MERGES)
+    d["curate_pack_bpe"] = _bpe_pack_sql(BPE_N_MERGES)
+    # Fuzzy decontamination: same banded-probe + verify algebra as the
+    # incremental minhash + jaccard oracles, across the train/eval
+    # split, folded to a per-train-doc max.
+    d["curate_decontaminate_fuzzy"] = f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id, unnest({SQL_SHINGLES}) AS shingle FROM tok),
+mh AS (
+  SELECT doc_id, b.band, min(md5(CAST(b.band AS VARCHAR) || '|' || shingle)) AS sig
+  FROM sh CROSS JOIN (VALUES (1), (2), (3), (4)) b(band)
+  GROUP BY doc_id, b.band
+),
+cand AS (
+  SELECT DISTINCT t.doc_id AS new_id, e.doc_id AS corpus_id
+  FROM mh t JOIN mh e ON t.band = e.band AND t.sig = e.sig
+  WHERE t.doc_id % 5 <> 0 AND e.doc_id % 5 = 0 AND t.doc_id <> e.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+shared AS (
+  SELECT cd.new_id, cd.corpus_id, count(*) AS shared
+  FROM cand cd
+  JOIN sh a ON a.doc_id = cd.new_id
+  JOIN sh b ON b.doc_id = cd.corpus_id AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+jacc AS (
+  SELECT new_id AS doc_id,
+         round(max(shared / (nt.n + ne.n - shared)), 9) AS max_eval_jaccard
+  FROM shared
+  JOIN sizes nt ON nt.doc_id = new_id
+  JOIN sizes ne ON ne.doc_id = corpus_id
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       coalesce(j.max_eval_jaccard, 0.0) AS max_eval_jaccard,
+       coalesce(j.max_eval_jaccard, 0.0) >= 0.5 AS contaminated
+FROM documents d LEFT JOIN jacc j ON j.doc_id = d.doc_id
+WHERE d.doc_id % 5 <> 0
+"""
     # Perceptual dedup oracle: the synthesized corpus makes the dup
     # structure analytic (class = event_id % 6; lossless re-encodes
     # share pixels -> pHash Hamming 0; inter-class distance >> the

@@ -117,6 +117,8 @@ HEADLINE = [
     "text_bpe_encode",
     "dedup_image_phash",
     "text_quality_model",
+    "curate_pack_bpe",
+    "curate_decontaminate_fuzzy",
 ]
 
 

@@ -107,6 +107,7 @@ def pack_documents(
     n_groups: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    token_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Assign each document to a fixed-size training context window
     ("pack") by contiguous greedy packing: within a pack group, docs are
@@ -126,13 +127,34 @@ def pack_documents(
     remaining window spills into the next pack boundary — the consumer
     splits or drops at read time, same convention as fixed-stride
     packing in published LLM data pipelines).
+
+    ``token_counts`` swaps the whitespace counter for a precomputed
+    (id, n_tokens) table — pass ``text.bpe_encode_stats`` output to
+    pack by LEARNED-vocabulary token counts, which is what the window
+    budget actually means to a trainer (the whitespace count
+    over-fills windows exactly on the frequent words a real vocab
+    merges). One extra equi-join on the id; the pack window math is
+    unchanged.
     """
-    toks = F.size(tokens_col(F.col(text_col))).cast("long")
-    grouped = df.select(
-        F.col(id_col),
-        toks.alias("n_tokens"),
-        F.pmod(F.col(id_col), F.lit(n_groups)).cast("long").alias("_grp"),
-    )
+    if token_counts is not None:
+        grouped = df.select(F.col(id_col)).join(
+            token_counts.select(
+                F.col(id_col), F.col("n_tokens").cast("long").alias("n_tokens")
+            ),
+            id_col,
+        )
+        grouped = grouped.select(
+            F.col(id_col),
+            "n_tokens",
+            F.pmod(F.col(id_col), F.lit(n_groups)).cast("long").alias("_grp"),
+        )
+    else:
+        toks = F.size(tokens_col(F.col(text_col))).cast("long")
+        grouped = df.select(
+            F.col(id_col),
+            toks.alias("n_tokens"),
+            F.pmod(F.col(id_col), F.lit(n_groups)).cast("long").alias("_grp"),
+        )
     w = (
         Window.partitionBy("_grp")
         .orderBy(id_col)
@@ -463,6 +485,86 @@ def decontaminate(
         .withColumn("contaminated", F.col("hit_ratio") > F.lit(threshold))
     )
     return out
+
+
+def decontaminate_fuzzy(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    n_hashes: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """NEAR-duplicate decontamination: flag training documents whose
+    n-gram Jaccard similarity to ANY eval/benchmark document reaches
+    ``threshold`` — the guard :func:`decontaminate`'s exact-n-gram
+    hits cannot give against paraphrased or lightly-edited benchmark
+    leakage (an eval doc reworded past the 8-gram granularity still
+    shares most short shingles).
+
+    Scale shape mirrors incremental near-dup dedup: MinHash-banded
+    candidates of train docs PROBING the eval signature index
+    (``minhash_candidates_against`` — never train x eval), exact
+    Jaccard verification on candidates only, then a per-train-doc max.
+    Returns (id, max_eval_jaccard, contaminated) for every train row
+    (never-candidate docs report 0.0).
+    """
+    from net_spider_spark.pipeline import dedup as D
+
+    train_sh = D.doc_shingles(train_df, text_col=text_col, id_col=id_col, n=n)
+    eval_sh = D.doc_shingles(eval_df, text_col=text_col, id_col=id_col, n=n)
+    cand = D.minhash_candidates_against(
+        D.minhash_signatures(train_sh, n_hashes=n_hashes, id_col=id_col),
+        D.minhash_signatures(eval_sh, n_hashes=n_hashes, id_col=id_col),
+        id_col=id_col,
+    )
+    t_sizes = train_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nt"))
+    e_sizes = eval_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_ne"))
+    shared = (
+        cand.join(
+            train_sh.select(F.col(id_col).alias("new_id"), "shingle"),
+            "new_id",
+        )
+        .join(
+            eval_sh.select(F.col(id_col).alias("corpus_id"), "shingle"),
+            ["corpus_id", "shingle"],
+        )
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    jacc = (
+        shared.join(
+            t_sizes.select(F.col(id_col).alias("new_id"), "_nt"), "new_id"
+        )
+        .join(
+            e_sizes.select(F.col(id_col).alias("corpus_id"), "_ne"),
+            "corpus_id",
+        )
+        .select(
+            F.col("new_id").alias(id_col),
+            (
+                F.col("_shared")
+                / (F.col("_nt") + F.col("_ne") - F.col("_shared"))
+            ).alias("_j"),
+        )
+        .groupBy(id_col)
+        .agg(F.round(F.max("_j"), 9).alias("max_eval_jaccard"))
+    )
+    return (
+        train_df.select(F.col(id_col))
+        .join(jacc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("max_eval_jaccard"), F.lit(0.0)).alias(
+                "max_eval_jaccard"
+            ),
+            (
+                F.coalesce(F.col("max_eval_jaccard"), F.lit(0.0))
+                >= F.lit(threshold)
+            ).alias("contaminated"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

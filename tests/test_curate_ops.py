@@ -284,3 +284,62 @@ def test_mixture_with_repetition_quotas_and_evenness(spark):
     assert down_ids == want
     with pytest.raises(ValueError):
         CU.mixture_sample_with_repetition(df, {"web": 1.0}, target_total=0)
+
+
+def test_pack_documents_with_external_token_counts(spark):
+    from net_spider_spark.pipeline import curate as CU
+
+    docs = spark.createDataFrame(
+        [(i, "ignored text") for i in range(6)], "doc_id long, text string"
+    )
+    counts = spark.createDataFrame(
+        [(i, 100) for i in range(6)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in CU.pack_documents(
+            docs, window_tokens=256, n_groups=1, token_counts=counts
+        ).collect()
+    }
+    # 100-token docs into 256-token windows, one group: docs 0,1 in
+    # pack 0 (pos 0,100), doc 2 spills into pack 0 at pos 200 (spill
+    # convention), docs 3,4 in pack 1... cumulative layout:
+    assert [out[i]["pack_id"] % (1 << 40) for i in range(6)] == [
+        0, 0, 0, 1, 1, 1
+    ]
+    assert [out[i]["pack_pos"] for i in range(6)] == [
+        0, 100, 200, 44, 144, 244
+    ]
+    assert all(out[i]["n_tokens"] == 100 for i in range(6))
+
+
+def test_decontaminate_fuzzy_catches_paraphrased_leakage(spark):
+    """An eval doc lightly reworded in the train set shares most
+    3-gram shingles (high Jaccard) while its 8-gram exact hits shrink
+    — fuzzy decontamination must flag it; unrelated docs stay clean."""
+    from net_spider_spark.pipeline import curate as CU
+
+    eval_text = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "cat watches from the tall garden fence nearby"
+    )
+    # light edit: one word changed mid-sentence
+    leaked = eval_text.replace("lazy dog", "lazy hound")
+    clean = (
+        "completely different material about distributed query "
+        "engines and shuffle partitioning strategies at scale"
+    )
+    train = spark.createDataFrame(
+        [(1, leaked), (2, clean)], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in CU.decontaminate_fuzzy(
+            train, eval_df, n=3, threshold=0.5
+        ).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["max_eval_jaccard"] > 0.5
+    assert not out[2]["contaminated"] and out[2]["max_eval_jaccard"] == 0.0
