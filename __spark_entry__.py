@@ -2131,28 +2131,20 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     )
 
 
-def q_dedup_image_phash(spark, sf_dir):
-    # Perceptual image dedup over RE-ENCODED copies — the case byte
-    # digests cannot catch: each event renders one of 6 fixed
-    # photo-like pictures (class = event_id % 6), encoded LOSSLESSLY
-    # as BMP / PNG / PPM by event_id % 3, so same-class payloads have
-    # different bytes but identical pixels -> identical pHash
-    # (Hamming 0), while inter-class pHash distances are >> the
-    # threshold (smoothed-noise pictures; measured 26-38 bits). The
-    # dup structure is therefore analytically predictable: a media row
-    # is a duplicate iff it is not the smallest event_id of its class
-    # — which is exactly what the oracle computes with one window
-    # function, touching no image math.
+def _synth_class_media(ev):
+    # Shared media synthesizer for the perceptual-dedup queries (batch
+    # AND streaming — the mapInPandas is stateless): each event renders
+    # one of 6 fixed photo-like pictures (class = event_id % 6),
+    # encoded LOSSLESSLY as BMP / PNG / PPM by event_id % 3, so
+    # same-class payloads have different bytes but identical pixels ->
+    # identical pHash (Hamming 0), while inter-class pHash distances
+    # are >> any tight threshold (smoothed-noise pictures; measured
+    # 26-38 bits). The dup structure is therefore analytically
+    # predictable from event_id alone — which is what lets plain SQL
+    # oracle a perceptual-hash operator without image math.
     import pandas as pd
 
-    from net_spider_spark.pipeline import dedup as DD
     from net_spider_spark.pipeline import multimodal as MM
-
-    ev = (
-        _events_typed(spark, sf_dir)
-        .where(F.col("event_id") % 25 == 21)
-        .select("event_id")
-    )
 
     def synth(batches):
         import struct
@@ -2217,14 +2209,52 @@ def q_dedup_image_phash(spark, sf_dir):
                 }
             )
 
-    media = ev.mapInPandas(
+    return ev.mapInPandas(
         synth,
         schema="media_id bigint, mime string, payload binary, "
         "meta map<string,string>",
     )
-    hashes = MM.image_phash(media)
+
+
+def q_dedup_image_phash(spark, sf_dir):
+    # Perceptual image dedup over RE-ENCODED copies — the case byte
+    # digests cannot catch. See _synth_class_media for why the dup
+    # structure is analytic: a media row is a duplicate iff it is not
+    # the smallest event_id of its class, which the oracle computes
+    # with one window function.
+    from net_spider_spark.pipeline import dedup as DD
+    from net_spider_spark.pipeline import multimodal as MM
+
+    ev = (
+        _events_typed(spark, sf_dir)
+        .where(F.col("event_id") % 25 == 21)
+        .select("event_id")
+    )
+    hashes = MM.image_phash(_synth_class_media(ev))
     return DD.image_phash_dedup(hashes, max_hamming=2).select(
         "media_id", "is_dup"
+    )
+
+
+def q_stream_dedup_phash(spark, sf_dir):
+    # Streaming perceptual dedup: the same class corpus arriving as a
+    # stream; stream_dedup_phash keeps min(media_id) per pHash in
+    # update mode (state = one row per distinct picture). The final
+    # per-hash minimum over the replay equals the smallest event_id of
+    # each class — 6 keeper rows the oracle computes from event_id
+    # arithmetic alone.
+    from net_spider_spark.streaming.dedup import stream_dedup_phash
+
+    _, stream = _events_stream(spark, sf_dir)
+    ev = stream.where(F.col("event_id") % 25 == 21).select("event_id")
+    out = stream_dedup_phash(_synth_class_media(ev))
+    res = _run_available_now(out, "stream_phash_sink", "update")
+    # update-mode sink holds every intermediate per-key emission; the
+    # final state per hash is the min across them.
+    return (
+        res.groupBy("phash")
+        .agg(F.min("keeper_id").alias("keeper_id"))
+        .select("keeper_id")
     )
 
 
@@ -2600,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_model": q_text_quality_model,
         "curate_pack_bpe": q_curate_pack_bpe,
         "curate_decontaminate_fuzzy": q_curate_decontaminate_fuzzy,
+        "stream_dedup_phash": q_stream_dedup_phash,
         # Group 4: driver-green in r7 (freshest signal).
         "curate_chunks": q_curate_chunks,
         "curate_decontaminate": q_curate_decontaminate,
@@ -2868,6 +2899,13 @@ WITH m AS (
 SELECT media_id,
        media_id > min(media_id) OVER (PARTITION BY cls) AS is_dup
 FROM m
+"""
+    # Streaming twin: the replay's final min(media_id) per pHash is the
+    # smallest event_id of each picture class.
+    d["stream_dedup_phash"] = """
+SELECT min(event_id) AS keeper_id
+FROM events WHERE event_id % 25 = 21
+GROUP BY event_id % 6
 """
     # Distributed-path pins share their base query's answer contract:
     # both plans must agree with the same SQL.

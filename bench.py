@@ -119,6 +119,7 @@ HEADLINE = [
     "text_quality_model",
     "curate_pack_bpe",
     "curate_decontaminate_fuzzy",
+    "stream_dedup_phash",
 ]
 
 

@@ -126,3 +126,28 @@ def state_store_metrics(query) -> dict:
         "state_bytes": op.get("memoryUsedBytes"),
         "custom": op.get("customMetrics", {}),
     }
+
+
+def stream_dedup_phash(media_stream: DataFrame) -> DataFrame:
+    """Perceptual streaming dedup: the first-occurrence keeper per
+    64-bit pHash over an unbounded image stream — the content-based
+    sibling of :func:`stream_dedup_digests` (a transcoded/re-encoded
+    copy changes every byte, so the digest dedup re-admits it; its
+    pHash does not change for lossless re-encodes).
+
+    Shape: ``image_phash`` is a STATELESS ``mapInPandas`` (legal on
+    streams), followed by a streaming ``min(media_id)`` aggregate
+    keyed by the hash — state is one row per distinct picture, the
+    minimum possible for this contract, and lives happily on the
+    RocksDB store (:func:`rocksdb_state_conf`) at corpus scale.
+    Decode failures (error != NULL) are dropped here; route the error
+    channel separately if it matters. Emits (phash, keeper_id) in
+    update mode; near-duplicate (hamming > 0) grouping stays a batch
+    concern (`pipeline.dedup.image_phash_dedup`) — banded self-joins
+    do not stream."""
+    from net_spider_spark.pipeline.multimodal import image_phash
+
+    hashes = image_phash(media_stream).where(F.col("error").isNull())
+    return hashes.groupBy("phash").agg(
+        F.min("media_id").alias("keeper_id")
+    )

@@ -282,3 +282,18 @@ def test_phash_candidates_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_decontaminate_fuzzy_plan_no_cartesian(spark, docs):
+    # Banded probe + verify must stay equi-joins end to end: a
+    # cartesian (train x eval) regression is exactly what this
+    # operator exists to avoid.
+    from net_spider_spark.pipeline import curate as CU
+
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    eval_df = docs.where(F.col("doc_id") % 5 == 0)
+    df = CU.decontaminate_fuzzy(train, eval_df)
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
