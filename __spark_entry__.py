@@ -1130,6 +1130,19 @@ def q_dedup_embedding(spark, sf_dir):
     return D.embedding_near_dup_groups(emb, threshold=0.5, n_planes=10)
 
 
+def q_dedup_embedding_incremental(spark, sf_dir):
+    # Daily-batch embedding dedup: new vectors (vec_id % 4 == 0) probe
+    # the corpus signature index; only (band, sig) candidates get the
+    # exact cosine. Same plane family as dedup_embedding (seed=42,
+    # n_planes=10) so the oracle reuses its signature SQL.
+    emb = demo.read_table(spark, sf_dir, "embeddings")
+    new = emb.where(F.col("vec_id") % 4 == 0)
+    corpus = emb.where(F.col("vec_id") % 4 != 0)
+    return D.embedding_near_dup_against(
+        new, corpus, threshold=0.5, n_planes=10
+    )
+
+
 def _events_typed(spark, sf_dir):
     ev = demo.read_table(spark, sf_dir, "events")
     return ev.select(
@@ -2631,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_pack_bpe": q_curate_pack_bpe,
         "curate_decontaminate_fuzzy": q_curate_decontaminate_fuzzy,
         "stream_dedup_phash": q_stream_dedup_phash,
+        "dedup_embedding_incremental": q_dedup_embedding_incremental,
         # Group 4: driver-green in r7 (freshest signal).
         "curate_chunks": q_curate_chunks,
         "curate_decontaminate": q_curate_decontaminate,
@@ -2906,6 +2920,44 @@ FROM m
 SELECT min(event_id) AS keeper_id
 FROM events WHERE event_id % 25 = 21
 GROUP BY event_id % 6
+"""
+    # Incremental embedding near-dup: new (vec_id % 4 = 0) probes the
+    # corpus signature index — same seeded planes as dedup_embedding.
+    d["dedup_embedding_incremental"] = f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+sigs AS (
+  SELECT vec_id,
+         unnest([0, 1, 2, 3]) AS band,
+         unnest([{", ".join(_EMB_SIG_SQL)}]) AS sig
+  FROM emb
+),
+cand AS (
+  SELECT DISTINCT n.vec_id AS new_id, c.vec_id AS corpus_id
+  FROM sigs n JOIN sigs c ON n.band = c.band AND n.sig = c.sig
+  WHERE n.vec_id % 4 = 0 AND c.vec_id % 4 <> 0 AND n.vec_id <> c.vec_id
+),
+el AS (
+  SELECT cd.new_id, cd.corpus_id, unnest(a.v) AS ea, unnest(b.v) AS eb
+  FROM cand cd
+  JOIN emb a ON a.vec_id = cd.new_id
+  JOIN emb b ON b.vec_id = cd.corpus_id
+),
+scored AS (
+  SELECT new_id, corpus_id,
+         sum(ea * eb) / (sqrt(sum(ea * ea)) * sqrt(sum(eb * eb))) AS cos
+  FROM el GROUP BY 1, 2
+),
+near AS (
+  SELECT new_id, count(*) AS n_near_corpus
+  FROM scored WHERE cos >= 0.5 GROUP BY 1
+)
+SELECT e.vec_id,
+       CAST(coalesce(n.n_near_corpus, 0) AS BIGINT) AS n_near_corpus,
+       coalesce(n.n_near_corpus, 0) > 0 AS is_near_dup
+FROM embeddings e LEFT JOIN near n ON n.new_id = e.vec_id
+WHERE e.vec_id % 4 = 0
 """
     # Distributed-path pins share their base query's answer contract:
     # both plans must agree with the same SQL.

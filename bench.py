@@ -120,6 +120,7 @@ HEADLINE = [
     "curate_pack_bpe",
     "curate_decontaminate_fuzzy",
     "stream_dedup_phash",
+    "dedup_embedding_incremental",
 ]
 
 

@@ -401,6 +401,118 @@ def jaccard_verify_candidates(
     return _jaccard_tail(shared, sizes, threshold, id_col)
 
 
+def embedding_band_signatures(
+    embeddings: DataFrame,
+    n_bands: int = 4,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, band, sig) banded sign-LSH signatures of an embedding
+    column — the shared index shape for the batch self-join
+    (:func:`embedding_lsh_candidates`) and the incremental probe
+    (:func:`embedding_near_dup_against`).
+
+    All band signatures come from ONE Arrow-batched matmul per batch.
+    Catalyst higher-order functions (aggregate/zip_with dots) run
+    INTERPRETED — they disable whole-stage codegen — so at
+    bands x planes x dim per row the expression formulation is the
+    slow path, not the vectorized one. Sign agreement with the SQL
+    oracle holds because a float64 dot's sign only differs across
+    summation orders within ~1e-16 of zero.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from net_spider_spark.pipeline.similarity import hyperplanes
+
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    planes = hyperplanes(dim, n_bands * n_planes, seed)
+    pm = np.array(planes, dtype=np.float64)  # (bands*planes) x dim
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<bigint>")
+    def _band_sigs(v: pd.Series) -> pd.Series:
+        m = np.array(list(v), dtype=np.float64)
+        bits = (m @ pm.T >= 0).astype(np.int64)  # B x (bands*planes)
+        sigs = [
+            (bits[:, b * n_planes : (b + 1) * n_planes] * weights).sum(axis=1)
+            for b in range(n_bands)
+        ]
+        return pd.Series(list(np.stack(sigs, axis=1)))
+
+    return embeddings.select(
+        F.col(id_col), _band_sigs(F.col(vec_col)).alias("_sigs")
+    ).select(
+        F.col(id_col),
+        F.posexplode("_sigs").alias("band", "sig"),
+    )
+
+
+def embedding_near_dup_against(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bands: int = 4,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental embedding near-dup: flag NEW-batch vectors within
+    cosine ``threshold`` of ANY corpus vector — the daily-batch shape
+    (like :func:`exact_duplicates_against` /
+    :func:`minhash_candidates_against`) for the embedding column: the
+    corpus side is the precomputed sign-LSH signature index (n_bands
+    narrow rows per vector), probed by the day's batch on (band, sig);
+    only candidates get the exact cosine. No corpus self-join, no
+    new x corpus cross product. Returns every new row as
+    (id, n_near_corpus, is_near_dup): the count of verified corpus
+    neighbors at/above threshold, and whether any exists.
+    """
+    from net_spider_spark.pipeline.similarity import cosine
+
+    dim = len(corpus_df.select(vec_col).first()[0])
+    new_sigs = embedding_band_signatures(
+        new_df, n_bands, n_planes, id_col, vec_col, seed, dim
+    ).select(F.col(id_col).alias("new_id"), "band", "sig")
+    corpus_sigs = embedding_band_signatures(
+        corpus_df, n_bands, n_planes, id_col, vec_col, seed, dim
+    ).select(F.col(id_col).alias("corpus_id"), "band", "sig")
+    cand = (
+        new_sigs.join(corpus_sigs, ["band", "sig"])
+        .where(F.col("new_id") != F.col("corpus_id"))
+        .select("new_id", "corpus_id")
+        .distinct()
+    )
+    a = new_df.select(F.col(id_col).alias("new_id"), F.col(vec_col).alias("_va"))
+    b = corpus_df.select(
+        F.col(id_col).alias("corpus_id"), F.col(vec_col).alias("_vb")
+    )
+    near = (
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
+        .where(cosine(F.col("_va"), F.col("_vb")) >= threshold)
+        .groupBy("new_id")
+        .agg(F.count(F.lit(1)).alias("n_near_corpus"))
+    )
+    return (
+        new_df.select(F.col(id_col))
+        .join(near.select(F.col("new_id").alias(id_col), "n_near_corpus"), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_near_corpus"), F.lit(0)).cast("long").alias(
+                "n_near_corpus"
+            ),
+            (F.coalesce(F.col("n_near_corpus"), F.lit(0)) > 0).alias(
+                "is_near_dup"
+            ),
+        )
+    )
+
+
 def embedding_lsh_candidates(
     embeddings: DataFrame,
     n_bands: int = 4,
@@ -422,38 +534,8 @@ def embedding_lsh_candidates(
     corpus is never cross-joined. Returns distinct (doc_a, doc_b) with
     doc_a < doc_b.
     """
-    from pyspark.sql.functions import pandas_udf
-
-    from net_spider_spark.pipeline.similarity import hyperplanes
-
-    if dim is None:
-        dim = len(embeddings.select(vec_col).first()[0])
-    planes = hyperplanes(dim, n_bands * n_planes, seed)
-    pm = np.array(planes, dtype=np.float64)  # (bands*planes) x dim
-    weights = 1 << np.arange(n_planes, dtype=np.int64)
-
-    # All band signatures in ONE Arrow-batched matmul per batch.
-    # Catalyst higher-order functions (aggregate/zip_with dots) run
-    # INTERPRETED — they disable whole-stage codegen — so at
-    # bands x planes x dim per row the expression formulation is the
-    # slow path, not the vectorized one. Sign agreement with the SQL
-    # oracle holds because a float64 dot's sign only differs across
-    # summation orders within ~1e-16 of zero.
-    @pandas_udf("array<bigint>")
-    def _band_sigs(v: pd.Series) -> pd.Series:
-        m = np.array(list(v), dtype=np.float64)
-        bits = (m @ pm.T >= 0).astype(np.int64)  # B x (bands*planes)
-        sigs = [
-            (bits[:, b * n_planes : (b + 1) * n_planes] * weights).sum(axis=1)
-            for b in range(n_bands)
-        ]
-        return pd.Series(list(np.stack(sigs, axis=1)))
-
-    sigs = embeddings.select(
-        F.col(id_col), _band_sigs(F.col(vec_col)).alias("_sigs")
-    ).select(
-        F.col(id_col),
-        F.posexplode("_sigs").alias("band", "sig"),
+    sigs = embedding_band_signatures(
+        embeddings, n_bands, n_planes, id_col, vec_col, seed, dim
     )
     a = sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("doc_b"), "band", "sig")

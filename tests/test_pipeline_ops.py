@@ -366,3 +366,50 @@ def test_remove_boilerplate_lines_counts_docs_not_occurrences(spark):
         for r in D.remove_boilerplate_lines(docs, min_docs=2).collect()
     }
     assert out == {0: 0, 1: 0}
+
+
+def test_embedding_near_dup_against_flags_cross_batch(spark):
+    """A new vector nearly identical to a corpus vector must be
+    flagged via the banded probe (never a new x corpus cross join —
+    plan pinned below); an orthogonal vector stays clean."""
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    base = rng.rand(16).astype(float)
+    near = (base + rng.rand(16) * 0.01).tolist()
+    ortho = np.zeros(16)
+    ortho[0] = 1.0
+    far = (ortho if abs(np.dot(ortho, base)) < 0.5 else -ortho).tolist()
+    corpus = spark.createDataFrame(
+        [(i + 100, (rng.rand(16)).tolist()) for i in range(8)]
+        + [(200, base.tolist())],
+        "vec_id long, embedding array<double>",
+    )
+    new = spark.createDataFrame(
+        [(1, near), (2, far)], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: r
+        for r in D.embedding_near_dup_against(
+            new, corpus, threshold=0.95, n_planes=4
+        ).collect()
+    }
+    assert out[1]["is_near_dup"] and out[1]["n_near_corpus"] >= 1
+    assert not out[2]["is_near_dup"] and out[2]["n_near_corpus"] == 0
+
+
+def test_embedding_near_dup_against_plan_no_cartesian(spark):
+    from tests.test_plan_shapes import plan_of
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    df = D.embedding_near_dup_against(
+        emb.where(F.col("vec_id") % 2 == 0),
+        emb.where(F.col("vec_id") % 2 == 1),
+        n_planes=4,
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

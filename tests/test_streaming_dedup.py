@@ -222,3 +222,83 @@ def test_stream_cms_multibatch_equals_batch(spark, tmp_path):
         ).collect())
     )
     assert got == want and len(got) <= 4 * 64
+
+
+def test_stream_dedup_phash_collapses_cross_batch_reencodes(spark, tmp_path):
+    """A picture arriving again in a LATER micro-batch as a different
+    container (same pixels, different bytes) must collapse onto the
+    first batch's keeper — the state row outlives the batch, and the
+    content key is perceptual, not a byte digest."""
+    import numpy as np
+
+    from net_spider_spark.pipeline.multimodal import encode_png
+    from net_spider_spark.streaming.dedup import stream_dedup_phash
+
+    def picture(seed):
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        r = np.random.RandomState(seed)
+        n = r.rand(12, 16) * 255
+        big = np.kron(n, np.ones((4, 4)))
+        pad = np.pad(big, 2, mode="edge")
+        sm = sliding_window_view(pad, (5, 5)).reshape(48, 64, 25) @ (
+            np.ones(25) / 25
+        )
+        return (
+            np.stack([sm, sm, sm], axis=2).clip(0, 255).astype(np.uint8)
+        )
+
+    def to_ppm(px):
+        h, w = px.shape[:2]
+        return b"P6 %d %d 255\n" % (w, h) + px.tobytes()
+
+    a, b, c = picture(1), picture(2), picture(3)
+    batch1 = [
+        (10, "image/png", bytearray(encode_png(a)), None),
+        (11, "image/png", bytearray(encode_png(b)), None),
+    ]
+    batch2 = [
+        (20, "image/x-portable-pixmap", bytearray(to_ppm(a)), None),  # re-encode of a
+        (21, "image/png", bytearray(encode_png(c)), None),
+    ]
+    schema = (
+        "media_id long, mime string, payload binary, "
+        "meta map<string,string>"
+    )
+    src = tmp_path / "media_in"
+    src.mkdir()
+    t0 = time.time() - 2
+    for i, rows in enumerate([batch1, batch2]):
+        sub = str(src / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = stream_dedup_phash(stream)
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"phash_sink_{uuid.uuid4().hex[:8]}")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.sql(f"select * from {q.name}")
+    final = {
+        r["phash"]: r["keeper_id"]
+        for r in res.groupBy("phash")
+        .agg(F.min("keeper_id").alias("keeper_id"))
+        .collect()
+    }
+    # three distinct pictures -> three state rows; the re-encode of a
+    # keeps batch 1's id 10, never 20
+    assert len(final) == 3
+    assert sorted(final.values()) == [10, 11, 21]
