@@ -1476,6 +1476,17 @@ def q_sketch_kmv_distinct(spark, sf_dir):
     )
 
 
+def q_sketch_hll_distinct(spark, sf_dir):
+    # HyperLogLog distinct-user estimate per event type, p=6 (64
+    # registers). Everything engine-portable: md5-derived 60-bit hash,
+    # rho from the binary-digits length (no libm clz), indicator sum
+    # as exact dyadic terms 1/(1<<M) — the oracle replays the whole
+    # construction and must match to the rounded 4 dp.
+    return SK.hll_distinct(
+        _events_typed(spark, sf_dir), ["event_type"], "user_id", p=6
+    )
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     # IVF ANN (KMeans cells + probe search); rows-only driver check —
     # recall vs brute force is pinned in tests/test_pipeline_ops.py.
@@ -2645,6 +2656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_decontaminate_fuzzy": q_curate_decontaminate_fuzzy,
         "stream_dedup_phash": q_stream_dedup_phash,
         "dedup_embedding_incremental": q_dedup_embedding_incremental,
+        "sketch_hll_distinct": q_sketch_hll_distinct,
         # Group 4: driver-green in r7 (freshest signal).
         "curate_chunks": q_curate_chunks,
         "curate_decontaminate": q_curate_decontaminate,
@@ -2857,6 +2869,50 @@ w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4,
     )
 
 
+def _hll_sql(p: int = 6) -> str:
+    """DuckDB replay of hll_distinct over (event_type, user_id): same
+    60-bit hash, bucket split, rho-from-bin-length registers, exact
+    dyadic indicator sum, and the same raw/linear-counting branch —
+    branch selection compares identical doubles, so it never
+    diverges."""
+    from net_spider_spark.pipeline.sketch import hash60_sql
+
+    m = 1 << p
+    w_bits = 60 - p
+    w_mod = 1 << w_bits
+    alpha_m2 = repr((0.7213 / (1.0 + 1.079 / m)) * m * m)
+    return f"""
+WITH h AS (
+  SELECT event_type, {hash60_sql("user_id")} AS h60 FROM events
+),
+b AS (
+  SELECT event_type,
+         h60 // {w_mod} AS bkt,
+         h60 % {w_mod} AS w
+  FROM h
+),
+regs AS (
+  SELECT event_type, bkt,
+         max(CASE WHEN w = 0 THEN {w_bits + 1}
+                  ELSE {w_bits} - length(bin(w)) + 1 END) AS mj
+  FROM b GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type,
+         CAST({m} - count(*) AS BIGINT) AS n_zero_regs,
+         ({m} - count(*)) * 1.0
+           + sum(1.0 / (CAST(1 AS BIGINT) << mj)) AS inv_sum
+  FROM regs GROUP BY 1
+)
+SELECT event_type, n_zero_regs,
+       round(CASE WHEN {alpha_m2} / inv_sum <= {2.5 * m}
+                   AND n_zero_regs > 0
+                  THEN {float(m)} * ln({float(m)} / CAST(n_zero_regs AS DOUBLE))
+                  ELSE {alpha_m2} / inv_sum END, 4) AS est_distinct
+FROM agg
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["text_quality_model"] = _qmodel_sql()
@@ -2921,6 +2977,7 @@ SELECT min(event_id) AS keeper_id
 FROM events WHERE event_id % 25 = 21
 GROUP BY event_id % 6
 """
+    d["sketch_hll_distinct"] = _hll_sql(p=6)
     # Incremental embedding near-dup: new (vec_id % 4 = 0) probes the
     # corpus signature index — same seeded planes as dedup_embedding.
     d["dedup_embedding_incremental"] = f"""

@@ -121,6 +121,7 @@ HEADLINE = [
     "curate_decontaminate_fuzzy",
     "stream_dedup_phash",
     "dedup_embedding_incremental",
+    "sketch_hll_distinct",
 ]
 
 

@@ -1,11 +1,11 @@
-"""Mergeable cardinality sketches: K-Minimum-Values (KMV) distinct
-counting.
+"""Mergeable cardinality sketches: K-Minimum-Values (KMV) and
+HyperLogLog distinct counting, both engine-portable.
 
-Why KMV and not ``approx_count_distinct``: Spark's built-in HLL is
-fast but its binary sketch is engine-private — results can't be
-reproduced by another system, merged across engines, or checked by an
-external oracle. KMV keeps the k smallest *portable* hash values
-(md5-derived, same bytes in any engine), so
+Why not ``approx_count_distinct``: Spark's built-in HLL is fast but
+its binary sketch is engine-private — results can't be reproduced by
+another system, merged across engines, or checked by an external
+oracle. KMV keeps the k smallest *portable* hash values (md5-derived,
+same bytes in any engine), so
 
 * the sketch is a plain ``array<long>`` column any reader understands,
 * two sketches merge by "union, keep k smallest" (associative and
@@ -45,6 +45,10 @@ __all__ = [
     "kmv_merge",
     "kmv_distinct",
     "kmv_set_estimates",
+    "hll_sketch",
+    "hll_merge_arrays",
+    "hll_estimate",
+    "hll_distinct",
     "quantile_sketch",
     "quantile_sketch_merge",
     "quantile_sketch_estimate",
@@ -184,6 +188,122 @@ def kmv_estimate(sketch: DataFrame, k: int = 256) -> DataFrame:
     return sketch.withColumn("n_kept", n.cast("long")).withColumn(
         "est_distinct", est
     )
+
+
+def hll_sketch(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 10,
+    seed: str = "s42",
+) -> DataFrame:
+    """Per-group HyperLogLog sketch (Flajolet et al. 2007), built
+    ENTIRELY from engine-portable primitives so the DuckDB oracle
+    reproduces it bit-for-bit — unlike ``approx_count_distinct``,
+    whose binary sketch is Spark-private.
+
+    The 60-bit md5-derived hash splits into a bucket (top ``p`` bits)
+    and a suffix w; the register is rho = leading-zeros(w) + 1,
+    computed WITHOUT libm as ``(60 - p) - length(bin(w)) + 1``
+    (``bin`` — the binary-digits string — exists with identical
+    semantics in Spark and DuckDB). ``hll`` is the dense register
+    array (length 2^p, missing buckets 0), so two sketches merge by
+    element-wise max (:func:`hll_merge`) — associative, commutative,
+    and O(2^p) state per group at ANY input size.
+
+    Shape: ONE grouped max aggregate over (group, bucket) — no dedup
+    pass needed (duplicates cannot raise a max), map-side combinable —
+    then a dense-array assembly off a (group, map) row. Standard error
+    ~1.04/sqrt(2^p): p=10 -> ~3.3%.
+    """
+    group_cols = list(group_cols)
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    w_bits = 60 - p
+    hashed = df.select(
+        *group_cols,
+        F.expr(hash60_sql(value_col, seed)).alias("_h60"),
+    ).select(
+        *group_cols,
+        F.shiftrightunsigned(F.col("_h60"), w_bits).alias("_bkt"),
+        (
+            F.col("_h60")
+            .bitwiseAND(F.lit((1 << w_bits) - 1))
+        ).alias("_w"),
+    )
+    rho = F.when(F.col("_w") == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(F.col("_w"))) + F.lit(1)
+    )
+    regs = (
+        hashed.select(*group_cols, "_bkt", rho.alias("_rho"))
+        .groupBy(*group_cols, "_bkt")
+        .agg(F.max("_rho").alias("_m"))
+        .groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("_bkt", "_m"))
+            ).alias("_regmap")
+        )
+    )
+    m = 1 << p
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.coalesce(
+            F.element_at("_regmap", j.cast("long")), F.lit(0)
+        ).cast("int"),
+    )
+    return regs.select(*group_cols, dense.alias("hll"))
+
+
+def hll_merge_arrays(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Element-wise max of two dense register arrays — the HLL merge."""
+    return F.zip_with(a, b, lambda x, y: F.greatest(x, y))
+
+
+def hll_estimate(sketch: DataFrame, p: int = 10, hll_col: str = "hll") -> DataFrame:
+    """Cardinality estimate from a dense register array. The raw
+    estimator's indicator sum Σ 2^-M_j is computed as
+    ``1.0 / (1 << M_j)`` — every term a dyadic rational, so the sum is
+    EXACT in double arithmetic and order-independent (the property
+    that makes the estimate reproducible across engines and
+    partitionings; no libm pow). The small-range branch is classic
+    linear counting (the one ln() in the operator; estimates are
+    rounded to 4 dp, far above any last-ulp libm divergence). Adds
+    ``est_distinct`` (double, 4 dp) and ``n_zero_regs``."""
+    m = 1 << p
+    w_bits = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    # 2^-r by lookup: every entry an exact dyadic double, so the
+    # indicator sum is exact and order-independent (no libm pow).
+    inv_pow2 = F.array(
+        *[F.lit(1.0 / (1 << i)) for i in range(w_bits + 2)]
+    )
+    inv_sum = F.aggregate(
+        hll_col,
+        F.lit(0.0),
+        lambda acc, r: acc + F.get(inv_pow2, r),
+    )
+    zeros = F.size(F.filter(hll_col, lambda r: r == F.lit(0)))
+    raw = F.lit(alpha * m * m) / inv_sum
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lc).otherwise(raw)
+    return sketch.withColumn(
+        "n_zero_regs", zeros.cast("long")
+    ).withColumn("est_distinct", F.round(est, 4))
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 10,
+    seed: str = "s42",
+) -> DataFrame:
+    """Sketch + estimate in one call: (group_cols..., n_zero_regs,
+    est_distinct)."""
+    return hll_estimate(
+        hll_sketch(df, group_cols, value_col, p=p, seed=seed), p=p
+    ).drop("hll")
 
 
 def kmv_merge(

@@ -496,3 +496,70 @@ def test_cms_and_bloom_grouped_paths(spark):
     }
     # g1's filter has no bits at all -> nothing maybe-present there
     assert got == {("g0", "a"): True, ("g0", "zz"): False, ("g1", "a"): False}
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog: portable registers, exact-dyadic estimator, merge law.
+# ---------------------------------------------------------------------------
+
+def test_hll_estimate_accuracy(spark):
+    from net_spider_spark.pipeline import sketch as SK
+
+    # 3 groups with known distinct counts 50 / 500 / 5000
+    rows = spark.range(5000).select(
+        F.explode(
+            F.filter(
+                F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                lambda g: (
+                    (g == "a") & (F.col("id") < 50)
+                    | (g == "b") & (F.col("id") < 500)
+                    | (g == "c")
+                ),
+            )
+        ).alias("g"),
+        F.col("id").alias("u"),
+    )
+    est = {
+        r["g"]: r["est_distinct"]
+        for r in SK.hll_distinct(rows, ["g"], "u", p=10).collect()
+    }
+    # p=10 -> SE ~3.3%; allow 4 sigma
+    for g, true in (("a", 50), ("b", 500), ("c", 5000)):
+        assert abs(est[g] - true) / true < 0.15, (g, est[g])
+
+
+def test_hll_merge_equals_recompute(spark):
+    from net_spider_spark.pipeline import sketch as SK
+
+    df = spark.range(2000).select(
+        F.lit("x").alias("g"), (F.col("id") % 777).alias("u")
+    )
+    half1 = df.where(F.col("id") % 2 == 0)
+    half2 = df.where(F.col("id") % 2 == 1)
+    s1 = SK.hll_sketch(half1, ["g"], "u", p=8).withColumnRenamed("hll", "h1")
+    s2 = SK.hll_sketch(half2, ["g"], "u", p=8).withColumnRenamed("hll", "h2")
+    merged = s1.join(s2, "g").select(
+        "g", SK.hll_merge_arrays(F.col("h1"), F.col("h2")).alias("hll")
+    )
+    whole = SK.hll_sketch(df, ["g"], "u", p=8)
+    assert merged.collect()[0]["hll"] == whole.collect()[0]["hll"]
+    est_m = SK.hll_estimate(merged, p=8).collect()[0]["est_distinct"]
+    est_w = SK.hll_estimate(whole, p=8).collect()[0]["est_distinct"]
+    assert est_m == est_w  # bit-identical, not just close
+
+
+def test_hll_duplicates_cannot_move_the_estimate(spark):
+    from net_spider_spark.pipeline import sketch as SK
+
+    base = spark.range(300).select(F.lit("g").alias("g"), F.col("id").alias("u"))
+    dup10x = base.unionAll(base).unionAll(base)
+    e1 = SK.hll_distinct(base, ["g"], "u", p=8).collect()[0]["est_distinct"]
+    e2 = SK.hll_distinct(dup10x, ["g"], "u", p=8).collect()[0]["est_distinct"]
+    assert e1 == e2
+
+
+def test_hll_rejects_bad_p(spark):
+    from net_spider_spark.pipeline import sketch as SK
+
+    with pytest.raises(ValueError, match="p must be"):
+        SK.hll_sketch(spark.range(1), ["id"], "id", p=2)
