@@ -512,8 +512,17 @@ def decontaminate_fuzzy(
     """
     from net_spider_spark.pipeline import dedup as D
 
-    train_sh = D.doc_shingles(train_df, text_col=text_col, id_col=id_col, n=n)
-    eval_sh = D.doc_shingles(eval_df, text_col=text_col, id_col=id_col, n=n)
+    # Each shingle table feeds three consumers (signatures, the verify
+    # join, per-doc sizes); materialize the tokenize+shingle explode
+    # ONCE (localCheckpoint: RDD-owned blocks the ContextCleaner frees
+    # when the caller drops the result — eager evaluation at call
+    # time, unreplicated blocks, same contract as bm25_search).
+    train_sh = D.doc_shingles(
+        train_df, text_col=text_col, id_col=id_col, n=n
+    ).localCheckpoint(eager=True)
+    eval_sh = D.doc_shingles(
+        eval_df, text_col=text_col, id_col=id_col, n=n
+    ).localCheckpoint(eager=True)
     cand = D.minhash_candidates_against(
         D.minhash_signatures(train_sh, n_hashes=n_hashes, id_col=id_col),
         D.minhash_signatures(eval_sh, n_hashes=n_hashes, id_col=id_col),

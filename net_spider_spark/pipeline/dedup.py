@@ -739,6 +739,14 @@ def image_phash_dedup(
         raise ValueError(
             "banding guarantees recall only for max_hamming < bands"
         )
+    # The hash table is consumed four times (banding, both verify
+    # sides, the final left join); without materialization each
+    # consumer re-runs the upstream image DECODE — the dominant cost.
+    # localCheckpoint (RDD-owned, ContextCleaner-freed when the caller
+    # drops the result; eager, so the decode runs exactly once at call
+    # time — unreplicated blocks, executor loss fails the downstream
+    # action instead of recomputing).
+    hashes = hashes.localCheckpoint(eager=True)
     cand = phash_candidates(
         hashes, bands=bands, id_col=id_col, hash_col=hash_col
     )
