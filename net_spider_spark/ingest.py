@@ -174,6 +174,7 @@ def compact_history(
     spark: SparkSession,
     path: str,
     target_rows_per_file: int = 1_000_000,
+    zorder: bool = False,
 ) -> dict:
     """Small-file compaction for the partitioned history table.
 
@@ -191,6 +192,16 @@ def compact_history(
     a brief gap between the two renames; on a real deployment use a
     table format's (Delta/Iceberg) rewrite for reader-visible atomicity.
 
+    ``zorder=True`` is the OPTIMIZE-ZORDER shape: instead of the
+    per-day subject sort, the whole rewrite lands along the
+    (subject_node, found_at) Z-curve (:func:`write_findings_zordered`)
+    — use it to convert a stream-appended day-partitioned table (or a
+    pile of per-batch z-ordered appends, whose clustering is only
+    per-batch) into one globally curve-laid table where point lookups
+    AND interval scans prune by file stats. The ``found_day`` layout
+    column is dropped in this mode (the time axis moves into the
+    curve).
+
     Returns {"files_before": n, "files_after": m, "rows": r}.
     """
     import math
@@ -204,6 +215,38 @@ def compact_history(
         for _, _, fs in os.walk(path)
     )
     tmp = path.rstrip("/") + "._compact_tmp"
+    if zorder:
+        from net_spider_spark import layout as LY
+
+        n_files = max(1, math.ceil(rows / target_rows_per_file))
+        zdf = df.drop("found_day").withColumn(
+            "_subj_key", subject_prefix_key(F.col("subject_node"))
+        )
+        LY.write_zordered(
+            zdf,
+            tmp,
+            ["_subj_key", "found_at"],
+            n_files=n_files,
+            bits=16,
+            mode="overwrite",
+            keep_z=False,
+            drop_cols=["_subj_key"],
+        )
+        old = path.rstrip("/") + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+        files_after = sum(
+            len([f for f in fs if f.endswith(".parquet")])
+            for _, _, fs in os.walk(path)
+        )
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "rows": rows,
+        }
     has_day = "found_day" in df.columns
     if has_day:
         # per-day file budget: ceil(day_rows / target) files for big

@@ -169,3 +169,40 @@ def test_write_findings_zordered_prunes_subject_lookups(spark, tmp_path):
     ts = [r["found_at"] for r in back_flat.select("found_at").limit(10).collect()]
     f_time, _ = hit_fraction(zord, "found_at", ts)
     assert f_time < 0.7, f_time
+
+
+def test_compact_history_zorder_relayouts_day_table(spark, tmp_path):
+    """OPTIMIZE-ZORDER: a stream-appended day-partitioned table (whose
+    per-file subject stats are useless) compacts into a globally
+    Z-curve-laid table — same rows, subject lookups now prune."""
+    from net_spider_spark import demo
+    from net_spider_spark import ingest as IG
+
+    findings = demo.events_findings(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "hist")
+    IG.write_findings(findings, path, mode="overwrite")  # day-partitioned
+    before = spark.read.parquet(path)
+    n = before.count()
+    stats = IG.compact_history(
+        spark, path, target_rows_per_file=32, zorder=True
+    )
+    assert stats["rows"] == n and stats["files_after"] >= 4
+    back = spark.read.parquet(path)
+    assert back.count() == n and "found_day" not in back.columns
+    subjects = [
+        r["subject_node"]
+        for r in back.select("subject_node").distinct().limit(15).collect()
+    ]
+    # unoccupied curve slices write empty files (None stats — a pruner
+    # skips them for free); measure over the occupied ones
+    exts = [
+        e
+        for e in _file_extents(spark, path, ["subject_node"])
+        if e["subject_node"][0] is not None
+    ]
+    assert len(exts) >= 4
+    hits = sum(
+        sum(1 for e in exts if e["subject_node"][0] <= s <= e["subject_node"][1])
+        for s in subjects
+    )
+    assert hits / (len(subjects) * len(exts)) < 0.6
