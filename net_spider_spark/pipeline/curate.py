@@ -512,50 +512,41 @@ def decontaminate_fuzzy(
     """
     from net_spider_spark.pipeline import dedup as D
 
-    # Each shingle table feeds three consumers (signatures, the verify
-    # join, per-doc sizes); materialize the tokenize+shingle explode
-    # ONCE (localCheckpoint: RDD-owned blocks the ContextCleaner frees
-    # when the caller drops the result — eager evaluation at call
-    # time, unreplicated blocks, same contract as bm25_search).
-    train_sh = D.doc_shingles(
+    # Narrow set-based pipeline (the dedup_jaccard shape): one row per
+    # doc carrying its shingle SET — signatures need no groupBy, and
+    # verification is two equi-joins + array_intersect/union in
+    # codegen, never an exploded (pair, shingle) table. Each set table
+    # feeds two consumers (signatures, verify); materialize the
+    # tokenize+shingle pass ONCE (localCheckpoint: RDD-owned blocks
+    # the ContextCleaner frees when the caller drops the result —
+    # eager evaluation at call time, unreplicated blocks, same
+    # contract as bm25_search).
+    train_sets = D.doc_shingle_sets(
         train_df, text_col=text_col, id_col=id_col, n=n
     ).localCheckpoint(eager=True)
-    eval_sh = D.doc_shingles(
+    eval_sets = D.doc_shingle_sets(
         eval_df, text_col=text_col, id_col=id_col, n=n
     ).localCheckpoint(eager=True)
     cand = D.minhash_candidates_against(
-        D.minhash_signatures(train_sh, n_hashes=n_hashes, id_col=id_col),
-        D.minhash_signatures(eval_sh, n_hashes=n_hashes, id_col=id_col),
+        D.minhash_signatures_sets(train_sets, n_hashes=n_hashes, id_col=id_col),
+        D.minhash_signatures_sets(eval_sets, n_hashes=n_hashes, id_col=id_col),
         id_col=id_col,
     )
-    t_sizes = train_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_nt"))
-    e_sizes = eval_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("_ne"))
-    shared = (
-        cand.join(
-            train_sh.select(F.col(id_col).alias("new_id"), "shingle"),
-            "new_id",
-        )
-        .join(
-            eval_sh.select(F.col(id_col).alias("corpus_id"), "shingle"),
-            ["corpus_id", "shingle"],
-        )
-        .groupBy("new_id", "corpus_id")
-        .agg(F.count(F.lit(1)).alias("_shared"))
+    a = train_sets.select(
+        F.col(id_col).alias("new_id"), F.col("shingles").alias("_sh_t")
+    )
+    b = eval_sets.select(
+        F.col(id_col).alias("corpus_id"), F.col("shingles").alias("_sh_e")
     )
     jacc = (
-        shared.join(
-            t_sizes.select(F.col(id_col).alias("new_id"), "_nt"), "new_id"
-        )
-        .join(
-            e_sizes.select(F.col(id_col).alias("corpus_id"), "_ne"),
-            "corpus_id",
-        )
+        cand.join(a, "new_id")
+        .join(b, "corpus_id")
         .select(
             F.col("new_id").alias(id_col),
             (
-                F.col("_shared")
-                / (F.col("_nt") + F.col("_ne") - F.col("_shared"))
-            ).alias("_j"),
+                F.size(F.array_intersect("_sh_t", "_sh_e"))
+                / F.size(F.array_union("_sh_t", "_sh_e"))
+            ).cast("double").alias("_j"),
         )
         .groupBy(id_col)
         .agg(F.round(F.max("_j"), 9).alias("max_eval_jaccard"))
