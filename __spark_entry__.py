@@ -2566,101 +2566,44 @@ def q_stream_rpl_dio_merged(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordered so a time-budgeted driver gate (empirically: first 50
-    # keys) attests the queries with the WEAKEST evidence first. Groups
-    # are recomputed each round from the CORRECTNESS_r{N}.json history
-    # (see ATTESTATION.md for the per-query last-green table and the
-    # rotation discipline); cheapest-first within each group at
-    # measured sf0.1 cost so a time budget covers as many as possible.
+    # Ordered stalest-evidence-first for the time-budgeted driver gate
+    # (first ~50 keys). Recomputed at r9 open by tools/attestation.py from
+    # the CORRECTNESS_r{N}.json history; see ATTESTATION.md. Never-driver-
+    # attested queries lead (the 9 new-in-r8 ops), then last-green r5,
+    # then r7, then r8 — cheapest-first within each group.
     return {
-        # Group 1: last driver-green in r4 — the stalest evidence;
-        # r6/r7 attested an identical 50-set and never re-sampled
-        # these. Stalest-first so the driver's 50-query budget
-        # re-attests them before anything fresher.
-        "graph_components_dist": q_graph_components_dist,
-        "graph_kcore_dist": q_graph_kcore_dist,
-        "graph_pagerank_dist": q_graph_pagerank_dist,
-        "graph_sssp_dist": q_graph_sssp_dist,
-        "j5_reachability_dist": q_j5_reachability_dist,
-        "stream_latest_link_per_pair": q_stream_latest_link_per_pair,
-        "stream_stream_join": q_stream_stream_join,
-        "sim_knn_join": q_sim_knn_join,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "graph_triangles": q_graph_triangles,
-        "rpl_dio_merged": q_rpl_dio_merged,
-        "j5_reachability": q_j5_reachability,
-        # Group 2: last driver-green in r5 (cheapest-first at the
-        # BENCH_DETAIL sf0.1 cost where measured). The first 50 keys
-        # overall are ALL from the stale-62, so a 50-query driver
-        # gate lands entirely on stale evidence this round.
-        "curate_shuffle_shards": q_curate_shuffle_shards,
-        "events_sessionize": q_events_sessionize,
-        "curate_pii_scrub": q_curate_pii_scrub,
-        "curate_pack": q_curate_pack,
-        "embed_quantize_int8": q_embed_quantize_int8,
-        "text_quality": q_text_quality,
-        "temporal_asof": q_temporal_asof,
-        "curate_repetition": q_curate_repetition,
-        "dedup_exact": q_dedup_exact,
-        "text_token_stats": q_text_token_stats,
-        "a1_latest_finding_per_node": q_a1_latest_finding_per_node,
-        "a7_graph_timestamp": q_a7_graph_timestamp,
-        "curate_hash_sample": q_curate_hash_sample,
-        "curate_split": q_curate_split,
-        "curate_stratified_sample": q_curate_stratified_sample,
-        "curate_weighted_sample": q_curate_weighted_sample,
-        "dedup_exact_incremental": q_dedup_exact_incremental,
-        "events_quantiles": q_events_quantiles,
-        "events_session_stats": q_events_session_stats,
-        "f1_interval_filter": q_f1_interval_filter,
-        "f2_node_lookup": q_f2_node_lookup,
-        "j9_combine_nodes": q_j9_combine_nodes,
-        "multimodal_gif_decode": q_multimodal_gif_decode,
-        "multimodal_image_decode": q_multimodal_image_decode,
-        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
-        "sim_lsh_topk": q_sim_lsh_topk,
-        "sketch_kmv_merged": q_sketch_kmv_merged,
-        "snapshot_incremental_links": q_snapshot_incremental_links,
-        "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
-        "stream_rpl_dio_merged": q_stream_rpl_dio_merged,
-        "temporal_asof_forward": q_temporal_asof_forward,
-        "text_bm25": q_text_bm25,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "text_common_ngrams": q_text_common_ngrams,
-        "text_quality_filter": q_text_quality_filter,
-        "tpch_q9_nation_profit": q_tpch_q9_nation_profit,
-        "u2_union_links": q_u2_union_links,
-        "tpch_q1": q_tpch_q1,
+        # --- never driver-attested (new in r8) ---
+        "sketch_hll_distinct": q_sketch_hll_distinct,
+        "dedup_embedding_incremental": q_dedup_embedding_incremental,
+        "curate_decontaminate_fuzzy": q_curate_decontaminate_fuzzy,
+        "curate_pack_bpe": q_curate_pack_bpe,
+        "text_quality_model": q_text_quality_model,
+        "text_bpe_encode": q_text_bpe_encode,
+        "text_bpe_learned": q_text_bpe_learned,
+        "dedup_image_phash": q_dedup_image_phash,
+        "stream_dedup_phash": q_stream_dedup_phash,
+        # --- last driver-green r5 ---
         "text_lang_id": q_text_lang_id,
-        "events_funnel": q_events_funnel,
         "temporal_interval_join": q_temporal_interval_join,
+        "dedup_simhash": q_dedup_simhash,
+        "events_funnel": q_events_funnel,
         "sim_topk": q_sim_topk,
         "tpch_q18": q_tpch_q18,
-        "dedup_simhash": q_dedup_simhash,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
-        "multimodal_png_decode": q_multimodal_png_decode,
         "tpch_region_revenue": q_tpch_region_revenue,
         "snapshot_nodes_overwrite": q_snapshot_nodes_overwrite,
-        "snapshot_links_overwrite": q_snapshot_links_overwrite,
+        "multimodal_png_decode": q_multimodal_png_decode,
         "dedup_minhash": q_dedup_minhash,
-        # Group 3: new queries this round — never driver-attested;
-        # placed after the stale-62 ON PURPOSE this round (the r8
-        # rotation goal is clearing the r4/r5 backlog; new queries
-        # are pinned by pytest + tools/check_oracles.py locally and
-        # rotate to the front at r9).
-        "text_bpe_learned": q_text_bpe_learned,
-        "text_bpe_encode": q_text_bpe_encode,
-        "dedup_image_phash": q_dedup_image_phash,
-        "text_quality_model": q_text_quality_model,
-        "curate_pack_bpe": q_curate_pack_bpe,
-        "curate_decontaminate_fuzzy": q_curate_decontaminate_fuzzy,
-        "stream_dedup_phash": q_stream_dedup_phash,
-        "dedup_embedding_incremental": q_dedup_embedding_incremental,
-        "sketch_hll_distinct": q_sketch_hll_distinct,
-        # Group 4: driver-green in r7 (freshest signal).
+        "snapshot_links_overwrite": q_snapshot_links_overwrite,
+        # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
-        "curate_decontaminate": q_curate_decontaminate,
+        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
         "sketch_cms_counts": q_sketch_cms_counts,
+        "sketch_bloom_membership": q_sketch_bloom_membership,
+        "layout_zorder": q_layout_zorder,
+        "curate_decontaminate": q_curate_decontaminate,
+        "temporal_rollup": q_temporal_rollup,
+        "a4_pair_group_stats": q_a4_pair_group_stats,
         "dedup_span_removal": q_dedup_span_removal,
         "a10_degree": q_a10_degree,
         "c1_timestamp_format": q_c1_timestamp_format,
@@ -2685,31 +2628,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_lm_score": q_text_lm_score,
         "typed_attrs_links": q_typed_attrs_links,
-        "a4_pair_group_stats": q_a4_pair_group_stats,
-        "layout_zorder": q_layout_zorder,
-        "temporal_rollup": q_temporal_rollup,
-        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
-        "sketch_bloom_membership": q_sketch_bloom_membership,
-        "tpch_q3_topk": q_tpch_q3_topk,
         "temporal_gap_fill": q_temporal_gap_fill,
         "events_retention": q_events_retention,
         "text_divergence": q_text_divergence,
-        "graph_sssp": q_graph_sssp,
-        "sketch_kmv_setops": q_sketch_kmv_setops,
-        "snapshot_timeline": q_snapshot_timeline,
+        "tpch_q3_topk": q_tpch_q3_topk,
         "curate_mixture_repeat": q_curate_mixture_repeat,
+        "sketch_kmv_setops": q_sketch_kmv_setops,
+        "graph_sssp": q_graph_sssp,
+        "snapshot_timeline": q_snapshot_timeline,
         "multimodal_audio_decode": q_multimodal_audio_decode,
-        "dedup_semantic": q_dedup_semantic,
-        "graph_components": q_graph_components,
-        "graph_kcore": q_graph_kcore,
         "dedup_embedding": q_dedup_embedding,
+        "graph_components": q_graph_components,
         "graph_pagerank": q_graph_pagerank,
+        "dedup_semantic": q_dedup_semantic,
+        "graph_kcore": q_graph_kcore,
+        "stream_windowed_stats": q_stream_windowed_stats,
         "snapshot_links_append": q_snapshot_links_append,
         "dedup_jaccard": q_dedup_jaccard,
-        "stream_windowed_stats": q_stream_windowed_stats,
         "dedup_representatives": q_dedup_representatives,
+        # --- last driver-green r8 ---
+        "curate_pii_scrub": q_curate_pii_scrub,
+        "curate_shuffle_shards": q_curate_shuffle_shards,
+        "text_token_stats": q_text_token_stats,
+        "curate_pack": q_curate_pack,
+        "text_quality": q_text_quality,
+        "events_sessionize": q_events_sessionize,
+        "embed_quantize_int8": q_embed_quantize_int8,
+        "dedup_exact": q_dedup_exact,
+        "curate_repetition": q_curate_repetition,
+        "temporal_asof": q_temporal_asof,
+        "tpch_q1": q_tpch_q1,
+        "a1_latest_finding_per_node": q_a1_latest_finding_per_node,
+        "a7_graph_timestamp": q_a7_graph_timestamp,
+        "curate_hash_sample": q_curate_hash_sample,
+        "curate_split": q_curate_split,
+        "curate_stratified_sample": q_curate_stratified_sample,
+        "curate_weighted_sample": q_curate_weighted_sample,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
+        "events_quantiles": q_events_quantiles,
+        "events_session_stats": q_events_session_stats,
+        "f1_interval_filter": q_f1_interval_filter,
+        "f2_node_lookup": q_f2_node_lookup,
+        "graph_components_dist": q_graph_components_dist,
+        "graph_kcore_dist": q_graph_kcore_dist,
+        "graph_pagerank_dist": q_graph_pagerank_dist,
+        "graph_sssp_dist": q_graph_sssp_dist,
+        "j5_reachability_dist": q_j5_reachability_dist,
+        "j9_combine_nodes": q_j9_combine_nodes,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_image_decode": q_multimodal_image_decode,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "sketch_kmv_merged": q_sketch_kmv_merged,
+        "snapshot_incremental_links": q_snapshot_incremental_links,
+        "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
+        "stream_latest_link_per_pair": q_stream_latest_link_per_pair,
+        "stream_rpl_dio_merged": q_stream_rpl_dio_merged,
+        "stream_stream_join": q_stream_stream_join,
+        "temporal_asof_forward": q_temporal_asof_forward,
+        "text_bm25": q_text_bm25,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_common_ngrams": q_text_common_ngrams,
+        "text_quality_filter": q_text_quality_filter,
+        "tpch_q9_nation_profit": q_tpch_q9_nation_profit,
+        "u2_union_links": q_u2_union_links,
+        "sim_knn_join": q_sim_knn_join,
+        "j5_reachability": q_j5_reachability,
+        "graph_triangles": q_graph_triangles,
+        "rpl_dio_merged": q_rpl_dio_merged,
+        "sim_ivf_topk": q_sim_ivf_topk,
     }
-
 
 def _bpe_oracle_ctes(n: int) -> str:
     """DuckDB CTE chain replaying bpe_learn's merge loop, unrolled:
