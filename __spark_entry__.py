@@ -2704,9 +2704,14 @@ def _bpe_oracle_ctes(n: int) -> str:
     w0 = (pretoken-seq, freq); per merge i: p{i} = adjacent-pair
     counts, b{i} = argmax with the (count desc, lhs, rhs) tie-break,
     w{i} = the greedy left-to-right merge via literal string replace
-    on the chr(31)-wrapped symbol sequence — byte-identical semantics
-    to pipeline/text.py (same separator encoding, same replace scan)."""
+    on the double-chr(31)-boundary symbol sequence — byte-identical
+    semantics to pipeline/text.py (same double-separator encoding:
+    the merge pattern SEP+s1+SEP+SEP+s2+SEP consumes only the inner
+    half of each flanking boundary, so adjacent occurrences in runs
+    like 'aaaa' stay matchable and the replace reproduces the greedy
+    non-overlapping Sennrich merge exactly; same replace scan)."""
     sep = "chr(31)"
+    sep2 = f"({sep} || {sep})"
     parts = [
         f"""toks AS (
   SELECT doc_id, unnest(regexp_extract_all(text,
@@ -2715,7 +2720,7 @@ def _bpe_oracle_ctes(n: int) -> str:
   FROM documents
 ),
 w0 AS (
-  SELECT {sep} || regexp_replace(w, '(.)', '\\1' || {sep}, 'g') AS seq,
+  SELECT {sep2} || regexp_replace(w, '(.)', '\\1' || {sep2}, 'g') AS seq,
          count(*) AS freq
   FROM toks WHERE w NOT LIKE '%' || {sep} || '%' GROUP BY 1
 )"""
@@ -2732,7 +2737,7 @@ w0 AS (
 ),
 b{i} AS (SELECT s1, s2, c FROM p{i} ORDER BY c DESC, s1 ASC, s2 ASC LIMIT 1),
 w{i} AS (
-  SELECT replace(seq, {sep} || s1 || {sep} || s2 || {sep},
+  SELECT replace(seq, {sep} || s1 || {sep} || {sep} || s2 || {sep},
                       {sep} || s1 || s2 || {sep}) AS seq, freq
   FROM w{i - 1}, b{i}
 )"""
@@ -2753,10 +2758,12 @@ def _bpe_encode_core(n: int) -> str:
     """Learning CTEs + per-doc re-encode under the learned merges,
     through an ``agg`` CTE of (doc_id, n_tokens, n_distinct_tokens)."""
     sep = "chr(31)"
-    expr = f"{sep} || regexp_replace(w, '(.)', '\\1' || {sep}, 'g')"
+    sep2 = f"({sep} || {sep})"
+    expr = f"{sep2} || regexp_replace(w, '(.)', '\\1' || {sep2}, 'g')"
     for i in range(1, n + 1):
         expr = (
-            f"replace({expr}, {sep} || b{i}.s1 || {sep} || b{i}.s2 || {sep},"
+            f"replace({expr},"
+            f" {sep} || b{i}.s1 || {sep} || {sep} || b{i}.s2 || {sep},"
             f" {sep} || b{i}.s1 || b{i}.s2 || {sep})"
         )
     froms = ", ".join(f"b{i}" for i in range(1, n + 1))

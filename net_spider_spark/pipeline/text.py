@@ -144,21 +144,29 @@ def bpe_token_stats(
 
 
 # Symbol separator for the learned-BPE sequence encoding: a word's
-# symbol sequence is stored as the string SEP s1 SEP s2 ... SEP (every
-# symbol wrapped in separators), so "merge adjacent pair (a, b)" is the
-# literal string replace SEP+a+SEP+b+SEP -> SEP+ab+SEP — and because
-# replace() scans left-to-right and resumes AFTER each replacement, it
-# reproduces exactly the greedy non-overlapping merge order of the
-# reference BPE algorithm (Sennrich et al. 2016, learn_bpe.py) in both
-# Spark and DuckDB without any per-row Python.
+# symbol sequence is stored with DOUBLE separators at every boundary —
+# SEP SEP s1 SEP SEP s2 ... SEP SEP — so "merge adjacent pair (a, b)"
+# is the literal string replace SEP+a+SEP+SEP+b+SEP -> SEP+ab+SEP.
+# The pattern consumes only the INNER half of each flanking boundary
+# (the second SEP of the left boundary, the first SEP of the right),
+# leaving the outer halves in place; combined with replace() scanning
+# left-to-right and resuming AFTER each replacement, adjacent
+# occurrences in a run (e.g. "aaaa" under merge (a,a)) remain
+# matchable and the result is exactly the greedy non-overlapping merge
+# of the reference BPE algorithm (Sennrich et al. 2016, learn_bpe.py)
+# in both Spark and DuckDB without any per-row Python. A single-SEP
+# encoding would consume the shared boundary and yield [aa,a,a] for
+# "aaaa" instead of [aa,aa].
 BPE_SEP = "\x1f"
 
 
 def bpe_word_seq(word: Column) -> Column:
     """A pretoken as its initial BPE symbol sequence: one symbol per
-    character, encoded as the SEP-wrapped string (see BPE_SEP)."""
+    character, encoded as the double-SEP-wrapped string (see
+    BPE_SEP)."""
+    sep2 = BPE_SEP + BPE_SEP
     return F.concat(
-        F.lit(BPE_SEP), F.regexp_replace(word, "(.)", "$1" + BPE_SEP)
+        F.lit(sep2), F.regexp_replace(word, "(.)", "$1" + sep2)
     )
 
 
@@ -240,7 +248,7 @@ def bpe_learn(
             "seq",
             F.replace(
                 "seq",
-                F.lit(sep + s1 + sep + s2 + sep),
+                F.lit(sep + s1 + sep + sep + s2 + sep),
                 F.lit(sep + s1 + s2 + sep),
             ),
         )
@@ -259,7 +267,9 @@ def bpe_apply_merges(word: Column, merges: Sequence[tuple]) -> Column:
     for m in merges:
         _, lhs, rhs, merged = m[0], m[1], m[2], m[3]
         s = F.replace(
-            s, F.lit(sep + lhs + sep + rhs + sep), F.lit(sep + merged + sep)
+            s,
+            F.lit(sep + lhs + sep + sep + rhs + sep),
+            F.lit(sep + merged + sep),
         )
     return _seq_symbols(s)
 

@@ -160,6 +160,46 @@ def test_bpe_learn_matches_python_spec(spark):
     assert got == want
 
 
+def test_bpe_learn_identical_symbol_runs(spark):
+    # Regression: a run of >=4 identical symbols. A single-separator
+    # replace encoding consumes the boundary shared by adjacent
+    # occurrences, yielding [aa,a,a] for 'aaaa' under merge (a,a); the
+    # double-separator encoding must reproduce the greedy reference
+    # [aa,aa] (and [aa,aa,a] for 'aaaaa').
+    texts = ["aaaa aaaa aaaaa bbbb abab"]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = TX.bpe_learn(df, n_merges=6)
+    want, _ = _py_bpe_learn(texts, 6)
+    assert got == want
+    merges = got
+    rows = {
+        r["doc_id"]: (r["n_tokens"], r["n_distinct_tokens"])
+        for r in TX.bpe_encode_stats(df, merges).collect()
+    }
+    # spec encode
+    def enc(text):
+        toks = []
+        for w in _py_pretok(text):
+            syms = list(w)
+            for _, a, b, _m, _c in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (a, b):
+                        out.append(syms[i] + syms[i + 1])
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            toks.extend(syms)
+        return toks
+
+    toks = enc(texts[0])
+    assert rows[0] == (len(toks), len(set(toks)))
+
+
 def test_bpe_encode_matches_python_spec(spark):
     df = spark.createDataFrame(
         list(enumerate(_BPE_TEXTS)), "doc_id long, text string"
