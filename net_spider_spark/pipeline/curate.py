@@ -134,7 +134,10 @@ def pack_documents(
     budget actually means to a trainer (the whitespace count
     over-fills windows exactly on the frequent words a real vocab
     merges). One extra equi-join on the id; the pack window math is
-    unchanged.
+    unchanged. The join is a LEFT join with missing counts coalesced
+    to 0, so a partial/filtered counts table cannot silently drop
+    documents from the packing output — every row of ``df`` appears in
+    the result on both paths (matching the oracle's LEFT JOIN shape).
     """
     if token_counts is not None:
         grouped = df.select(F.col(id_col)).join(
@@ -142,6 +145,10 @@ def pack_documents(
                 F.col(id_col), F.col("n_tokens").cast("long").alias("n_tokens")
             ),
             id_col,
+            "left",
+        ).select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
         )
         grouped = grouped.select(
             F.col(id_col),
@@ -531,6 +538,9 @@ def decontaminate_fuzzy(
         D.minhash_signatures_sets(train_sets, n_hashes=n_hashes, id_col=id_col),
         D.minhash_signatures_sets(eval_sets, n_hashes=n_hashes, id_col=id_col),
         id_col=id_col,
+        # Explicitly uncapped: this is a contamination GUARD — recall
+        # dominates any join-size bound, and the eval index is small.
+        max_bucket_size=None,
     )
     a = train_sets.select(
         F.col(id_col).alias("new_id"), F.col("shingles").alias("_sh_t")

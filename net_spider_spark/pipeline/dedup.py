@@ -210,7 +210,7 @@ def minhash_hot_buckets(
 def minhash_candidates(
     signatures: DataFrame,
     id_col: str = "doc_id",
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on any band's signature.
     Self-equi-join on (band, sig) — Catalyst picks the join strategy;
@@ -222,7 +222,12 @@ def minhash_candidates(
     dominates the stage at scale. Buckets over the cap are dropped
     from THIS banding pass (their members can still pair through
     their other bands); use :func:`minhash_hot_buckets` with the same
-    cap to report the dropped mass. ``None`` disables the cap.
+    cap to report the dropped mass. The default is ``None`` (no cap):
+    dropping buckets silently changes which pairs are found, so the
+    cap is OPT-IN — a 100 TB run should pass a cap explicitly AND
+    report :func:`minhash_hot_buckets` alongside, while correctness
+    callers (oracle-checked dedup, decontamination guards where recall
+    dominates) keep the exact semantics.
     """
     if max_bucket_size is not None:
         # Anti-join on the same (band, sig) key as the main join: the
@@ -292,7 +297,7 @@ def minhash_candidates_against(
     new_sigs: DataFrame,
     corpus_sigs: DataFrame,
     id_col: str = "doc_id",
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Incremental near-dup candidates: new-batch docs that agree with
     ANY corpus doc on any MinHash band. Both sides come from
@@ -306,6 +311,9 @@ def minhash_candidates_against(
     ``max_bucket_size`` caps the CORPUS side of each (band, sig)
     bucket, same rationale as :func:`minhash_candidates`: a degenerate
     corpus bucket fans every matching probe row out |bucket|-wide.
+    Default ``None`` (no cap) — dropping corpus buckets silently costs
+    recall, so the cap is opt-in for scale runs that also report
+    :func:`minhash_hot_buckets` on the corpus index.
     """
     if max_bucket_size is not None:
         hot = (
@@ -474,7 +482,20 @@ def embedding_near_dup_against(
     """
     from net_spider_spark.pipeline.similarity import cosine
 
-    dim = len(corpus_df.select(vec_col).first()[0])
+    # Vector dim comes from the schema when the column is a fixed-size
+    # array type is not available, so probe ONE row; guard the empty /
+    # all-null corpus (first() -> None) — nothing can be a near-dup of
+    # an empty corpus, and a TypeError here would mask that. The probe
+    # is an eager single-row job at plan-construction time (documented
+    # eager-evaluation contract of the *_against family).
+    probe = corpus_df.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if probe is None:
+        return new_df.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_near_corpus"),
+            F.lit(False).alias("is_near_dup"),
+        )
+    dim = len(probe[0])
     new_sigs = embedding_band_signatures(
         new_df, n_bands, n_planes, id_col, vec_col, seed, dim
     ).select(F.col(id_col).alias("new_id"), "band", "sig")
@@ -666,7 +687,7 @@ def phash_candidates(
     bands: int = 4,
     id_col: str = "media_id",
     hash_col: str = "phash",
-    max_bucket_size: int | None = 1000,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup image pairs from 64-bit perceptual hashes
     (``multimodal.image_phash``): band the hash into ``bands`` equal
@@ -675,8 +696,11 @@ def phash_candidates(
     within Hamming distance < ``bands`` shares at least one exact
     band, so recall is 100% for the tight thresholds perceptual dedup
     uses (lossless re-encodes are distance 0; JPEG re-encodes a few
-    bits). Hot buckets are capped like :func:`minhash_candidates`
-    (flat-color corpora put thousands of images in one band bucket).
+    bits). Hot buckets can be capped like :func:`minhash_candidates`
+    (flat-color corpora put thousands of images in one band bucket) —
+    opt-in via ``max_bucket_size``, default ``None``, because a
+    dropped bucket silently loses its pairs; :func:`image_phash_dedup`
+    avoids needing the cap by banding one row per DISTINCT hash.
     """
     if 64 % bands != 0:
         raise ValueError("bands must divide 64")
@@ -722,58 +746,89 @@ def image_phash_dedup(
     bands: int = 4,
     id_col: str = "media_id",
     hash_col: str = "phash",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Perceptual image dedup: flag images dominated by a smaller-id
     image within ``max_hamming`` pHash bits (the byte-digest-defeating
     case: re-encoded/transcoded copies of the same picture). Returns
     (id, phash, is_dup) — keep ``is_dup = false``.
 
-    Candidates come from banded equi-joins (:func:`phash_candidates`;
-    exact recall while ``max_hamming < bands``), verification is one
-    codegen ``bit_count(xor)`` per candidate pair, and the dominated
-    rule (ANY smaller-id neighbor) needs no connected-components pass
-    — same shape as ``cluster.semantic_dedup``. Rows with NULL hash
-    (decode errors) pass through as is_dup = false for the caller's
-    error channel to handle."""
+    Scale shape: images are first collapsed to HASH CLASSES — one row
+    per distinct 64-bit hash, carrying the class's min id — with a
+    plain hash aggregate. Whether y dominates x depends only on their
+    hash values, so the dominated rule factors exactly through
+    classes: x is a dup iff the min id over x's own class and every
+    class within ``max_hamming`` is smaller than x's id. Banding
+    (:func:`phash_candidates`; exact recall while
+    ``max_hamming < bands``) and the codegen ``bit_count(xor)``
+    verification then run over DISTINCT hashes only, so a
+    million-copy transcode class is ONE row in the self-join, not a
+    hot bucket — the headline mass-copy case is handled by the
+    aggregate, and every exact copy is flagged no matter how large
+    the class. ``max_bucket_size`` (opt-in, default ``None``) still
+    caps distinct-hash band buckets for adversarial corpora of many
+    DISTINCT hashes sharing a band slice. Rows with NULL hash (decode
+    errors) pass through as is_dup = false for the caller's error
+    channel to handle."""
     if max_hamming >= bands:
         raise ValueError(
             "banding guarantees recall only for max_hamming < bands"
         )
-    # The hash table is consumed four times (banding, both verify
-    # sides, the final left join); without materialization each
-    # consumer re-runs the upstream image DECODE — the dominant cost.
-    # localCheckpoint (RDD-owned, ContextCleaner-freed when the caller
-    # drops the result; eager, so the decode runs exactly once at call
-    # time — unreplicated blocks, executor loss fails the downstream
-    # action instead of recomputing).
+    # The hash table feeds the class aggregate and the final left
+    # join; without materialization each consumer re-runs the
+    # upstream image DECODE — the dominant cost. localCheckpoint
+    # (RDD-owned, ContextCleaner-freed when the caller drops the
+    # result; eager, so the decode runs exactly once at call time).
     hashes = hashes.localCheckpoint(eager=True)
+    classes = (
+        hashes.where(F.col(hash_col).isNotNull())
+        .groupBy(hash_col)
+        .agg(F.min(id_col).alias("_min_id"))
+        .localCheckpoint(eager=True)  # consumed by banding + 2 verify sides
+    )
     cand = phash_candidates(
-        hashes, bands=bands, id_col=id_col, hash_col=hash_col
+        classes.select(F.col(hash_col).alias("_cls"), F.col(hash_col)),
+        bands=bands,
+        id_col="_cls",
+        hash_col=hash_col,
+        max_bucket_size=max_bucket_size,
     )
-    ha = hashes.select(
-        F.col(id_col).alias("id_a"), F.col(hash_col).alias("_pa")
-    )
-    hb = hashes.select(
-        F.col(id_col).alias("id_b"), F.col(hash_col).alias("_pb")
-    )
-    dup_ids = (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
+    ca = classes.select(F.col(hash_col).alias("id_a"), F.col("_min_id").alias("_ma"))
+    cb = classes.select(F.col(hash_col).alias("id_b"), F.col("_min_id").alias("_mb"))
+    # Verified neighbor-class pairs, emitted in both directions so each
+    # class sees the min id of every neighboring class.
+    near = (
+        cand.join(ca, "id_a")
+        .join(cb, "id_b")
         .where(
-            F.bit_count(F.col("_pa").bitwiseXOR(F.col("_pb")))
+            F.bit_count(F.col("id_a").bitwiseXOR(F.col("id_b")))
             <= max_hamming
         )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+    )
+    neighbor_min = (
+        near.select(F.col("id_a").alias(hash_col), F.col("_mb").alias("_nm"))
+        .unionByName(
+            near.select(
+                F.col("id_b").alias(hash_col), F.col("_ma").alias("_nm")
+            )
+        )
+        .groupBy(hash_col)
+        .agg(F.min("_nm").alias("_neighbor_min"))
+    )
+    thresh = classes.join(neighbor_min, hash_col, "left").select(
+        F.col(hash_col),
+        F.least(
+            F.col("_min_id"), F.coalesce(F.col("_neighbor_min"), F.col("_min_id"))
+        ).alias("_thresh"),
     )
     return (
-        hashes.join(
-            dup_ids.withColumn("_dup", F.lit(True)), id_col, "left"
-        )
+        hashes.join(thresh, hash_col, "left")
         .select(
             F.col(id_col),
             F.col(hash_col),
-            F.coalesce(F.col("_dup"), F.lit(False)).alias("is_dup"),
+            F.coalesce(
+                F.col(id_col) > F.col("_thresh"), F.lit(False)
+            ).alias("is_dup"),
         )
     )
 
@@ -785,6 +840,7 @@ def dedup_representatives(
     n: int = 3,
     n_hashes: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """The full near-dup pipeline a training-data run actually executes:
     MinHash-banded candidates -> exact Jaccard verify -> connected
@@ -800,7 +856,10 @@ def dedup_representatives(
     min-label-propagation with a driver fast path only under the edge
     guard, and the final filter is a broadcastable anti-join of the
     (small) loser set against the corpus. Nothing in the pipeline is
-    quadratic in corpus size.
+    quadratic in corpus size except a degenerate (band, sig) bucket —
+    opt into ``max_bucket_size`` for adversarial corpora (and report
+    :func:`minhash_hot_buckets` at the same cap); the default ``None``
+    keeps exact candidate semantics.
     """
     from net_spider_spark.graph.components import connected_components
 
@@ -816,6 +875,7 @@ def dedup_representatives(
         cand = minhash_candidates(
             minhash_signatures_sets(sets, n_hashes=n_hashes, id_col=id_col),
             id_col=id_col,
+            max_bucket_size=max_bucket_size,
         )
         verified = jaccard_verify_sets(
             cand, sets, threshold=threshold, id_col=id_col

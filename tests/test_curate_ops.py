@@ -286,6 +286,29 @@ def test_mixture_with_repetition_quotas_and_evenness(spark):
         CU.mixture_sample_with_repetition(df, {"web": 1.0}, target_total=0)
 
 
+def test_pack_documents_partial_token_counts_keeps_all_docs(spark):
+    """Regression (r8 advice): a counts table missing some ids must
+    not silently drop those documents — they pack with n_tokens = 0,
+    matching the oracle's LEFT JOIN + coalesce shape."""
+    from net_spider_spark.pipeline import curate as CU
+
+    docs = spark.createDataFrame(
+        [(i, "ignored") for i in range(4)], "doc_id long, text string"
+    )
+    counts = spark.createDataFrame(
+        [(0, 100), (2, 100)], "doc_id long, n_tokens long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in CU.pack_documents(
+            docs, window_tokens=256, n_groups=1, token_counts=counts
+        ).collect()
+    }
+    assert sorted(out) == [0, 1, 2, 3]
+    assert out[1]["n_tokens"] == 0 and out[3]["n_tokens"] == 0
+    assert out[0]["n_tokens"] == 100 and out[2]["n_tokens"] == 100
+
+
 def test_pack_documents_with_external_token_counts(spark):
     from net_spider_spark.pipeline import curate as CU
 

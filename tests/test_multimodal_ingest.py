@@ -636,6 +636,48 @@ def test_image_phash_dedup_flags_reencodes(spark):
     assert out[99] is False              # decode error passes through
 
 
+def test_phash_dedup_mass_copy_class_survives_bucket_cap(spark):
+    """Regression (r8 advice): the headline use-case — thousands of
+    exact re-encoded copies sharing one 64-bit hash — must ALL be
+    flagged even with a small band-bucket cap, because dedup now
+    collapses to one row per DISTINCT hash before banding (exact
+    copies are handled by the class aggregate, never by the banded
+    join). Also pins the near-class path: a 1-bit perturbation of the
+    mass hash is still caught through banding under the cap."""
+    from net_spider_spark.pipeline.dedup import image_phash_dedup
+
+    base = (0x0123456789ABCDEF) & ((1 << 63) - 1)
+    rows = [(i, base) for i in range(2000)]          # one huge class
+    rows.append((5000, base ^ 1))                    # hamming-1 neighbor
+    rows.append((5001, 0x7EDCBA9876543210))          # unrelated
+    hashes = spark.createDataFrame(rows, "media_id long, phash long")
+    out = {
+        r["media_id"]: r["is_dup"]
+        for r in image_phash_dedup(
+            hashes, max_hamming=2, bands=4, max_bucket_size=10
+        ).collect()
+    }
+    assert out[0] is False                           # class min kept
+    assert all(out[i] for i in range(1, 2000))       # every copy flagged
+    assert out[5000] is True                         # near-dup of id 0
+    assert out[5001] is False
+
+
+def test_phash_dedup_cross_class_min_dominates(spark):
+    """A class MIN is itself a dup when a NEIGHBORING class holds a
+    smaller id: the dominated rule factors through hash classes."""
+    from net_spider_spark.pipeline.dedup import image_phash_dedup
+
+    h = 0x00000000000000F0
+    rows = [(1, h), (2, h ^ 1), (3, h ^ 1)]  # class {2,3} min=2, dominated by 1
+    hashes = spark.createDataFrame(rows, "media_id long, phash long")
+    out = {
+        r["media_id"]: r["is_dup"]
+        for r in image_phash_dedup(hashes, max_hamming=2, bands=4).collect()
+    }
+    assert out == {1: False, 2: True, 3: True}
+
+
 def test_phash_dedup_rejects_loose_threshold():
     import pytest as _pytest
 

@@ -398,6 +398,21 @@ def test_embedding_near_dup_against_flags_cross_batch(spark):
     assert not out[2]["is_near_dup"] and out[2]["n_near_corpus"] == 0
 
 
+def test_embedding_near_dup_against_empty_corpus(spark):
+    """An empty (or all-NULL-vector) corpus means nothing is a
+    near-dup — must return all-false, not TypeError on first()."""
+    new = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["n_near_corpus"], r["is_near_dup"])
+        for r in D.embedding_near_dup_against(new, empty).collect()
+    }
+    assert out == {1: (0, False), 2: (0, False)}
+
+
 def test_embedding_near_dup_against_plan_no_cartesian(spark):
     from tests.test_plan_shapes import plan_of
 
