@@ -174,10 +174,78 @@ def _seq_symbols(seq: Column) -> Column:
     return F.filter(F.split(seq, BPE_SEP), lambda x: x != F.lit(""))
 
 
+def _driver_bpe(
+    word_freqs: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """Exact sequential BPE on a collected (pretoken, freq) table —
+    the Sennrich learn_bpe incremental algorithm: pair counts plus an
+    inverted pair->words index so each merge touches only the words
+    containing it, and a lazy-invalidation heap so the argmax is
+    O(log P) instead of a full scan per merge. Tie-break identical to
+    the distributed path: (count desc, lhs asc, rhs asc)."""
+    import heapq
+    from collections import Counter, defaultdict
+
+    vocab = [(tuple(w), f) for w, f in word_freqs]
+    stats: Counter = Counter()
+    index: defaultdict = defaultdict(set)
+    for wi, (syms, f) in enumerate(vocab):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            stats[p] += f
+            index[p].add(wi)
+    heap = [(-c, a, b) for (a, b), c in stats.items()]
+    heapq.heapify(heap)
+    merges: list[tuple[int, str, str, str, int]] = []
+    while len(merges) < n_merges and heap:
+        negc, a, b = heapq.heappop(heap)
+        c = stats.get((a, b), 0)
+        if c <= 0:
+            continue
+        if -negc != c:  # stale heap entry; re-queue at true count
+            heapq.heappush(heap, (-c, a, b))
+            continue
+        merges.append((len(merges) + 1, a, b, a + b, c))
+        touched: Counter = Counter()
+        for wi in list(index[(a, b)]):
+            syms, f = vocab[wi]
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new = tuple(out)
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] -= f
+                touched[p] += 1
+                index[p].discard(wi)
+            for i in range(len(new) - 1):
+                p = (new[i], new[i + 1])
+                stats[p] += f
+                touched[p] += 1
+                index[p].add(wi)
+            vocab[wi] = (new, f)
+        del stats[(a, b)]
+        for p in touched:
+            cc = stats.get(p, 0)
+            if cc > 0:
+                heapq.heappush(heap, (-cc, p[0], p[1]))
+            elif p in stats and cc <= 0:
+                del stats[p]
+    return merges
+
+
 def bpe_learn(
     df: DataFrame,
     n_merges: int = 16,
     text_col: str = "text",
+    batch_k: int = 1024,
+    driver_max_words: int = 2_000_000,
+    driver_max_bytes: int = 256 << 20,
 ) -> list[tuple[int, str, str, str, int]]:
     """Learn byte-pair-encoding merge rules from a corpus (Sennrich et
     al. 2016): start from characters, repeatedly merge the most
@@ -187,13 +255,36 @@ def bpe_learn(
 
     Distribution shape for 100 TB: the corpus is scanned ONCE, into a
     (pretoken, frequency) table — bounded by the vocabulary, not the
-    corpus. Every merge iteration then runs on that word table alone:
-    one grouped aggregate over exploded adjacent pairs (map-side
-    combinable; key space = symbol-pair vocabulary) plus a 1-row argmax
-    pull to the driver, then a literal string replace over the word
-    table — no UDF, no re-scan of the corpus, lineage truncated by
-    localCheckpoint every few rounds. Driver state is the merge list
-    (n_merges rows), never data.
+    corpus. Learning then runs on that word table alone in ROUNDS:
+    each round is ONE grouped aggregate over exploded adjacent pairs
+    (map-side combinable; key space = symbol-pair vocabulary) pulling
+    the exact sorted top-``batch_k`` pair counts to the driver, which
+    then accepts as many merges from the head of that table as are
+    PROVABLY what the sequential algorithm would pick (see below),
+    and applies them as one chained literal-replace pass. A realistic
+    32k-merge vocabulary on Zipfian text completes in tens of rounds
+    instead of 32k sequential argmax jobs; driver state stays
+    O(batch_k + vocabulary), never data.
+
+    Batch-acceptance proof obligations (exact sequential parity, not a
+    heuristic): scanning the sorted (count desc, lhs, rhs) table, a
+    pair is accepted while
+    (1) it shares no symbol with any merge accepted earlier in the
+        round — disjoint pairs' counts are untouched by those merges;
+    (2) its count strictly exceeds the table's top-K cutoff — pairs
+        outside the collected table (and the new pairs bounded by
+        them) then cannot beat it;
+    (3) no pair anywhere in the table with the SAME count touches an
+        already-used symbol — such a pair (or a new pair it bounds,
+        e.g. (x, ab) created by merging (a,b), whose count is at most
+        the old count of the dirty pair (x, a)) could tie it and win
+        the lexicographic tie-break;
+    and the round stops after accepting a merge whose merged string
+    already exists as a symbol (tracked as a driver-side superset:
+    initial distinct characters plus every merged string) — only then
+    can an existing pair's count GROW, voiding the sorted-order
+    bounds. The worst case (adversarial ties) degrades to one merge
+    per round, i.e. exactly the sequential algorithm.
 
     Ties break by (count desc, lhs asc, rhs asc) — binary string order,
     reproducible across engines. Pretokens containing the internal
@@ -201,21 +292,66 @@ def bpe_learn(
     :func:`bpe_encode_stats`), so the separator encoding is safe on
     arbitrary text.
 
-    Evaluation contract: runs ~2 Spark jobs per merge at call time.
-    Like the reference algorithm, this is an offline vocabulary build,
-    not a per-query path.
+    Evaluation contract: ~1 Spark job per accepted BATCH at call time
+    (plus one upfront vocabulary job). Like the reference algorithm,
+    this is an offline vocabulary build, not a per-query path.
+
+    Driver fast path (same guarded idiom as the graph family): the
+    (pretoken, freq) table is VOCABULARY-bounded — Zipf caps it at a
+    few million entries even for a 100 TB corpus — so when it fits
+    under ``driver_max_words`` / ``driver_max_bytes`` (measured by one
+    tiny aggregate), it is collected and the exact incremental
+    Sennrich algorithm (:func:`_driver_bpe`: heap argmax + inverted
+    pair index) learns ALL ``n_merges`` rules with ZERO further Spark
+    jobs — this is how production BPE trainers run, and it makes a
+    32k-merge vocabulary a seconds-scale driver computation. Above
+    the guard, the distributed round loop below is exact but degrades
+    toward one merge per round when the top pairs chain on shared
+    symbols (English letter pairs do); set the guards to taste.
     """
+    global _LAST_LEARN_ROUNDS, _LAST_LEARN_PATH
     sep = BPE_SEP
-    words = (
+    word_tbl = (
         df.select(F.explode(bpe_ish_tokens(F.col(text_col))).alias("w"))
         .where(~F.col("w").contains(sep))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(bpe_word_seq(F.col("w")).alias("seq"), "freq")
         .localCheckpoint(eager=True)
     )
+    size_row = word_tbl.select(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.octet_length("w")), F.lit(0)).alias("nbytes"),
+    ).first()
+    if (
+        int(size_row["n"]) <= driver_max_words
+        and int(size_row["nbytes"]) <= driver_max_bytes
+    ):
+        collected = [
+            (r["w"], int(r["freq"])) for r in word_tbl.toLocalIterator()
+        ]
+        _LAST_LEARN_ROUNDS = 0
+        _LAST_LEARN_PATH = "driver"
+        return _driver_bpe(collected, n_merges)
+    _LAST_LEARN_PATH = "distributed"
+    words = word_tbl.select(
+        bpe_word_seq(F.col("w")).alias("seq"), "freq"
+    ).localCheckpoint(eager=True)
+    # Superset of the live symbol set, maintained on the driver: the
+    # initial distinct characters (one tiny job over the word table)
+    # plus every merged string. Symbols whose occurrences all merge
+    # away stay in the set — harmless, membership only STOPS a batch
+    # early (condition 4), never accepts a wrong merge.
+    symbol_superset = {
+        r["s"]
+        for r in words.select(
+            F.explode(_seq_symbols(F.col("seq"))).alias("s")
+        )
+        .distinct()
+        .collect()
+    }
     merges: list[tuple[int, str, str, str, int]] = []
-    for r in range(1, n_merges + 1):
+    rounds = 0
+    while len(merges) < n_merges:
         syms = _seq_symbols(F.col("seq"))
         # Adjacent overlapping pairs, weighted by word frequency; the
         # sequence() guard avoids Spark's descending sequence(1, 0) on
@@ -232,29 +368,68 @@ def bpe_learn(
                 ),
             )
         )
-        best = (
+        top = (
             words.select(pair.alias("p"), "freq")
             .groupBy("p.s1", "p.s2")
             .agg(F.sum("freq").alias("c"))
             .orderBy(F.desc("c"), F.asc("s1"), F.asc("s2"))
-            .limit(1)
+            .limit(batch_k)
             .collect()
         )
-        if not best:
+        rounds += 1
+        if not top:
             break
-        s1, s2, c = best[0]["s1"], best[0]["s2"], int(best[0]["c"])
-        merges.append((r, s1, s2, s1 + s2, c))
-        words = words.withColumn(
-            "seq",
-            F.replace(
-                "seq",
+        table = [(r["s1"], r["s2"], int(r["c"])) for r in top]
+        cutoff = table[-1][2] if len(table) == batch_k else 0
+        # counts of dirty-equal lookahead: count -> symbols touched
+        used: set[str] = set()
+        accepted: list[tuple[str, str, int]] = []
+        for s1, s2, c in table:
+            if len(merges) + len(accepted) >= n_merges:
+                break
+            # The table HEAD is the exact argmax of the exact sorted
+            # top-K, so the first acceptance of a round needs no proof
+            # — conditions (1)-(3) only guard against the effects of
+            # merges accepted earlier in the SAME round.
+            if accepted:
+                if s1 in used or s2 in used:
+                    break  # (1) dirty pair: current count unknown
+                if c <= cutoff:
+                    break  # (2) pairs below the cutoff are unbounded
+                if any(
+                    cc == c and (t1 in used or t2 in used)
+                    for t1, t2, cc in table
+                ):
+                    break  # (3) equal-count tie against a dirty pair
+            accepted.append((s1, s2, c))
+            used.update((s1, s2))
+            merged_collides = s1 + s2 in symbol_superset
+            used.add(s1 + s2)
+            symbol_superset.add(s1 + s2)
+            if merged_collides:
+                # (4) merged string collides with an existing symbol:
+                # pair counts involving it can grow — stop the batch.
+                break
+        col = F.col("seq")
+        for s1, s2, c in accepted:
+            merges.append((len(merges) + 1, s1, s2, s1 + s2, c))
+            col = F.replace(
+                col,
                 F.lit(sep + s1 + sep + sep + s2 + sep),
                 F.lit(sep + s1 + s2 + sep),
-            ),
-        )
-        if r % 4 == 0:
+            )
+        words = words.withColumn("seq", col)
+        if rounds % 4 == 0:
             words = words.localCheckpoint(eager=True)
+    _LAST_LEARN_ROUNDS = rounds
     return merges
+
+
+# Diagnostics: how many pair-count rounds (Spark aggregate jobs) the
+# most recent bpe_learn call ran, and which path it took
+# ("driver" fast path under the vocab-size guard, else "distributed").
+_LAST_LEARN_ROUNDS = 0
+_LAST_LEARN_PATH = ""
 
 
 def bpe_apply_merges(word: Column, merges: Sequence[tuple]) -> Column:

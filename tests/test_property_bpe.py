@@ -77,6 +77,11 @@ def test_bpe_learn_matches_spec_on_random_corpora(spark, texts, n_merges):
     df = spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
     )
-    got = TX.bpe_learn(df, n_merges=n_merges)
     want = _py_bpe(texts, n_merges)
-    assert got == want
+    # driver fast path (default guard) AND the distributed batched
+    # round loop (guard forced off) must BOTH match the sequential
+    # spec merge-for-merge.
+    assert TX.bpe_learn(df, n_merges=n_merges) == want
+    assert (
+        TX.bpe_learn(df, n_merges=n_merges, driver_max_words=0) == want
+    )

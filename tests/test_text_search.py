@@ -233,6 +233,40 @@ def test_bpe_encode_matches_python_spec(spark):
         assert got[doc_id] == (len(toks), len(set(toks)))
 
 
+def test_bpe_learn_batches_merges_per_round(spark):
+    """The round-batched learner must (a) still match the sequential
+    spec merge-for-merge at a realistic merge count, and (b) do it in
+    far fewer pair-count rounds than merges — the scale property that
+    makes a 32k-merge vocabulary feasible (one aggregate job per
+    ROUND, not per merge)."""
+    texts = [
+        " ".join(
+            ["the quick brown fox jumps over the lazy dog"] * 3
+            + ["pack my box with five dozen liquor jugs"] * 2
+            + ["sphinx of black quartz judge my vow"]
+        ),
+        "how vexingly quick daft zebras jump the dog and the fox",
+        "the five boxing wizards jump quickly over lazy dogs",
+    ]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    n = 64
+    want, _ = _py_bpe_learn(texts, n)
+    # Default: the vocab fits the driver guard -> exact incremental
+    # Sennrich on the driver, zero per-merge Spark jobs.
+    got = TX.bpe_learn(df, n_merges=n)
+    assert got == want and len(got) == n
+    assert TX._LAST_LEARN_PATH == "driver"
+    assert TX._LAST_LEARN_ROUNDS == 0
+    # Forced distributed path: still exact, and the round batching
+    # keeps the pair-count job total below one-per-merge.
+    got_dist = TX.bpe_learn(df, n_merges=n, driver_max_words=0)
+    assert got_dist == want
+    assert TX._LAST_LEARN_PATH == "distributed"
+    assert TX._LAST_LEARN_ROUNDS < n
+
+
 def test_bpe_learn_stops_when_pairs_run_out(spark):
     # single-char pretokens only -> zero adjacent pairs -> no merges
     df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
