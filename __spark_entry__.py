@@ -2282,6 +2282,47 @@ def q_stream_dedup_phash(spark, sf_dir):
     )
 
 
+def q_stream_dedup_phash_near(spark, sf_dir):
+    # Streaming NEAR-duplicate perceptual dedup (streaming/dedup.py
+    # _phash_near_stream): band-sliced applyInPandasWithState so a
+    # hash within max_hamming of an EARLIER arrival is flagged
+    # in-stream — the case the exact-hash keeper misses. Hashes are
+    # synthesized analytically: 8 classes in 4 families, each family
+    # a base constant (pairwise hamming >= 31) and its 1-bit
+    # perturbation, so the dominated verdict is pure event-id
+    # arithmetic for the oracle: dup iff a smaller id exists in the
+    # same family.
+    from net_spider_spark.streaming.dedup import (
+        _phash_near_stream,
+        phash_near_keepers,
+    )
+
+    _, stream = _events_stream(spark, sf_dir)
+    bases = [
+        0x0123456789ABCDEF,
+        0x7EDCBA9876543210,
+        0x5555AAAA3333CCCC,
+        0x0F0F0F0FF0F0F0F0,
+    ]
+    ev = stream.where(F.col("event_id") % 25 == 3)
+    hashes = ev.select(
+        F.col("event_id").alias("media_id"),
+        (
+            F.element_at(
+                F.array(*[F.lit(b) for b in bases]),
+                (F.floor((F.col("event_id") % 8) / 2) + 1).cast("int"),
+            ).bitwiseXOR((F.col("event_id") % 2).cast("long"))
+        ).alias("phash"),
+    )
+    out = _phash_near_stream(hashes, max_hamming=2, bands=4)
+    sink = _run_available_now(out, "stream_phash_near_sink", "append")
+    return (
+        phash_near_keepers(sink)
+        .select("media_id", "is_dup")
+        .orderBy("media_id")
+    )
+
+
 def _run_available_now(stream_df, name: str, output_mode: str):
     """Run a streaming DataFrame to completion with availableNow into a
     memory sink and return the sink contents as a batch DataFrame.
@@ -2595,6 +2636,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_png_decode": q_multimodal_png_decode,
         "dedup_minhash": q_dedup_minhash,
         "snapshot_links_overwrite": q_snapshot_links_overwrite,
+        # --- new in r9 (never attested; queued right behind the
+        #     stale block so the r9 gate reaches it) ---
+        "stream_dedup_phash_near": q_stream_dedup_phash_near,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -2971,6 +3015,17 @@ FROM m
 SELECT min(event_id) AS keeper_id
 FROM events WHERE event_id % 25 = 21
 GROUP BY event_id % 6
+"""
+    # Near-dup streaming keeper: families of hashes 1 bit apart ->
+    # dominated iff a smaller id shares the family (pure id math).
+    d["stream_dedup_phash_near"] = """
+WITH h AS (
+  SELECT event_id AS media_id, (event_id % 8) // 2 AS fam
+  FROM events WHERE event_id % 25 = 3
+)
+SELECT media_id,
+       media_id > min(media_id) OVER (PARTITION BY fam) AS is_dup
+FROM h
 """
     d["sketch_hll_distinct"] = _hll_sql(p=6)
     # Incremental embedding near-dup: new (vec_id % 4 = 0) probes the

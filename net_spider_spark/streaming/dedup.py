@@ -151,3 +151,158 @@ def stream_dedup_phash(media_stream: DataFrame) -> DataFrame:
     return hashes.groupBy("phash").agg(
         F.min("media_id").alias("keeper_id")
     )
+
+
+def _phash_near_stream(
+    hashes_stream: DataFrame,
+    max_hamming: int = 2,
+    bands: int = 4,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Core of :func:`stream_dedup_phash_near` over a pre-hashed
+    stream (media_id, phash) — split out so tests can plant exact
+    hash values without constructing decodable images.
+
+    One stateful operator, keyed by (band, sig): each arriving hash
+    is exploded into its ``bands`` bit-slices (the batch banding of
+    ``pipeline.dedup.phash_candidates``), and the per-bucket state
+    holds every distinct full 64-bit hash seen in that bucket with
+    its minimum id. Pigeonhole: a pair within Hamming distance
+    ``max_hamming < bands`` agrees exactly on at least one band, so
+    at least one shared bucket verifies the full-hash distance — the
+    same recall guarantee as the batch path, evaluated in-stream.
+    Each input row emits one row per band:
+    (media_id, phash, band, prior_min_id) where ``prior_min_id`` is
+    the smallest id among hamming-close hashes ALREADY seen (earlier
+    micro-batches, or earlier ids within this batch — rows are
+    processed in id order for replay-deterministic results), NULL if
+    the bucket has no close prior.
+
+    The per-media verdict is the OR/min across its bands. All band
+    rows of one input row are emitted in the same micro-batch, so
+    that reduction is batch-local — but Spark cannot chain another
+    shuffling aggregate after ``applyInPandasWithState`` in a
+    streaming plan, so it runs at the SINK:
+    :func:`phash_near_keepers` over the (memory/table) sink contents,
+    exactly the availableNow-replay shape the rest of the streaming
+    suite uses. State size: ``bands`` rows per distinct picture —
+    ``bands``× the exact keeper's state, still one entry per distinct
+    hash per band, fine on RocksDB (:func:`rocksdb_state_conf`).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import (
+        GroupState,
+        GroupStateTimeout,
+    )
+
+    if max_hamming >= bands:
+        raise ValueError(
+            "banding guarantees recall only for max_hamming < bands"
+        )
+    if 64 % bands != 0:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sigs = hashes_stream.select(
+        F.col(id_col).alias("media_id"),
+        F.col(hash_col).alias("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col(hash_col), i * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("sig"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("media_id", "phash", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    def bucket_fn(key, pdf_iter, state: GroupState):
+        if state.exists:
+            st_hashes, st_mins = state.get
+            seen = dict(zip(st_hashes, st_mins))
+        else:
+            seen = {}
+        out_ids, out_hashes, out_bands, out_prior = [], [], [], []
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values("media_id")
+        for mid, ph, band in zip(
+            rows["media_id"], rows["phash"], rows["band"]
+        ):
+            mid, ph = int(mid), int(ph)
+            prior = None
+            for h, m in seen.items():
+                if bin((h ^ ph) & 0xFFFFFFFFFFFFFFFF).count("1") <= max_hamming:
+                    prior = m if prior is None else min(prior, m)
+            out_ids.append(mid)
+            out_hashes.append(ph)
+            out_bands.append(int(band))
+            out_prior.append(prior)
+            if ph not in seen or mid < seen[ph]:
+                seen[ph] = mid
+        state.update((list(seen.keys()), list(seen.values())))
+        yield pd.DataFrame(
+            {
+                "media_id": pd.Series(out_ids, dtype="int64"),
+                "phash": pd.Series(out_hashes, dtype="int64"),
+                "band": pd.Series(out_bands, dtype="int32"),
+                "prior_min_id": pd.Series(out_prior, dtype="Int64"),
+            }
+        )
+
+    return sigs.groupBy("band", "sig").applyInPandasWithState(
+        bucket_fn,
+        outputStructType=(
+            "media_id long, phash long, band int, prior_min_id long"
+        ),
+        stateStructType="hashes array<long>, min_ids array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_dedup_phash_near(
+    media_stream: DataFrame,
+    max_hamming: int = 2,
+    bands: int = 4,
+) -> DataFrame:
+    """NEAR-duplicate streaming perceptual dedup: unlike
+    :func:`stream_dedup_phash` (exact-hash keeper — a hamming-1
+    re-encode slips through until the batch pass), this catches any
+    arrival within ``max_hamming`` pHash bits of an earlier picture
+    in-stream, via band-sliced state (see :func:`_phash_near_stream`).
+    Decode failures are dropped here, as in the exact variant. Reduce
+    the sink with :func:`phash_near_keepers` for per-media verdicts.
+    """
+    from net_spider_spark.pipeline.multimodal import image_phash
+
+    hashes = image_phash(media_stream).where(F.col("error").isNull())
+    return _phash_near_stream(
+        hashes, max_hamming=max_hamming, bands=bands
+    )
+
+
+def phash_near_keepers(sink_df: DataFrame) -> DataFrame:
+    """Batch reduction of a :func:`stream_dedup_phash_near` sink:
+    (media_id, phash, is_dup) — a row is a duplicate iff ANY of its
+    band rows saw a hamming-close prior with a smaller id. Mirrors
+    the batch dominated rule of ``pipeline.dedup.image_phash_dedup``,
+    so an ordered replay agrees with the batch pass."""
+    return (
+        sink_df.groupBy("media_id", "phash")
+        .agg(F.min("prior_min_id").alias("_prior"))
+        .select(
+            "media_id",
+            "phash",
+            (
+                F.col("_prior").isNotNull()
+                & (F.col("_prior") < F.col("media_id"))
+            ).alias("is_dup"),
+        )
+    )

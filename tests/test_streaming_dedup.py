@@ -302,3 +302,73 @@ def test_stream_dedup_phash_collapses_cross_batch_reencodes(spark, tmp_path):
     # keeps batch 1's id 10, never 20
     assert len(final) == 3
     assert sorted(final.values()) == [10, 11, 21]
+
+
+def test_stream_phash_near_catches_perturbed_hash_cross_batch(
+    spark, tmp_path
+):
+    """A 1-bit-perturbed pHash arriving in a LATER micro-batch — the
+    case the exact-hash keeper misses until the batch pass — must be
+    flagged in-stream by the band-sliced state, and the replay verdict
+    must agree with the batch dominated rule (image_phash_dedup)."""
+    from net_spider_spark.pipeline.dedup import image_phash_dedup
+    from net_spider_spark.streaming.dedup import (
+        _phash_near_stream,
+        phash_near_keepers,
+    )
+
+    H = 0x0123456789ABCDEF & ((1 << 63) - 1)
+    FAR = 0x7EDCBA9876543210
+    batch1 = [(10, H), (11, FAR)]
+    batch2 = [(20, H ^ 1), (21, (FAR >> 8) ^ 0x55AA55AA)]
+    schema = "media_id long, phash long"
+    src = tmp_path / "hashes_in"
+    src.mkdir()
+    t0 = time.time() - 2
+    for i, rows in enumerate([batch1, batch2]):
+        sub = str(src / f"b{i}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(sub)
+        for f in os.listdir(sub):
+            os.utime(os.path.join(sub, f), (t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = _phash_near_stream(stream, max_hamming=2, bands=4)
+    ckpt = str(tmp_path / "ckpt_near")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(f"phash_near_{uuid.uuid4().hex[:8]}")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    sink = spark.sql(f"select * from {q.name}")
+    got = {
+        r["media_id"]: r["is_dup"]
+        for r in phash_near_keepers(sink).collect()
+    }
+    assert got == {10: False, 11: False, 20: True, 21: False}
+    # batch/stream agreement on the full corpus
+    batch_df = spark.createDataFrame(batch1 + batch2, schema)
+    want = {
+        r["media_id"]: r["is_dup"]
+        for r in image_phash_dedup(
+            batch_df, max_hamming=2, bands=4
+        ).collect()
+    }
+    assert got == want
+
+
+def test_stream_phash_near_rejects_bad_banding():
+    import pytest as _pytest
+
+    from net_spider_spark.streaming.dedup import _phash_near_stream
+
+    with _pytest.raises(ValueError, match="max_hamming < bands"):
+        _phash_near_stream(None, max_hamming=4, bands=4)
