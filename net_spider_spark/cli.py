@@ -47,6 +47,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--target-rows", type=int, default=1_000_000,
         help="rows per output file (per day partition)",
     )
+    p_compact.add_argument(
+        "--zorder", action="store_true",
+        help="OPTIMIZE-ZORDER rewrite: lay the whole table along the "
+        "(subject_node, found_at) Z-curve so point lookups AND "
+        "interval scans prune by file stats (drops the found_day "
+        "partition column — the time axis moves into the curve)",
+    )
 
     p_in = sub.add_parser("input", help="parse logs and append findings")
     _input_args(p_in)
@@ -367,10 +374,14 @@ def main(argv: Optional[Sequence[str]] = None,
             from net_spider_spark.ingest import compact_history
 
             stats = compact_history(
-                spark, args.db, target_rows_per_file=args.target_rows
+                spark,
+                args.db,
+                target_rows_per_file=args.target_rows,
+                zorder=args.zorder,
             )
             print(
-                f"compacted {stats['rows']} findings: "
+                f"compacted {stats['rows']} findings"
+                f"{' (z-ordered)' if args.zorder else ''}: "
                 f"{stats['files_before']} -> {stats['files_after']} files",
                 file=sys.stderr,
             )

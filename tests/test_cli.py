@@ -134,6 +134,31 @@ def test_cli_compact(spark, tmp_path, capsys):
     assert read_findings(spark, db).count() == 9  # 3 appends x 3 findings
 
 
+def test_cli_compact_zorder(spark, tmp_path, capsys):
+    db = str(tmp_path / "h5")
+    for _ in range(2):
+        rc = main(
+            ["--db", db, "input", f"{DATA}/syslog_sample.log",
+             "--format", "syslog", "--year", "2021"],
+            spark=spark,
+        )
+        assert rc == 0
+    rc = main(["--db", db, "compact", "--zorder"], spark=spark)
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "z-ordered" in err
+    import os
+
+    from net_spider_spark.ingest import read_findings
+
+    # found_day partition dirs are gone (time axis moved into the
+    # curve); the data survives intact
+    assert not any(
+        d.startswith("found_day=") for d in os.listdir(db)
+    )
+    assert read_findings(spark, db).count() == 6
+
+
 def test_cis_file_output_streams_identically(spark, tmp_path, capsys):
     # -o <path> routes through the streaming file writer; bytes must
     # equal the stdout (in-memory) writer on the same history.

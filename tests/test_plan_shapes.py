@@ -135,6 +135,48 @@ def test_funnel_stage_filters_reach_scan(spark):
     assert "PushedFilters: [" in plan and "event_type" in plan
 
 
+def test_funnel_level_joins_broadcast(spark):
+    # Funnel shape census: the per-level (user, t) set shrinks
+    # monotonically, so every level join must be a broadcast —
+    # sort-merge or cartesian there means the whole event log is
+    # being shuffled per stage.
+    import os
+
+    import __spark_entry__ as em
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip("no testdata")
+    plan = plan_of(em.q_events_funnel(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    # one user-keyed aggregate exchange per funnel level + the base
+    # stage; per-stage counts collapse to SinglePartition rollups
+    assert plan.count("BroadcastHashJoin") == 3
+    assert plan.count("Exchange hashpartitioning") == 5
+
+
+def test_retention_hash_agg_only_shape(spark):
+    # Retention census: distinct-activity + min-bucket + cell counts
+    # are all hash aggregates on user/cohort keys; cohort-size join is
+    # broadcast. No window, no sort, no cartesian anywhere.
+    import os
+
+    import __spark_entry__ as em
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_SMALL", "/root/testdata/sf0.001")
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip("no testdata")
+    plan = plan_of(em.q_events_retention(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Window" not in plan
+    assert plan.count("BroadcastHashJoin") == 2
+    assert plan.count("Exchange hashpartitioning") == 6
+
+
 def test_embed_truncate_no_exchange(spark):
     # Pure projection over the embeddings scan — any Exchange is a
     # regression.
