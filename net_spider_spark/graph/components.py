@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from net_spider_spark.sizing import fits_in_driver
+from net_spider_spark.reliability import (
+    materialize as _materialize,
+    materialize_lazy as _materialize_lazy,
+)
 
 
 # Same rationale as traverse._LOCAL_BFS_MAX_EDGES: below this size the
@@ -50,7 +54,7 @@ def connected_components(
         und.select(F.col("src").alias("node_id"))
         .distinct()
         .withColumn("component", F.col("node_id"))
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     try:
         for _ in range(max_iter):
@@ -96,7 +100,7 @@ def connected_components(
                         F.coalesce("_lbl_comp", F.col("component")),
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=False)
+                .transform(_materialize_lazy)
             )
             changed = (
                 updated.alias("u")

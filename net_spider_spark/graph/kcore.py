@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from net_spider_spark.sizing import fits_in_driver
+from net_spider_spark.reliability import materialize as _materialize
 
 
 # Driver-local fast path bound (see traverse/components/pagerank: the
@@ -86,9 +87,7 @@ def kcore(
         finally:
             und.unpersist()
     try:
-        alive = und.select(F.col("src").alias("v")).distinct().localCheckpoint(
-            eager=True
-        )
+        alive = und.select(F.col("src").alias("v")).distinct().transform(_materialize)
         n_alive = alive.count()
         for _ in range(max_rounds):
             deg = (
@@ -97,9 +96,7 @@ def kcore(
                 .groupBy(F.col("src").alias("v"))
                 .agg(F.count(F.lit(1)).alias("deg"))
             )
-            nxt = deg.where(F.col("deg") >= k).select("v").localCheckpoint(
-                eager=True
-            )
+            nxt = deg.where(F.col("deg") >= k).select("v").transform(_materialize)
             n_nxt = nxt.count()
             alive = nxt
             if n_nxt == n_alive or n_nxt == 0:
@@ -113,7 +110,7 @@ def kcore(
             .join(alive.withColumnRenamed("v", "dst"), "dst")
             .groupBy(F.col("src").alias("node_id"))
             .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-            .localCheckpoint(eager=True)
+            .transform(_materialize)
         )
     finally:
         und.unpersist()

@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from net_spider_spark.sizing import fits_in_driver
+from net_spider_spark.reliability import (
+    materialize as _materialize,
+    materialize_lazy as _materialize_lazy,
+)
 
 #: fixed-point scale: 1.0 == 1e6 micro-units
 _SCALE = 1_000_000
@@ -131,13 +135,13 @@ def pagerank(
                 )
             )
             if (i + 1) % checkpoint_every == 0 and i + 1 < n_iter:
-                ranks = ranks.localCheckpoint(eager=False)
+                ranks = ranks.transform(_materialize_lazy)
 
         # Materialize the final ranks so the returned plan owns RDD
         # blocks (ContextCleaner-freed) and references none of the
         # three caches this call created — they unpersist in finally
         # with no recompute and no session-lifetime CacheManager leak.
-        ranks = ranks.localCheckpoint(eager=True)
+        ranks = ranks.transform(_materialize)
     finally:
         e.unpersist()
         nodes.unpersist()

@@ -25,6 +25,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from net_spider_spark.sizing import fits_in_driver
+from net_spider_spark.reliability import (
+    materialize as _materialize,
+    materialize_lazy as _materialize_lazy,
+)
 
 # Same rationale as pagerank._LOCAL_PR_MAX_EDGES: below this many
 # distinct edges the per-round Spark jobs are pure scheduling overhead
@@ -98,11 +102,11 @@ def shortest_paths(
                 .agg(F.min("dist").alias("dist"))
             )
             if (i + 1) % checkpoint_every == 0 and i + 1 < max_hops:
-                dist = dist.localCheckpoint(eager=False)
+                dist = dist.transform(_materialize_lazy)
         # Materialize before unpersisting ``e`` — the lazy plan holds
         # max_hops references to the edge table and would recompute it
         # from source that many times at the caller's action.
-        dist = dist.localCheckpoint(eager=True)
+        dist = dist.transform(_materialize)
     finally:
         e.unpersist()
     return dist

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from net_spider_spark.pipeline.text import tokens_col
+from net_spider_spark.reliability import materialize as _materialize
 
 # ---------------------------------------------------------------------------
 # Repetition signals (Gopher-style quality rules)
@@ -530,10 +531,10 @@ def decontaminate_fuzzy(
     # contract as bm25_search).
     train_sets = D.doc_shingle_sets(
         train_df, text_col=text_col, id_col=id_col, n=n
-    ).localCheckpoint(eager=True)
+    ).transform(_materialize)
     eval_sets = D.doc_shingle_sets(
         eval_df, text_col=text_col, id_col=id_col, n=n
-    ).localCheckpoint(eager=True)
+    ).transform(_materialize)
     cand = D.minhash_candidates_against(
         D.minhash_signatures_sets(train_sets, n_hashes=n_hashes, id_col=id_col),
         D.minhash_signatures_sets(eval_sets, n_hashes=n_hashes, id_col=id_col),

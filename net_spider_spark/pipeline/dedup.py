@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from net_spider_spark.pipeline.text import tokens_col
+from net_spider_spark.reliability import materialize as _materialize
 
 
 def exact_duplicates(
@@ -779,12 +780,12 @@ def image_phash_dedup(
     # upstream image DECODE — the dominant cost. localCheckpoint
     # (RDD-owned, ContextCleaner-freed when the caller drops the
     # result; eager, so the decode runs exactly once at call time).
-    hashes = hashes.localCheckpoint(eager=True)
+    hashes = hashes.transform(_materialize)
     classes = (
         hashes.where(F.col(hash_col).isNotNull())
         .groupBy(hash_col)
         .agg(F.min(id_col).alias("_min_id"))
-        .localCheckpoint(eager=True)  # consumed by banding + 2 verify sides
+        .transform(_materialize)  # consumed by banding + 2 verify sides
     )
     cand = phash_candidates(
         classes.select(F.col(hash_col).alias("_cls"), F.col(hash_col)),

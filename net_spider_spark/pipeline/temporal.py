@@ -37,6 +37,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from net_spider_spark.reliability import materialize as _materialize
 
 __all__ = ["asof_join", "interval_join", "time_rollup", "gap_fill"]
 
@@ -254,7 +255,7 @@ def time_rollup(
     # the result — a persist() here would leak a CacheManager entry
     # for the session lifetime since this function never sees the
     # caller's final action.
-    base = base.localCheckpoint(eager=True)
+    base = base.transform(_materialize)
 
     def _finish(df: DataFrame, r: int) -> DataFrame:
         return df.select(

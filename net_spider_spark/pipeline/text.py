@@ -14,6 +14,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from net_spider_spark.reliability import materialize as _materialize
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic. Deliberately small and fixed so the oracle SQL
@@ -316,7 +317,7 @@ def bpe_learn(
         .where(~F.col("w").contains(sep))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     size_row = word_tbl.select(
         F.count(F.lit(1)).alias("n"),
@@ -335,7 +336,7 @@ def bpe_learn(
     _LAST_LEARN_PATH = "distributed"
     words = word_tbl.select(
         bpe_word_seq(F.col("w")).alias("seq"), "freq"
-    ).localCheckpoint(eager=True)
+    ).transform(_materialize)
     # Superset of the live symbol set, maintained on the driver: the
     # initial distinct characters (one tiny job over the word table)
     # plus every merged string. Symbols whose occurrences all merge
@@ -420,7 +421,7 @@ def bpe_learn(
             )
         words = words.withColumn("seq", col)
         if rounds % 4 == 0:
-            words = words.localCheckpoint(eager=True)
+            words = words.transform(_materialize)
     _LAST_LEARN_ROUNDS = rounds
     return merges
 
@@ -576,7 +577,7 @@ def quality_model_train(
     base = scores.select(
         label.alias("_y"),
         *[fx.alias(f"_x{i}") for i, fx in enumerate(feats)],
-    ).localCheckpoint(eager=True)
+    ).transform(_materialize)
     n = base.count()
     if n == 0:
         raise ValueError("empty corpus")
@@ -747,7 +748,7 @@ def bm25_search(
         F.col(id_col),
         F.size("_toks").cast("long").alias("_dl"),
         *tf_cols,
-    ).localCheckpoint(eager=True)
+    ).transform(_materialize)
     stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("_n"),
         F.sum("_dl").alias("_dlsum"),

@@ -43,6 +43,7 @@ from pyspark.sql.window import Window
 
 from net_spider_spark.rpl import ipv6
 from net_spider_spark.rpl.findingid import finding_id_col
+from net_spider_spark.reliability import materialize as _materialize
 
 COOJA_HEAD_RE = r"^(\d+):(\d+)\.(\d+)\s+ID:(\d+)\s+(.*)$"
 SYSLOG_HEAD_RE = (
@@ -302,8 +303,8 @@ def parse_contiki_logs(
     # parse once with RDD-owned blocks (freed by the ContextCleaner
     # when the caller drops the results) — persist() would leave an
     # ownerless CacheManager entry alive for the whole session.
-    classified = classified.localCheckpoint(eager=True)
-    blocks = _block_table(classified).localCheckpoint(eager=True)
+    classified = classified.transform(_materialize)
+    blocks = _block_table(classified).transform(_materialize)
 
     # ---- DIO findings: one per valid dio block ------------------------
     dio_blocks = blocks.where(F.col("block_type") == "dio_head")

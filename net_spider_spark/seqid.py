@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from net_spider_spark.reliability import materialize as _materialize
 
 
 def make_seq_ids(nodes: DataFrame, id_col: str = "node_id",
@@ -48,7 +49,7 @@ def convert_graph(
     # single-partition row_number once, with blocks freed by the
     # ContextCleaner when the caller drops the mapping — unlike
     # persist(), which would pin a CacheManager entry nobody owns.
-    mapping = make_seq_ids(nodes, start=start).localCheckpoint(eager=True)
+    mapping = make_seq_ids(nodes, start=start).transform(_materialize)
     nodes_int = (
         nodes.join(mapping, "node_id")
         .drop("node_id")

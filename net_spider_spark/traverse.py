@@ -29,6 +29,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from net_spider_spark.sizing import fits_in_driver
+from net_spider_spark.reliability import (
+    materialize as _materialize,
+    materialize_lazy as _materialize_lazy,
+)
 
 # Below this many frontier rows, broadcast it explicitly.
 _BROADCAST_FRONTIER_MAX = 1_000_000
@@ -74,7 +78,7 @@ def reachable_nodes(
     # termination test. The visited set stays a lazy union of checkpointed
     # levels (each is small and cached); it is re-checkpointed only every
     # few levels to bound plan growth.
-    visited = starts.select("node_id").distinct().localCheckpoint(eager=True)
+    visited = starts.select("node_id").distinct().transform(_materialize)
     frontier = visited
     n_frontier = frontier.count()
     hops = 0
@@ -92,14 +96,14 @@ def reachable_nodes(
                 .select(F.col("dst").alias("node_id"))
                 .distinct()
                 .join(visited, "node_id", "left_anti")
-                .localCheckpoint(eager=False)
+                .transform(_materialize_lazy)
             )
             n_frontier = nxt.count()
             if n_frontier == 0:
                 break
             visited = visited.unionByName(nxt)
             if hops % 8 == 7:
-                visited = visited.localCheckpoint(eager=True)
+                visited = visited.transform(_materialize)
             frontier = nxt
             hops += 1
     finally:
@@ -165,7 +169,7 @@ def reachable_with_levels(
         starts.select("node_id")
         .distinct()
         .withColumn("level", F.lit(0).cast("long"))
-        .localCheckpoint(eager=True)
+        .transform(_materialize)
     )
     frontier = visited.select("node_id")
     n_frontier = frontier.count()
@@ -186,14 +190,14 @@ def reachable_with_levels(
                 .distinct()
                 .join(visited.select("node_id"), "node_id", "left_anti")
                 .withColumn("level", F.lit(hops).cast("long"))
-                .localCheckpoint(eager=False)
+                .transform(_materialize_lazy)
             )
             n_frontier = nxt.count()
             if n_frontier == 0:
                 break
             visited = visited.unionByName(nxt)
             if hops % 8 == 7:
-                visited = visited.localCheckpoint(eager=True)
+                visited = visited.transform(_materialize)
             frontier = nxt.select("node_id")
     finally:
         edges.unpersist()
