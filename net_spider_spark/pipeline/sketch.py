@@ -306,6 +306,122 @@ def hll_distinct(
     ).drop("hll")
 
 
+def hll_sketch_sparse(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = 10,
+    seed: str = "s42",
+) -> DataFrame:
+    """Per-group HLL sketch in SPARSE form: ``hll_sparse`` is a
+    ``map<int,int>`` of only the NON-ZERO registers (bucket -> rho).
+
+    Why: the dense representation is 2^p ints per group regardless of
+    group size — fine for a handful of groups at p=10, wasteful for
+    MANY SMALL groups at p>=14 (a 16k-int array per group whose
+    distinct count is 50). Sparse state is O(min(distinct, 2^p)) per
+    group, which is what a 100 TB run with a high-cardinality group
+    key actually wants. Same hash, same registers, same estimate —
+    :func:`hll_densify` converts exactly, and the sparse estimator
+    sums the same dyadic terms, so estimates agree with the dense
+    path at the 4-dp rounding (pinned by tests/test_sketch.py parity
+    tests).
+
+    Plan shape is identical to :func:`hll_sketch` minus the dense
+    assembly: one (group, bucket) max aggregate, one map assembly.
+    """
+    group_cols = list(group_cols)
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    w_bits = 60 - p
+    hashed = df.select(
+        *group_cols,
+        F.expr(hash60_sql(value_col, seed)).alias("_h60"),
+    ).select(
+        *group_cols,
+        F.shiftrightunsigned(F.col("_h60"), w_bits).alias("_bkt"),
+        (
+            F.col("_h60").bitwiseAND(F.lit((1 << w_bits) - 1))
+        ).alias("_w"),
+    )
+    rho = F.when(F.col("_w") == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits) - F.length(F.bin(F.col("_w"))) + F.lit(1)
+    )
+    return (
+        hashed.select(*group_cols, "_bkt", rho.alias("_rho"))
+        .groupBy(*group_cols, "_bkt")
+        .agg(F.max("_rho").alias("_m"))
+        .groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(
+                    F.struct(
+                        F.col("_bkt").cast("int").alias("bkt"),
+                        F.col("_m").cast("int").alias("rho"),
+                    )
+                )
+            ).alias("hll_sparse")
+        )
+    )
+
+
+def hll_merge_sparse(a: "F.Column", b: "F.Column") -> "F.Column":
+    """Merge two sparse sketches: per-bucket max over the key union —
+    ``map_zip_with`` keeps the result sparse (absent = 0, and
+    max(x, 0) = x for rho >= 1, so no zero entries appear)."""
+    return F.map_zip_with(
+        a,
+        b,
+        lambda _k, v1, v2: F.greatest(
+            F.coalesce(v1, F.lit(0)), F.coalesce(v2, F.lit(0))
+        ),
+    )
+
+
+def hll_densify(sparse: "F.Column", p: int) -> "F.Column":
+    """Sparse map -> the dense register array :func:`hll_estimate`
+    and :func:`hll_merge_arrays` consume (missing buckets 0)."""
+    m = 1 << p
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.coalesce(
+            F.element_at(sparse, j.cast("int")), F.lit(0)
+        ).cast("int"),
+    )
+
+
+def hll_estimate_sparse(
+    sketch: DataFrame, p: int = 10, hll_col: str = "hll_sparse"
+) -> DataFrame:
+    """Cardinality estimate straight off the sparse map — never
+    materializes the dense array. Each ABSENT bucket contributes
+    exactly 2^-0 = 1.0 to the indicator sum, so
+    ``inv_sum = (m - size) * 1.0 + Σ 2^-rho`` over the map values;
+    every term is the same dyadic rational the dense estimator sums,
+    just in a different order, and the 4-dp rounding absorbs any
+    last-ulp summation-order difference — the parity tests assert
+    EQUALITY with :func:`hll_estimate` on the densified sketch.
+    Adds ``est_distinct`` (4 dp) and ``n_zero_regs``."""
+    m = 1 << p
+    w_bits = 60 - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    inv_pow2 = F.array(
+        *[F.lit(1.0 / (1 << i)) for i in range(w_bits + 2)]
+    )
+    zeros = (F.lit(m) - F.size(hll_col)).cast("long")
+    inv_sum = F.aggregate(
+        F.map_values(hll_col),
+        zeros.cast("double"),
+        lambda acc, r: acc + F.get(inv_pow2, r),
+    )
+    raw = F.lit(alpha * m * m) / inv_sum
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lc).otherwise(raw)
+    return sketch.withColumn("n_zero_regs", zeros).withColumn(
+        "est_distinct", F.round(est, 4)
+    )
+
+
 def kmv_merge(
     a: DataFrame,
     b: DataFrame,

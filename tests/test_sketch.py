@@ -563,3 +563,83 @@ def test_hll_rejects_bad_p(spark):
 
     with pytest.raises(ValueError, match="p must be"):
         SK.hll_sketch(spark.range(1), ["id"], "id", p=2)
+    with pytest.raises(ValueError, match="p must be"):
+        SK.hll_sketch_sparse(spark.range(1), ["id"], "id", p=20)
+
+
+def test_hll_sparse_densifies_to_dense_sketch(spark):
+    # Sparse and dense sketches are the SAME registers at every p:
+    # densify(sparse) must equal the dense array element-for-element,
+    # including the many-small-groups case sparse exists for.
+    from net_spider_spark.pipeline import sketch as SK
+
+    rows = spark.range(3000).select(
+        (F.col("id") % 40).alias("g"), (F.col("id") % 613).alias("u")
+    )
+    for p in (6, 10, 14):
+        dense = {
+            r["g"]: r["hll"]
+            for r in SK.hll_sketch(rows, ["g"], "u", p=p).collect()
+        }
+        sparse = SK.hll_sketch_sparse(rows, ["g"], "u", p=p)
+        densified = {
+            r["g"]: r["d"]
+            for r in sparse.select(
+                "g", SK.hll_densify(F.col("hll_sparse"), p).alias("d")
+            ).collect()
+        }
+        assert densified == dense
+        # sparse state is register-count-sized, not 2^p-sized
+        sizes = [
+            r["s"]
+            for r in sparse.select(F.size("hll_sparse").alias("s")).collect()
+        ]
+        assert all(0 < s <= min(75, 1 << p) for s in sizes)
+
+
+def test_hll_sparse_merge_and_estimate_parity(spark):
+    from net_spider_spark.pipeline import sketch as SK
+
+    df = spark.range(2000).select(
+        F.lit("x").alias("g"), (F.col("id") % 777).alias("u")
+    )
+    half1 = df.where(F.col("id") % 2 == 0)
+    half2 = df.where(F.col("id") % 2 == 1)
+    p = 8
+    s1 = SK.hll_sketch_sparse(half1, ["g"], "u", p=p).withColumnRenamed(
+        "hll_sparse", "h1"
+    )
+    s2 = SK.hll_sketch_sparse(half2, ["g"], "u", p=p).withColumnRenamed(
+        "hll_sparse", "h2"
+    )
+    merged = s1.join(s2, "g").select(
+        "g", SK.hll_merge_sparse(F.col("h1"), F.col("h2")).alias("hll_sparse")
+    )
+    whole_dense = SK.hll_sketch(df, ["g"], "u", p=p)
+    md = merged.select(
+        "g", SK.hll_densify(F.col("hll_sparse"), p).alias("hll")
+    )
+    assert (
+        md.collect()[0]["hll"] == whole_dense.collect()[0]["hll"]
+    )  # sparse merge == recompute, register-exact
+    est_sparse = SK.hll_estimate_sparse(merged, p=p).collect()[0]
+    est_dense = SK.hll_estimate(whole_dense, p=p).collect()[0]
+    assert est_sparse["est_distinct"] == est_dense["est_distinct"]
+    assert est_sparse["n_zero_regs"] == est_dense["n_zero_regs"]
+
+
+def test_hll_sparse_small_group_state_is_tiny(spark):
+    # The motivating case: many small groups at p=14 — dense would be
+    # 16384 ints per group; sparse holds <= distinct-count entries.
+    from net_spider_spark.pipeline import sketch as SK
+
+    rows = spark.range(1000).select(
+        (F.col("id") % 100).alias("g"), F.col("id").alias("u")
+    )
+    sk = SK.hll_sketch_sparse(rows, ["g"], "u", p=14)
+    sizes = [r["s"] for r in sk.select(F.size("hll_sparse").alias("s")).collect()]
+    assert len(sizes) == 100 and all(s <= 10 for s in sizes)
+    ests = SK.hll_estimate_sparse(sk, p=14)
+    # p=14 SE ~0.8%; 10 distinct per group, linear-counting regime
+    for r in ests.collect():
+        assert abs(r["est_distinct"] - 10) < 1.0
