@@ -172,6 +172,24 @@ def main() -> None:
         lambda: force(D.remove_boilerplate_lines(docs_rep, min_docs=2)),
     )
     timed("text_common_ngrams", lambda: force(TX.common_ngrams(docs_rep, n=3)))
+
+    # ---- round-8 headline families (round-9 scale artifact) ----
+    # Fuzzy decontamination: the replicated corpus probes a FIXED
+    # 200-doc eval index — the daily-batch shape; work scales with the
+    # train side's banded candidates, never train x eval.
+    eval_docs = docs.limit(200)
+    timed(
+        "curate_decontaminate_fuzzy",
+        lambda: force(CU.decontaminate_fuzzy(docs_rep, eval_docs)),
+    )
+    # Learned BPE at a REAL merge count: replication multiplies word
+    # FREQUENCIES but not the vocabulary, so the corpus-side word
+    # aggregate scales with the corpus while the guarded driver solver
+    # (one collect of the vocab table) is replication-invariant.
+    timed(
+        "text_bpe_learned_256",
+        lambda: TX.bpe_learn(docs_rep, n_merges=256),
+    )
     docs_rep.unpersist()
 
     ev = demo.read_table(spark, sf_dir, "events")
@@ -230,6 +248,43 @@ def main() -> None:
         "temporal_rollup",
         lambda: force(
             TP.time_rollup(ev_rep, resolutions=(3_600_000, 86_400_000))
+        ),
+    )
+
+    # Perceptual dedup over synthesized hash classes: ~n_events/8
+    # distinct pictures, each event one copy, 1-in-10 copies
+    # bit-perturbed (the transcode-with-loss case). Replication
+    # multiplies COPIES per class, which the exact-class
+    # pre-aggregation collapses to one row each before banding — the
+    # r9 design whose scaling this artifact exists to prove (the
+    # banded self-join is over distinct hashes, so its input is
+    # replication-invariant while the class aggregate scales
+    # linearly).
+    n_classes = max(1000, n_events // (8 * factor))
+    phashes = ev_rep.select(
+        F.col("event_id").alias("media_id"),
+        F.xxhash64((F.col("event_id") % n_classes).cast("string"))
+        .bitwiseXOR(
+            F.when(
+                F.col("event_id") % 10 == 0,
+                F.expr("shiftleft(1L, cast(event_id % 60 as int))"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        .alias("phash"),
+    )
+    timed(
+        "dedup_image_phash",
+        lambda: force(D.image_phash_dedup(phashes, max_hamming=2, bands=4)),
+    )
+
+    # HLL distinct users per event type: sketch state is O(2^p) per
+    # group regardless of input size — the shuffle-volume-flat row.
+    from net_spider_spark.pipeline import sketch as SK
+
+    timed(
+        "sketch_hll_distinct",
+        lambda: force(
+            SK.hll_distinct(ev_rep, ["event_type"], "user_id", p=12)
         ),
     )
 
