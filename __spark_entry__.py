@@ -1487,6 +1487,35 @@ def q_sketch_hll_distinct(spark, sf_dir):
     )
 
 
+def q_sketch_hll_sparse(spark, sf_dir):
+    # The SPARSE HLL representation (pipeline/sketch.py
+    # hll_sketch_sparse + hll_estimate_sparse): same registers as the
+    # dense path stored as a map of non-zero entries, estimate taken
+    # straight off the map. Same construction as sketch_hll_distinct,
+    # so the dense oracle applies verbatim — a hash mismatch here
+    # means the sparse representation diverged from dense.
+    sk = SK.hll_sketch_sparse(
+        _events_typed(spark, sf_dir), ["event_type"], "user_id", p=6
+    )
+    return SK.hll_estimate_sparse(sk, p=6).drop("hll_sparse")
+
+
+def q_text_bpe_learned_dist(spark, sf_dir):
+    # The DISTRIBUTED batched BPE round loop (driver fast path forced
+    # off via driver_max_words=0): exact top-K pair table per round,
+    # provably-sequential batch acceptance, chained literal replaces.
+    # Must equal the sequential-spec oracle merge-for-merge — the same
+    # unrolled-CTE oracle as text_bpe_learned, attesting that the
+    # batching rules never deviate from the argmax sequence.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    merges = TX.bpe_learn(
+        docs, n_merges=BPE_N_MERGES, driver_max_words=0
+    )
+    return spark.createDataFrame(
+        merges, "rank long, lhs string, rhs string, merged string, pair_count long"
+    )
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     # IVF ANN (KMeans cells + probe search); rows-only driver check —
     # recall vs brute force is pinned in tests/test_pipeline_ops.py.
@@ -2639,6 +2668,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new in r9 (never attested; queued right behind the
         #     stale block so the r9 gate reaches it) ---
         "stream_dedup_phash_near": q_stream_dedup_phash_near,
+        "sketch_hll_sparse": q_sketch_hll_sparse,
+        "text_bpe_learned_dist": q_text_bpe_learned_dist,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -2956,6 +2987,9 @@ def oracle_sql() -> dict[str, str]:
     d = _oracle_sql_base()
     d["text_quality_model"] = _qmodel_sql()
     d["text_bpe_learned"] = _bpe_learn_sql(BPE_N_MERGES)
+    # same oracle: the distributed batched loop must produce the
+    # identical merge sequence
+    d["text_bpe_learned_dist"] = _bpe_learn_sql(BPE_N_MERGES)
     d["text_bpe_encode"] = _bpe_encode_sql(BPE_N_MERGES)
     d["curate_pack_bpe"] = _bpe_pack_sql(BPE_N_MERGES)
     # Fuzzy decontamination: same banded-probe + verify algebra as the
@@ -3028,6 +3062,8 @@ SELECT media_id,
 FROM h
 """
     d["sketch_hll_distinct"] = _hll_sql(p=6)
+    # same oracle: sparse representation == dense registers
+    d["sketch_hll_sparse"] = _hll_sql(p=6)
     # Incremental embedding near-dup: new (vec_id % 4 = 0) probes the
     # corpus signature index — same seeded planes as dedup_embedding.
     d["dedup_embedding_incremental"] = f"""
