@@ -222,7 +222,13 @@ def hll_sketch(
     w_bits = 60 - p
     hashed = df.select(
         *group_cols,
-        F.expr(hash60_sql(value_col, seed)).alias("_h60"),
+        # two-step digest (md5 once, THEN the 15-char positional
+        # conversion) — hash60_sql would inline the md5 15x per row,
+        # measured 8x slower on the 6.4M-row scale bench
+        F.expr(md5_sql(value_col, seed)).alias("_md5"),
+    ).select(
+        *group_cols,
+        F.expr(hex15_to_long_sql("_md5")).alias("_h60"),
     ).select(
         *group_cols,
         F.shiftrightunsigned(F.col("_h60"), w_bits).alias("_bkt"),
@@ -336,7 +342,13 @@ def hll_sketch_sparse(
     w_bits = 60 - p
     hashed = df.select(
         *group_cols,
-        F.expr(hash60_sql(value_col, seed)).alias("_h60"),
+        # two-step digest (md5 once, THEN the 15-char positional
+        # conversion) — hash60_sql would inline the md5 15x per row,
+        # measured 8x slower on the 6.4M-row scale bench
+        F.expr(md5_sql(value_col, seed)).alias("_md5"),
+    ).select(
+        *group_cols,
+        F.expr(hex15_to_long_sql("_md5")).alias("_h60"),
     ).select(
         *group_cols,
         F.shiftrightunsigned(F.col("_h60"), w_bits).alias("_bkt"),
