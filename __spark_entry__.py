@@ -1387,6 +1387,23 @@ def q_stream_cms_cells(spark, sf_dir):
     return _run_available_now(cells, "stream_cms_sink", "complete")
 
 
+def q_stream_hll_distinct(spark, sf_dir):
+    # Streaming-maintained HyperLogLog: the register table is ONE
+    # grouped max over (event_type, bucket), so Structured Streaming
+    # maintains it incrementally with state bounded by groups x 2^p
+    # rows forever — the same mergeable-sketch state bound as
+    # stream_cms_cells, now for distinct counting. Max is
+    # replay-insensitive, so the availableNow replay's registers equal
+    # the batch registers bit-for-bit and the DENSE batch oracle
+    # (_hll_sql) applies verbatim to the estimate off the sink.
+    ev, stream = _events_stream(spark, sf_dir)
+    typed = stream.select("event_type", "user_id")
+    regs = SK.hll_register_table(typed, ["event_type"], "user_id", p=6)
+    sink = _run_available_now(regs, "stream_hll_sink", "complete")
+    sketch = SK.hll_from_registers(sink, ["event_type"], p=6)
+    return SK.hll_estimate(sketch, p=6).drop("hll")
+
+
 def q_temporal_gap_fill(spark, sf_dir):
     # Densify the hourly rollup per event_type: ~5% of buckets are
     # genuinely absent at sf0.01; counts zero-fill, and the synthetic
@@ -2670,6 +2687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_phash_near": q_stream_dedup_phash_near,
         "sketch_hll_sparse": q_sketch_hll_sparse,
         "text_bpe_learned_dist": q_text_bpe_learned_dist,
+        "stream_hll_distinct": q_stream_hll_distinct,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -3064,6 +3082,9 @@ FROM h
     d["sketch_hll_distinct"] = _hll_sql(p=6)
     # same oracle: sparse representation == dense registers
     d["sketch_hll_sparse"] = _hll_sql(p=6)
+    # same oracle: the streamed register table replayed availableNow
+    # must reproduce the batch registers (max is replay-insensitive)
+    d["stream_hll_distinct"] = _hll_sql(p=6)
     # Incremental embedding near-dup: new (vec_id % 4 = 0) probes the
     # corpus signature index — same seeded planes as dedup_embedding.
     d["dedup_embedding_incremental"] = f"""
