@@ -1517,6 +1517,19 @@ def q_sketch_hll_sparse(spark, sf_dir):
     return SK.hll_estimate_sparse(sk, p=6).drop("hll_sparse")
 
 
+def q_text_bpe_encode_arrow(spark, sf_dir):
+    # The ARROW encode path (pipeline/text.py _bpe_encode_stats_arrow,
+    # method="arrow" forced): rank-based greedy encoder inside
+    # mapInPandas with a per-partition distinct-word cache — the plan
+    # whose depth is independent of vocabulary size (the expr chain is
+    # one nested replace per merge, unusable at a real 32k-merge
+    # vocab). Same oracle as text_bpe_encode: the Arrow encoder must
+    # reproduce the unrolled-CTE replay byte-for-byte.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    merges = TX.bpe_learn(docs, n_merges=BPE_N_MERGES)
+    return TX.bpe_encode_stats(docs, merges, method="arrow")
+
+
 def q_text_bpe_learned_dist(spark, sf_dir):
     # The DISTRIBUTED batched BPE round loop (driver fast path forced
     # off via driver_max_words=0): exact top-K pair table per round,
@@ -2688,6 +2701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_hll_sparse": q_sketch_hll_sparse,
         "text_bpe_learned_dist": q_text_bpe_learned_dist,
         "stream_hll_distinct": q_stream_hll_distinct,
+        "text_bpe_encode_arrow": q_text_bpe_encode_arrow,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -3009,6 +3023,7 @@ def oracle_sql() -> dict[str, str]:
     # identical merge sequence
     d["text_bpe_learned_dist"] = _bpe_learn_sql(BPE_N_MERGES)
     d["text_bpe_encode"] = _bpe_encode_sql(BPE_N_MERGES)
+    d["text_bpe_encode_arrow"] = _bpe_encode_sql(BPE_N_MERGES)
     d["curate_pack_bpe"] = _bpe_pack_sql(BPE_N_MERGES)
     # Fuzzy decontamination: same banded-probe + verify algebra as the
     # incremental minhash + jaccard oracles, across the train/eval

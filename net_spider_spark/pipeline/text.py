@@ -14,6 +14,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from net_spider_spark.reliability import materialize as _materialize
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
@@ -450,11 +451,69 @@ def bpe_apply_merges(word: Column, merges: Sequence[tuple]) -> Column:
     return _seq_symbols(s)
 
 
+# Above this many merges the expression-chain encoder switches to the
+# Arrow path: the chain builds one nested replace() node per merge, so
+# a real 32k-merge vocabulary would hand Catalyst a 32k-deep expression
+# tree inside a lambda — minutes of analysis time and a codegen
+# fallback — while the Arrow encoder's cost per DISTINCT word is
+# independent of vocabulary size.
+BPE_ENCODE_EXPR_MAX_MERGES = 64
+
+
+def _bpe_merge_pass(syms: list, a: str, b: str) -> list:
+    # One greedy left-to-right non-overlapping pass of merge (a, b) —
+    # the exact semantics of the literal separator-encoded replace()
+    # in bpe_apply_merges.
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _bpe_encode_word(word: str, ranks: dict, cache: dict) -> tuple:
+    """Encode one pretoken under the learned merges, equivalent to the
+    rank-order replace chain but O(passes * len) instead of
+    O(n_merges * len): repeatedly apply the lowest-rank pair present.
+
+    Equivalence: a greedy non-overlapping pass leaves no occurrence of
+    its own pair behind, and every adjacency it creates involves the
+    NEW symbol a+b, which can only participate in merges learned after
+    (a, b) — i.e. strictly higher ranks. So "always take the lowest
+    rank present" visits merges in exactly the chain's rank order,
+    skipping the inapplicable ones. Pinned against the expression
+    chain by a Hypothesis parity test (test_property_bpe.py).
+    """
+    got = cache.get(word)
+    if got is not None:
+        return got
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best = (syms[i], syms[i + 1])
+        if best is None:
+            break
+        syms = _bpe_merge_pass(syms, best[0], best[1])
+    enc = tuple(syms)
+    cache[word] = enc
+    return enc
+
+
 def bpe_encode_stats(
     df: DataFrame,
     merges: Sequence[tuple],
     text_col: str = "text",
     id_col: str = "doc_id",
+    method: str = "auto",
 ) -> DataFrame:
     """Per-document token statistics under a LEARNED BPE vocabulary
     (from :func:`bpe_learn`): (id, n_tokens, n_distinct_tokens).
@@ -463,12 +522,28 @@ def bpe_encode_stats(
     (:func:`bpe_token_stats`) over-counts exactly the frequent words a
     real vocab merges into single tokens.
 
-    One projection over the corpus: pretokenize, apply the merge chain
-    per pretoken (literal replaces — codegen, no Python), flatten.
+    ``method``: ``"expr"`` applies the merge chain as literal replaces
+    (whole-stage codegen, zero Python — but one expression node per
+    merge, so only viable for small vocabularies); ``"arrow"`` runs a
+    rank-based greedy encoder inside mapInPandas with a per-partition
+    distinct-word cache (vocabulary-size-independent plan — the 32k-
+    merge production shape); ``"auto"`` picks expr at or below
+    ``BPE_ENCODE_EXPR_MAX_MERGES`` merges. Both paths share the Spark-
+    side pretokenizer, so they agree byte-for-byte (parity-tested).
+
     Pretokens containing the 0x1F separator byte pass through as
     single unmergeable tokens, mirroring their exclusion in learning.
     """
+    if method not in ("auto", "expr", "arrow"):
+        raise ValueError(f"unknown bpe_encode_stats method: {method!r}")
+    if method == "auto":
+        method = (
+            "expr" if len(merges) <= BPE_ENCODE_EXPR_MAX_MERGES
+            else "arrow"
+        )
     sep = BPE_SEP
+    if method == "arrow":
+        return _bpe_encode_stats_arrow(df, merges, text_col, id_col)
     toks = F.filter(
         bpe_ish_tokens(F.col(text_col)),
         lambda w: ~w.contains(sep),
@@ -486,6 +561,68 @@ def bpe_encode_stats(
             F.array_distinct(F.concat(all_syms, raw))
         ).cast("long").alias("n_distinct_tokens"),
     )
+
+
+def _bpe_encode_stats_arrow(
+    df: DataFrame,
+    merges: Sequence[tuple],
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The scale path for :func:`bpe_encode_stats`: pretokenize in
+    Spark (the SAME regexp as the expr path, so there is no Python
+    regex to keep in sync), then apply the learned merges per pretoken
+    inside an Arrow-batched mapInPandas. The rank table broadcasts in
+    the task closure (a 32k-merge vocab is ~1 MB); each partition
+    encodes every DISTINCT word once and serves repeats from a dict —
+    the working set is the vocabulary, not the corpus.
+    """
+    import pandas as pd
+
+    sep = BPE_SEP
+    id_field = df.select(id_col).schema.fields[0]
+    projected = df.select(
+        F.col(id_col), bpe_ish_tokens(F.col(text_col)).alias("_toks")
+    )
+    ranks = {(m[1], m[2]): m[0] for m in merges}
+
+    def encode_partition(batches):
+        cache: dict = {}
+        for pdf in batches:
+            n_tok, n_dis = [], []
+            for toks in pdf["_toks"]:
+                if toks is None:
+                    n_tok.append(None)
+                    n_dis.append(None)
+                    continue
+                total = 0
+                distinct: set = set()
+                for w in toks:
+                    if sep in w:
+                        total += 1
+                        distinct.add(w)
+                    else:
+                        enc = _bpe_encode_word(w, ranks, cache)
+                        total += len(enc)
+                        distinct.update(enc)
+                n_tok.append(total)
+                n_dis.append(len(distinct))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_tokens": pd.array(n_tok, dtype="Int64"),
+                    "n_distinct_tokens": pd.array(n_dis, dtype="Int64"),
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_tokens", T.LongType()),
+            T.StructField("n_distinct_tokens", T.LongType()),
+        ]
+    )
+    return projected.mapInPandas(encode_partition, schema=out_schema)
 
 
 def quality_filter(

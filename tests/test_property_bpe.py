@@ -85,3 +85,23 @@ def test_bpe_learn_matches_spec_on_random_corpora(spark, texts, n_merges):
     assert (
         TX.bpe_learn(df, n_merges=n_merges, driver_max_words=0) == want
     )
+
+
+@given(texts=corpus_st, n_merges=st.integers(min_value=1, max_value=6))
+@_settings
+def test_bpe_encode_arrow_matches_expr_chain(spark, texts, n_merges):
+    # The Arrow encoder (rank-based greedy, vocabulary-size-independent
+    # plan) must agree row-for-row with the literal replace chain —
+    # the two paths share only the Spark-side pretokenizer, so this
+    # pins the merge-application semantics themselves.
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    merges = _py_bpe(texts, n_merges)
+    expr = sorted(
+        map(tuple, TX.bpe_encode_stats(df, merges, method="expr").collect())
+    )
+    arrow = sorted(
+        map(tuple, TX.bpe_encode_stats(df, merges, method="arrow").collect())
+    )
+    assert expr == arrow

@@ -289,6 +289,50 @@ def test_bpe_encode_separator_byte_passthrough(spark):
     assert row["n_tokens"] >= 2
 
 
+def test_bpe_encode_arrow_symbol_runs_and_passthrough(spark):
+    # The Arrow encoder must reproduce the run semantics the double-
+    # separator replace encodes ('aaaa' -> [aa,aa], 'aaaaa' -> [aa,aa,a])
+    # and the 0x1F passthrough contract, byte-for-byte with expr.
+    df = spark.createDataFrame(
+        [(1, "aaaa aaaa aaaaa bbbb abab"), (2, "low low\x1flow low")],
+        "doc_id long, text string",
+    )
+    merges = TX.bpe_learn(df, n_merges=6)
+    expr = sorted(map(tuple, TX.bpe_encode_stats(df, merges, method="expr").collect()))
+    arrow = sorted(map(tuple, TX.bpe_encode_stats(df, merges, method="arrow").collect()))
+    assert expr == arrow
+
+
+def test_bpe_encode_auto_dispatch_and_method_validation(spark):
+    # auto = expr at small vocabularies (codegen, no Python evaluator),
+    # arrow above BPE_ENCODE_EXPR_MAX_MERGES (MapInPandas; plan depth
+    # independent of merge count — the 32k-merge production shape).
+    df = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "a cab dabbed")],
+        "doc_id long, text string",
+    )
+    small = [(1, "t", "h", "th", 2), (2, "th", "e", "the", 2)]
+    plan_small = TX.bpe_encode_stats(df, small)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_small and "ArrowEvalPython" not in plan_small
+
+    # >64 synthetic merges: chain would be 65+ nested replaces; auto
+    # must pick the Arrow path and agree with the forced expr chain.
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+    big = [(r + 1, alphabet[r % 26], alphabet[(r * 7 + 3) % 26],
+            alphabet[r % 26] + alphabet[(r * 7 + 3) % 26], 1)
+           for r in range(TX.BPE_ENCODE_EXPR_MAX_MERGES + 8)]
+    auto_df = TX.bpe_encode_stats(df, big)
+    plan_big = auto_df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_big
+    got_auto = sorted(map(tuple, auto_df.collect()))
+    got_expr = sorted(map(tuple, TX.bpe_encode_stats(df, big, method="expr").collect()))
+    assert got_auto == got_expr
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        TX.bpe_encode_stats(df, small, method="bogus")
+
+
 # ---------------------------------------------------------------------------
 # Model-based quality scoring: distributed fixed-point training must be
 # bit-identical to the sequential pure-Python spec (the determinism the
