@@ -186,9 +186,22 @@ def main() -> None:
     # FREQUENCIES but not the vocabulary, so the corpus-side word
     # aggregate scales with the corpus while the guarded driver solver
     # (one collect of the vocab table) is replication-invariant.
+    learned: dict = {}
     timed(
         "text_bpe_learned_256",
-        lambda: TX.bpe_learn(docs_rep, n_merges=256),
+        lambda: learned.setdefault(
+            "m", TX.bpe_learn(docs_rep, n_merges=256)
+        ),
+    )
+    # Arrow encode under that REAL vocabulary over the replicated
+    # corpus: per-partition distinct-word caching means the encoder's
+    # CPU cost scales with the vocabulary, while the scan scales with
+    # the corpus — the expr chain would be a 256-deep expression here.
+    timed(
+        "text_bpe_encode_arrow_256",
+        lambda: force(
+            TX.bpe_encode_stats(docs_rep, learned["m"], method="arrow")
+        ),
     )
     docs_rep.unpersist()
 
