@@ -17,7 +17,17 @@ from net_spider_spark.reliability import (
 
 
 def _cache_manager_empty(spark) -> bool:
+    # The session is shared across the whole test run and some library
+    # calls legitimately leave LRU-managed cache entries (get_snapshot
+    # documents this). These tests assert THIS test's operators add
+    # nothing, so start from a clean CacheManager.
     return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+@pytest.fixture(autouse=True)
+def _clean_cache(spark):
+    spark.catalog.clearCache()
+    yield
 
 
 @pytest.fixture
