@@ -122,6 +122,14 @@ HEADLINE = [
     "stream_dedup_phash",
     "dedup_embedding_incremental",
     "sketch_hll_distinct",
+    # round-9 additions: sparse HLL + the streaming register table,
+    # the distributed BPE round loop, the Arrow vocabulary-scale
+    # encoder, and the band-sliced streaming NEAR-dup pHash keeper.
+    "sketch_hll_sparse",
+    "stream_hll_distinct",
+    "text_bpe_learned_dist",
+    "text_bpe_encode_arrow",
+    "stream_dedup_phash_near",
 ]
 
 
