@@ -218,11 +218,13 @@ def _kmeans_cte_sql(k: int = 8, iters: int = 2, dim: int = 64,
     return "WITH " + ",\n".join(parts), assign
 
 
-def _pq_topk_sql(m: int = 4, k: int = 16, iters: int = 1, dim: int = 64,
-                 n_neighbors: int = 3, seed: str = "s42") -> str:
-    """DuckDB twin of pipeline.pq: per-subspace Lloyd's chains (the
+def _pq_score_parts(m: int, k: int, iters: int, dim: int,
+                    seed: str) -> list[str]:
+    """The shared PQ scoring CTEs: per-subspace Lloyd's chains (the
     codebooks), corpus codes = each chain's final assignment, queries'
-    ADC lookup tables, summed lookup distances, per-query top-k."""
+    ADC lookup tables, and ``pq_scored`` = summed lookup distances per
+    (query, neighbor). Used by both the flat-ADC and the IVF-PQ
+    oracle builders, so the code/LUT algebra is one definition."""
     sub_dim = dim // m
     parts: list[str] = []
     score_ctes = []
@@ -251,15 +253,69 @@ def _pq_topk_sql(m: int = 4, k: int = 16, iters: int = 1, dim: int = 64,
         "pq_scored AS (SELECT query_id, neighbor_id, sum(d) AS adist"
         f" FROM ({' UNION ALL '.join(score_ctes)}) GROUP BY 1, 2)"
     )
-    return (
-        "WITH " + ",\n".join(parts) + f"""
+    return parts
+
+
+_PQ_TOPK_TAIL = """
 SELECT query_id, neighbor_id, adist, rank FROM (
   SELECT query_id, neighbor_id, adist,
          row_number() OVER (PARTITION BY query_id
                             ORDER BY adist, neighbor_id) AS rank
-  FROM pq_scored) t
-WHERE rank <= {n_neighbors}
+  FROM {src}) t
+WHERE rank <= {n}
 """
+
+
+def _pq_topk_sql(m: int = 4, k: int = 16, iters: int = 1, dim: int = 64,
+                 n_neighbors: int = 3, seed: str = "s42") -> str:
+    """DuckDB twin of pipeline.pq.pq_topk: flat ADC over every code."""
+    parts = _pq_score_parts(m, k, iters, dim, seed)
+    return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
+        src="pq_scored", n=n_neighbors
+    )
+
+
+def _ivfpq_topk_sql(m: int = 4, k: int = 16, iters: int = 1,
+                    dim: int = 64, n_neighbors: int = 3,
+                    n_cells: int = 8, coarse_iters: int = 2,
+                    n_probe: int = 2, seed: str = "s42") -> str:
+    """DuckDB twin of pipeline.pq.ivfpq_topk: the coarse Lloyd's chain
+    assigns every corpus vector a cell, each query keeps its n_probe
+    nearest final centroids ((dist, cell) tie-break, exactly the Spark
+    window), and the flat ADC scores are filtered to probed cells —
+    value-identical to Spark's compute-only-probed plan because the
+    per-pair ADC sum doesn't depend on which other pairs are scored."""
+    parts, cassign, ccents = _kmeans_ctes(
+        k=n_cells, iters=coarse_iters, dim=dim, seed=seed, prefix="cq_",
+    )
+    parts = list(parts)
+    parts.append(
+        "cq_qel AS (SELECT e.vec_id AS query_id, c.cid AS cell,"
+        " unnest(e.v) AS x, unnest(c.cv) AS y"
+        f" FROM cq_emb e CROSS JOIN {ccents} c WHERE e.vec_id < 5)"
+    )
+    parts.append(
+        "cq_qd AS (SELECT query_id, cell, sum((x - y) * (x - y)) AS dist"
+        " FROM cq_qel GROUP BY 1, 2)"
+    )
+    parts.append(
+        "probes AS (SELECT query_id, cell FROM ("
+        "SELECT query_id, cell, row_number() OVER (PARTITION BY query_id"
+        " ORDER BY dist, cell) AS pr FROM cq_qd) t"
+        f" WHERE pr <= {n_probe})"
+    )
+    parts.append(
+        f"cellof AS (SELECT vec_id AS neighbor_id, cid AS cell"
+        f" FROM {cassign})"
+    )
+    parts.extend(_pq_score_parts(m, k, iters, dim, seed))
+    parts.append(
+        "ivf_scored AS (SELECT s.query_id, s.neighbor_id, s.adist"
+        " FROM pq_scored s JOIN cellof c USING (neighbor_id)"
+        " JOIN probes p ON p.query_id = s.query_id AND p.cell = c.cell)"
+    )
+    return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
+        src="ivf_scored", n=n_neighbors
     )
 
 
@@ -1484,6 +1540,24 @@ def q_sim_pq_topk(spark, sf_dir):
     return PQ.pq_topk(emb.where(F.col("vec_id") < 5), codes, books, k=3)
 
 
+def q_sim_ivfpq_topk(spark, sf_dir):
+    # IVF-PQ (Jégou et al. 2011), composed deterministic: the coarse
+    # quantizer is the md5-seeded Lloyd's (pipeline/cluster.py), the
+    # fine quantizer the PQ subspace codebooks, so the ENTIRE index —
+    # cells, codes, probes, ADC sums — replays exactly in DuckDB
+    # (unlike sim_ivf_topk, whose MLlib coarse step forces exhaustive
+    # probing in its oracle). n_probe=2 of 8 cells: the oracle attests
+    # the pruning itself, not just the scoring.
+    from net_spider_spark.pipeline import pq as PQ
+
+    emb = demo.read_table(spark, sf_dir, "embeddings")
+    return PQ.ivfpq_topk(
+        emb.where(F.col("vec_id") < 5), emb, dim=64, k=3,
+        n_cells=8, n_probe=2, coarse_iters=2, m=4, k_codes=16,
+        pq_iters=1,
+    )
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     # Approximate distinct users per event type via the portable KMV
     # sketch (k=16 so the estimator path actually runs — every event
@@ -2702,6 +2776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_learned_dist": q_text_bpe_learned_dist,
         "stream_hll_distinct": q_stream_hll_distinct,
         "text_bpe_encode_arrow": q_text_bpe_encode_arrow,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -4618,6 +4693,9 @@ FROM {_kmeans_cte_sql(k=8, iters=2)[1]} a LEFT JOIN dups d USING (vec_id)
         ),
         "sim_pq_topk": _pq_topk_sql(m=4, k=16, iters=1, dim=64,
                                     n_neighbors=3),
+        "sim_ivfpq_topk": _ivfpq_topk_sql(m=4, k=16, iters=1, dim=64,
+                                          n_neighbors=3, n_cells=8,
+                                          coarse_iters=2, n_probe=2),
         "events_quantiles_sketch": f"""
 WITH d AS (
   SELECT event_type, CAST(value AS DOUBLE) AS v,

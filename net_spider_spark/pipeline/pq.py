@@ -253,3 +253,111 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adist", "rank")
     )
+
+
+def ivfpq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 3,
+    n_cells: int = 8,
+    n_probe: int = 2,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "s42",
+) -> DataFrame:
+    """IVF-PQ ANN — the standard billion-scale index shape (Jégou et
+    al. 2011), composed from the two deterministic pieces this engine
+    already has: the coarse quantizer is :func:`cluster.kmeans_fit`
+    (bottom-k-by-md5 init, so the whole index build is
+    engine-reproducible and has an exact DuckDB oracle, unlike the
+    MLlib-backed :func:`similarity.ivf_topk`), the fine quantizer is
+    the :func:`pq_train` subspace codebooks over raw vectors
+    (IVF-Flat-style cells + global PQ codes; classic residual encoding
+    is a recall refinement, not required for the index shape).
+
+    Each query exact-scores the ``n_cells`` coarse centroids
+    (broadcast — n_cells rows), keeps the ``n_probe`` nearest cells
+    ((dist, cell) tie-break), and ADC-scores ONLY the codes in probed
+    cells: compute drops by ~n_probe/n_cells versus :func:`pq_topk`
+    while the stored index stays m bytes + one cell id per vector.
+
+    Scale shape: corpus vectors move only inside the bounded training
+    aggregates; candidate scoring ships (neighbor_id, codes, cell) —
+    never embeddings. The ADC lookup table (|Q|*m*k_codes rows) and
+    the probe table (|Q|*n_probe rows) both broadcast, so the
+    per-cell candidate join is map-side against the code table.
+    Output: (query_id, neighbor_id, adist, rank), ties by neighbor id.
+    With ``n_probe == n_cells`` the cell pruning is a no-op and the
+    result equals :func:`pq_topk` row for row (test-pinned).
+    """
+    from pyspark.sql.window import Window
+
+    from net_spider_spark.pipeline import cluster as CL
+
+    spark = corpus.sparkSession
+    cents, assigned = CL.kmeans_fit(
+        corpus, k=n_cells, iters=coarse_iters,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    cells = assigned.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("cluster_id").alias("_cell"),
+    )
+    books = pq_train(
+        corpus, dim=dim, m=m, k=k_codes, iters=pq_iters,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+
+    cdf = CL._centroid_df(corpus, cents)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy("_dist", "_cell")
+    probes = (
+        q.crossJoin(F.broadcast(cdf))
+        .select(
+            "query_id",
+            F.col("cid").alias("_cell"),
+            CL._sq_dist(F.col("_qv"), F.col("cv")).alias("_dist"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= n_probe)
+        .select("query_id", "_cell")
+    )
+
+    sub_dim = dim // m
+    q_exploded = _explode_subvectors(
+        queries, m, sub_dim, id_col, vec_col, out_id="query_id"
+    )
+    cb = _codebook_df(spark, books)
+    lut = q_exploded.join(F.broadcast(cb), "sub").select(
+        "query_id", "sub", F.col("cid").alias("code"),
+        _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+    )
+    cand = (
+        codes.select(F.col(id_col).alias("neighbor_id"), "codes")
+        .join(cells, "neighbor_id")
+        .join(F.broadcast(probes), "_cell")
+    )
+    scored = (
+        cand.select(
+            "query_id", "neighbor_id",
+            F.posexplode("codes").alias("sub", "code"),
+        )
+        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("d").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )

@@ -120,3 +120,104 @@ def test_plan_broadcasts_and_no_python_udf(emb):
     # vectors), and everything stays JVM-side.
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_exhaustive_probe_equals_flat_adc(emb):
+    # n_probe == n_cells: cell pruning is a no-op, so IVF-PQ must
+    # reproduce pq_topk row for row (adist included) — the composition
+    # changed the candidate set mechanics, not the scoring algebra.
+    qs = emb.where(F.col("vec_id") < 3)
+    books = PQ.pq_train(emb, dim=8, m=2, k=4, iters=1)
+    codes = PQ.pq_encode(emb, books)
+    flat = sorted(map(tuple, PQ.pq_topk(qs, codes, books, k=2).collect()))
+    ivf = sorted(
+        map(
+            tuple,
+            PQ.ivfpq_topk(
+                qs, emb, dim=8, k=2, n_cells=4, n_probe=4,
+                coarse_iters=1, m=2, k_codes=4, pq_iters=1,
+            ).collect(),
+        )
+    )
+    assert flat == ivf
+
+
+def test_ivfpq_pruning_restricts_to_probed_cells(emb):
+    # With n_probe < n_cells every returned neighbor must live in one
+    # of its query's probed cells, and the result must equal the flat
+    # ADC ranking restricted to those cells — pruning may change WHICH
+    # neighbors are reachable, never their scores or relative order.
+    from pyspark.sql.window import Window
+
+    from net_spider_spark.pipeline import cluster as CL
+
+    qs = emb.where(F.col("vec_id") < 3)
+    n_cells, n_probe = 4, 2
+    got = PQ.ivfpq_topk(
+        qs, emb, dim=8, k=2, n_cells=n_cells, n_probe=n_probe,
+        coarse_iters=1, m=2, k_codes=4, pq_iters=1,
+    ).collect()
+
+    cents, assigned = CL.kmeans_fit(emb, k=n_cells, iters=1)
+    cell_of = {
+        r["_id"]: r["cluster_id"] for r in assigned.collect()
+    }
+    cdf = CL._centroid_df(emb, cents)
+    probes = {}
+    q = qs.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("_qv"),
+    )
+    pw = Window.partitionBy("query_id").orderBy("_dist", "_cell")
+    prows = (
+        q.crossJoin(F.broadcast(cdf))
+        .select(
+            "query_id", F.col("cid").alias("_cell"),
+            CL._sq_dist(F.col("_qv"), F.col("cv")).alias("_dist"),
+        )
+        .withColumn("_pr", F.row_number().over(pw))
+        .where(F.col("_pr") <= n_probe)
+        .collect()
+    )
+    for r in prows:
+        probes.setdefault(r["query_id"], set()).add(r["_cell"])
+    assert got, "pruned IVF-PQ returned nothing"
+    for r in got:
+        assert cell_of[r["neighbor_id"]] in probes[r["query_id"]]
+
+    # flat ADC restricted to probed cells gives the same top-k
+    books = PQ.pq_train(emb, dim=8, m=2, k=4, iters=1)
+    codes = PQ.pq_encode(emb, books)
+    all_pairs = PQ.pq_topk(qs, codes, books, k=10_000).collect()
+    want = {}
+    for r in sorted(
+        all_pairs, key=lambda r: (r["query_id"], r["adist"], r["neighbor_id"])
+    ):
+        if cell_of[r["neighbor_id"]] in probes[r["query_id"]]:
+            want.setdefault(r["query_id"], [])
+            if len(want[r["query_id"]]) < 2:
+                want[r["query_id"]].append(
+                    (r["neighbor_id"], round(r["adist"], 9))
+                )
+    got_by_q = {}
+    for r in sorted(got, key=lambda r: (r["query_id"], r["rank"])):
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], round(r["adist"], 9))
+        )
+    assert got_by_q == want
+
+
+def test_ivfpq_plan_broadcasts_and_stays_jvm_side(emb):
+    plan = (
+        PQ.ivfpq_topk(
+            emb.where(F.col("vec_id") < 3), emb, dim=8, k=2,
+            n_cells=4, n_probe=2, coarse_iters=1, m=2, k_codes=4,
+            pq_iters=1,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # probes + LUT + codebooks broadcast; the corpus ships codes and a
+    # cell id, never embeddings; no cartesian, no Python evaluators.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
