@@ -130,6 +130,7 @@ HEADLINE = [
     "text_bpe_learned_dist",
     "text_bpe_encode_arrow",
     "stream_dedup_phash_near",
+    "sim_ivfpq_topk",
 ]
 
 
