@@ -159,6 +159,7 @@ def _lsh_sig_sql(n_bands: int = 4, n_planes: int = 4, dim: int = 64,
 def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
                  seed: str = "s42", prefix: str = "",
                  vec_sql: str = "CAST(embedding AS DOUBLE[])",
+                 from_sql: str = "embeddings",
                  ) -> tuple[list[str], str, str]:
     """DuckDB twin of pipeline.cluster.kmeans_fit: the unrolled Lloyd's
     iteration as a list of CTE definitions (prefixed so several chains
@@ -172,7 +173,7 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
     empty clusters keeping their previous centroid."""
     P = prefix
     parts = [
-        f"{P}emb AS (SELECT vec_id, {vec_sql} AS v FROM embeddings)",
+        f"{P}emb AS (SELECT vec_id, {vec_sql} AS v FROM {from_sql})",
         f"{P}seeds AS (SELECT v, row_number() OVER (ORDER BY"
         f" md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn"
         f" FROM {P}emb)",
@@ -278,13 +279,19 @@ def _pq_topk_sql(m: int = 4, k: int = 16, iters: int = 1, dim: int = 64,
 def _ivfpq_topk_sql(m: int = 4, k: int = 16, iters: int = 1,
                     dim: int = 64, n_neighbors: int = 3,
                     n_cells: int = 8, coarse_iters: int = 2,
-                    n_probe: int = 2, seed: str = "s42") -> str:
+                    n_probe: int = 2, seed: str = "s42",
+                    residual: bool = False) -> str:
     """DuckDB twin of pipeline.pq.ivfpq_topk: the coarse Lloyd's chain
     assigns every corpus vector a cell, each query keeps its n_probe
     nearest final centroids ((dist, cell) tie-break, exactly the Spark
-    window), and the flat ADC scores are filtered to probed cells —
+    window), and the ADC scores are filtered to probed cells —
     value-identical to Spark's compute-only-probed plan because the
-    per-pair ADC sum doesn't depend on which other pairs are scored."""
+    per-pair ADC sum doesn't depend on which other pairs are scored.
+
+    ``residual=True`` replays Jégou IVF-ADC: subspace chains train on
+    r = x - centroid(cell(x)) (the res_emb CTE feeds the same Lloyd's
+    builder via from_sql), and the lookup tables are per (query,
+    probed cell) against the query's residual to that cell."""
     parts, cassign, ccents = _kmeans_ctes(
         k=n_cells, iters=coarse_iters, dim=dim, seed=seed, prefix="cq_",
     )
@@ -308,14 +315,61 @@ def _ivfpq_topk_sql(m: int = 4, k: int = 16, iters: int = 1,
         f"cellof AS (SELECT vec_id AS neighbor_id, cid AS cell"
         f" FROM {cassign})"
     )
-    parts.extend(_pq_score_parts(m, k, iters, dim, seed))
+    if not residual:
+        parts.extend(_pq_score_parts(m, k, iters, dim, seed))
+        parts.append(
+            "ivf_scored AS (SELECT s.query_id, s.neighbor_id, s.adist"
+            " FROM pq_scored s JOIN cellof c USING (neighbor_id)"
+            " JOIN probes p ON p.query_id = s.query_id"
+            " AND p.cell = c.cell)"
+        )
+        return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
+            src="ivf_scored", n=n_neighbors
+        )
+
+    sub_dim = dim // m
     parts.append(
-        "ivf_scored AS (SELECT s.query_id, s.neighbor_id, s.adist"
-        " FROM pq_scored s JOIN cellof c USING (neighbor_id)"
-        " JOIN probes p ON p.query_id = s.query_id AND p.cell = c.cell)"
+        "res_emb AS (SELECT a.vec_id,"
+        f" list_transform(generate_series(1, {dim}),"
+        " i -> a.v[i] - c.cv[i]) AS v"
+        f" FROM {cassign} a JOIN {ccents} c USING (cid))"
+    )
+    parts.append(
+        "qres AS (SELECT p.query_id, p.cell,"
+        f" list_transform(generate_series(1, {dim}),"
+        " i -> e.v[i] - c.cv[i]) AS v"
+        " FROM probes p JOIN cq_emb e ON e.vec_id = p.query_id"
+        f" JOIN {ccents} c ON c.cid = p.cell)"
+    )
+    score_ctes = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        sub_parts, assign, cents = _kmeans_ctes(
+            k=k, iters=iters, dim=sub_dim, seed=seed, prefix=f"r{s}_",
+            vec_sql=f"v[{lo}:{hi}]", from_sql="res_emb",
+        )
+        parts.extend(sub_parts)
+        parts.append(
+            f"r{s}_lel AS (SELECT q.query_id, q.cell, c.cid AS code,"
+            f" unnest(q.v[{lo}:{hi}]) AS x, unnest(c.cv) AS y"
+            f" FROM qres q CROSS JOIN {cents} c)"
+        )
+        parts.append(
+            f"r{s}_lut AS (SELECT query_id, cell, code,"
+            f" sum((x - y) * (x - y)) AS d FROM r{s}_lel GROUP BY 1, 2, 3)"
+        )
+        parts.append(
+            f"r{s}_sc AS (SELECT l.query_id, a.vec_id AS neighbor_id, l.d"
+            f" FROM {assign} a JOIN cellof cf ON cf.neighbor_id = a.vec_id"
+            f" JOIN r{s}_lut l ON l.code = a.cid AND l.cell = cf.cell)"
+        )
+        score_ctes.append(f"SELECT * FROM r{s}_sc")
+    parts.append(
+        "rpq_scored AS (SELECT query_id, neighbor_id, sum(d) AS adist"
+        f" FROM ({' UNION ALL '.join(score_ctes)}) GROUP BY 1, 2)"
     )
     return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
-        src="ivf_scored", n=n_neighbors
+        src="rpq_scored", n=n_neighbors
     )
 
 
@@ -1558,6 +1612,23 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     )
 
 
+def q_sim_ivfpq_residual(spark, sf_dir):
+    # Jégou IVF-ADC proper: PQ codebooks train on the within-cell
+    # RESIDUALS r = x - centroid(cell(x)), and each query builds a
+    # per-probed-cell lookup table against its residual to that cell.
+    # Same deterministic pieces, so the oracle replays the residual
+    # table, the residual-trained subspace chains, and the
+    # (query, cell)-keyed ADC exactly.
+    from net_spider_spark.pipeline import pq as PQ
+
+    emb = demo.read_table(spark, sf_dir, "embeddings")
+    return PQ.ivfpq_topk(
+        emb.where(F.col("vec_id") < 5), emb, dim=64, k=3,
+        n_cells=8, n_probe=2, coarse_iters=2, m=4, k_codes=16,
+        pq_iters=1, residual=True,
+    )
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     # Approximate distinct users per event type via the portable KMV
     # sketch (k=16 so the estimator path actually runs — every event
@@ -2777,6 +2848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hll_distinct": q_stream_hll_distinct,
         "text_bpe_encode_arrow": q_text_bpe_encode_arrow,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "sim_ivfpq_residual": q_sim_ivfpq_residual,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -4696,6 +4768,10 @@ FROM {_kmeans_cte_sql(k=8, iters=2)[1]} a LEFT JOIN dups d USING (vec_id)
         "sim_ivfpq_topk": _ivfpq_topk_sql(m=4, k=16, iters=1, dim=64,
                                           n_neighbors=3, n_cells=8,
                                           coarse_iters=2, n_probe=2),
+        "sim_ivfpq_residual": _ivfpq_topk_sql(m=4, k=16, iters=1,
+                                              dim=64, n_neighbors=3,
+                                              n_cells=8, coarse_iters=2,
+                                              n_probe=2, residual=True),
         "events_quantiles_sketch": f"""
 WITH d AS (
   SELECT event_type, CAST(value AS DOUBLE) AS v,

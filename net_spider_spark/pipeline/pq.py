@@ -269,6 +269,7 @@ def ivfpq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "s42",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN — the standard billion-scale index shape (Jégou et
     al. 2011), composed from the two deterministic pieces this engine
@@ -276,9 +277,16 @@ def ivfpq_topk(
     (bottom-k-by-md5 init, so the whole index build is
     engine-reproducible and has an exact DuckDB oracle, unlike the
     MLlib-backed :func:`similarity.ivf_topk`), the fine quantizer is
-    the :func:`pq_train` subspace codebooks over raw vectors
-    (IVF-Flat-style cells + global PQ codes; classic residual encoding
-    is a recall refinement, not required for the index shape).
+    the :func:`pq_train` subspace codebooks.
+
+    ``residual=False`` quantizes raw vectors (IVF-Flat-style cells +
+    global PQ codes). ``residual=True`` is the classic Jégou IVF-ADC:
+    codebooks train on and codes store r = x - centroid(cell(x)), so
+    the PQ budget spends on the (much smaller) within-cell spread
+    instead of re-describing cell positions — better recall at the
+    same code size (measured in RECALL_r09.json). The cost is a
+    per-(query, probed-cell) ADC lookup table — |Q| * n_probe * m *
+    k_codes rows instead of |Q| * m * k_codes — still a broadcast.
 
     Each query exact-scores the ``n_cells`` coarse centroids
     (broadcast — n_cells rows), keeps the ``n_probe`` nearest cells
@@ -308,13 +316,30 @@ def ivfpq_topk(
         F.col("_id").alias("neighbor_id"),
         F.col("cluster_id").alias("_cell"),
     )
-    books = pq_train(
-        corpus, dim=dim, m=m, k=k_codes, iters=pq_iters,
-        id_col=id_col, vec_col=vec_col, seed=seed,
-    )
-    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
-
     cdf = CL._centroid_df(corpus, cents)
+    if residual:
+        res = assigned.join(
+            F.broadcast(cdf), F.col("cluster_id") == F.col("cid")
+        ).select(
+            "_id",
+            F.zip_with("_v", "cv", lambda x, y: x - y).alias("_rv"),
+        )
+        books = pq_train(
+            res, dim=dim, m=m, k=k_codes, iters=pq_iters,
+            id_col="_id", vec_col="_rv", seed=seed,
+        )
+        codes = pq_encode(res, books, id_col="_id", vec_col="_rv").select(
+            F.col("_id").alias("neighbor_id"), "codes"
+        )
+    else:
+        books = pq_train(
+            corpus, dim=dim, m=m, k=k_codes, iters=pq_iters,
+            id_col=id_col, vec_col=vec_col, seed=seed,
+        )
+        codes = pq_encode(
+            corpus, books, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col).alias("neighbor_id"), "codes")
+
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("_qv"),
@@ -333,25 +358,59 @@ def ivfpq_topk(
     )
 
     sub_dim = dim // m
-    q_exploded = _explode_subvectors(
-        queries, m, sub_dim, id_col, vec_col, out_id="query_id"
-    )
     cb = _codebook_df(spark, books)
-    lut = q_exploded.join(F.broadcast(cb), "sub").select(
-        "query_id", "sub", F.col("cid").alias("code"),
-        _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
-    )
-    cand = (
-        codes.select(F.col(id_col).alias("neighbor_id"), "codes")
-        .join(cells, "neighbor_id")
-        .join(F.broadcast(probes), "_cell")
+    if residual:
+        # LUT per (query, probed cell): distances from the query's
+        # RESIDUAL against that cell's centroid — the table the ADC
+        # sums against codes that store residuals.
+        qres = (
+            q.join(probes, "query_id")
+            .join(F.broadcast(cdf), F.col("_cell") == F.col("cid"))
+            .select(
+                "query_id", "_cell",
+                F.zip_with("_qv", "cv", lambda x, y: x - y).alias("_qr"),
+            )
+        )
+        qsub = qres.select(
+            "query_id", "_cell",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(s).alias("sub"),
+                            _subslice(F.col("_qr"), s, sub_dim).alias("sv"),
+                        )
+                        for s in range(m)
+                    ]
+                )
+            ).alias("_e"),
+        ).select(
+            "query_id", "_cell",
+            F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("sv"),
+        )
+        lut = qsub.join(F.broadcast(cb), "sub").select(
+            "query_id", "_cell", "sub", F.col("cid").alias("code"),
+            _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        lut_keys = ["query_id", "_cell", "sub", "code"]
+    else:
+        q_exploded = _explode_subvectors(
+            queries, m, sub_dim, id_col, vec_col, out_id="query_id"
+        )
+        lut = q_exploded.join(F.broadcast(cb), "sub").select(
+            "query_id", "sub", F.col("cid").alias("code"),
+            _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        lut_keys = ["query_id", "sub", "code"]
+    cand = codes.join(cells, "neighbor_id").join(
+        F.broadcast(probes), "_cell"
     )
     scored = (
         cand.select(
-            "query_id", "neighbor_id",
+            "query_id", "_cell", "neighbor_id",
             F.posexplode("codes").alias("sub", "code"),
         )
-        .join(F.broadcast(lut), ["query_id", "sub", "code"])
+        .join(F.broadcast(lut), lut_keys)
         .groupBy("query_id", "neighbor_id")
         .agg(F.sum("d").alias("adist"))
     )

@@ -221,3 +221,39 @@ def test_ivfpq_plan_broadcasts_and_stays_jvm_side(emb):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_residual_beats_or_matches_raw_at_exhaustive_probe(emb):
+    # Residual encoding spends the same code budget on the within-cell
+    # spread; with exhaustive probing (pruning off) its top-1 self-hit
+    # rate must be at least the raw encoding's — on any data, a
+    # vector's residual quantizes no worse than the vector itself when
+    # cells carry part of the position. Also pins determinism and the
+    # (query, cell)-keyed LUT join returning full results.
+    qs = emb.where(F.col("vec_id") < 10)
+
+    def self_hits(residual):
+        got = PQ.ivfpq_topk(
+            qs, emb, dim=8, k=1, n_cells=4, n_probe=4,
+            coarse_iters=1, m=2, k_codes=8, pq_iters=1,
+            residual=residual,
+        ).collect()
+        assert len(got) == 10
+        return sum(1 for r in got if r["neighbor_id"] == r["query_id"])
+
+    raw, res = self_hits(False), self_hits(True)
+    assert res >= raw
+
+
+def test_ivfpq_residual_plan_stays_broadcast_jvm(emb):
+    plan = (
+        PQ.ivfpq_topk(
+            emb.where(F.col("vec_id") < 3), emb, dim=8, k=2,
+            n_cells=4, n_probe=2, coarse_iters=1, m=2, k_codes=4,
+            pq_iters=1, residual=True,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

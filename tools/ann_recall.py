@@ -125,6 +125,14 @@ def main() -> None:
         ),
         gt_l2,
     )
+    timed(
+        "ivfpq_residual",  # same budget, codes store within-cell residuals
+        lambda: PQ.ivfpq_topk(
+            queries, emb, dim=dim, k=K, n_cells=8, n_probe=2,
+            coarse_iters=2, m=4, k_codes=16, pq_iters=1, residual=True,
+        ),
+        gt_l2,
+    )
 
     # The same operators with the dials turned toward recall — the
     # artifact's point is that recall is a PARAMETER, not a property:
