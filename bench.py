@@ -131,6 +131,7 @@ HEADLINE = [
     "text_bpe_encode_arrow",
     "stream_dedup_phash_near",
     "sim_ivfpq_topk",
+    "sim_ivfpq_residual",
 ]
 
 
