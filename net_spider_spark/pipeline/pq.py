@@ -302,12 +302,59 @@ def ivfpq_topk(
     Output: (query_id, neighbor_id, adist, rank), ties by neighbor id.
     With ``n_probe == n_cells`` the cell pruning is a no-op and the
     result equals :func:`pq_topk` row for row (test-pinned).
-    """
-    from pyspark.sql.window import Window
 
+    This is the build-then-search composition; a long-lived deployment
+    calls :func:`ivfpq_build` ONCE (persisting/writing the index
+    DataFrames) and serves every query batch through
+    :func:`ivfpq_search` — retraining codebooks per query batch, as
+    this convenience wrapper does, is only appropriate when the corpus
+    itself changed.
+    """
+    index = ivfpq_build(
+        corpus, dim=dim, n_cells=n_cells, coarse_iters=coarse_iters,
+        m=m, k_codes=k_codes, pq_iters=pq_iters,
+        id_col=id_col, vec_col=vec_col, seed=seed, residual=residual,
+    )
+    return ivfpq_search(
+        index, queries, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col,
+    )
+
+
+class IvfPqIndex:
+    """The built IVF-PQ index: ``cells`` (neighbor_id, _cell) and
+    ``codes`` (neighbor_id, codes) DataFrames — m bytes + one cell id
+    per corpus vector, persistable/writable like any DataFrame — plus
+    the driver-side coarse centroids and PQ codebooks."""
+
+    def __init__(self, cells, codes, cents, books, dim, m, residual):
+        self.cells = cells
+        self.codes = codes
+        self.cents = cents
+        self.books = books
+        self.dim = dim
+        self.m = m
+        self.residual = residual
+
+
+def ivfpq_build(
+    corpus: DataFrame,
+    dim: int,
+    n_cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k_codes: int = 16,
+    pq_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: str = "s42",
+    residual: bool = False,
+) -> IvfPqIndex:
+    """Build the IVF-PQ index over ``corpus`` (see :func:`ivfpq_topk`
+    for the algorithm and scale shape). One-time cost; the returned
+    index serves any number of :func:`ivfpq_search` calls."""
     from net_spider_spark.pipeline import cluster as CL
 
-    spark = corpus.sparkSession
     cents, assigned = CL.kmeans_fit(
         corpus, k=n_cells, iters=coarse_iters,
         id_col=id_col, vec_col=vec_col, seed=seed,
@@ -316,8 +363,8 @@ def ivfpq_topk(
         F.col("_id").alias("neighbor_id"),
         F.col("cluster_id").alias("_cell"),
     )
-    cdf = CL._centroid_df(corpus, cents)
     if residual:
+        cdf = CL._centroid_df(corpus, cents)
         res = assigned.join(
             F.broadcast(cdf), F.col("cluster_id") == F.col("cid")
         ).select(
@@ -339,6 +386,26 @@ def ivfpq_topk(
         codes = pq_encode(
             corpus, books, id_col=id_col, vec_col=vec_col
         ).select(F.col(id_col).alias("neighbor_id"), "codes")
+    return IvfPqIndex(cells, codes, cents, books, dim, m, residual)
+
+
+def ivfpq_search(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a built :class:`IvfPqIndex` (see :func:`ivfpq_topk`)."""
+    from pyspark.sql.window import Window
+
+    from net_spider_spark.pipeline import cluster as CL
+
+    spark = queries.sparkSession
+    cells, codes, books = index.cells, index.codes, index.books
+    dim, m, residual = index.dim, index.m, index.residual
+    cdf = CL._centroid_df(queries, index.cents)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

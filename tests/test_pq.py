@@ -257,3 +257,29 @@ def test_ivfpq_residual_plan_stays_broadcast_jvm(emb):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivfpq_build_once_search_many(emb):
+    # The production shape: one ivfpq_build, many ivfpq_search calls —
+    # each must equal the composed ivfpq_topk for the same parameters,
+    # and different query batches reuse the same index.
+    idx = PQ.ivfpq_build(
+        emb, dim=8, n_cells=4, coarse_iters=1, m=2, k_codes=4,
+        pq_iters=1, residual=True,
+    )
+    for lo, hi in ((0, 3), (3, 6)):
+        qs = emb.where(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        )
+        got = sorted(map(tuple, PQ.ivfpq_search(idx, qs, k=2, n_probe=2).collect()))
+        want = sorted(
+            map(
+                tuple,
+                PQ.ivfpq_topk(
+                    qs, emb, dim=8, k=2, n_cells=4, n_probe=2,
+                    coarse_iters=1, m=2, k_codes=4, pq_iters=1,
+                    residual=True,
+                ).collect(),
+            )
+        )
+        assert got == want
