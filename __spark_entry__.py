@@ -373,6 +373,110 @@ def _ivfpq_topk_sql(m: int = 4, k: int = 16, iters: int = 1,
     )
 
 
+def _ivfpq_add_sql(m: int = 4, k: int = 16, iters: int = 1,
+                   dim: int = 64, n_neighbors: int = 3,
+                   n_cells: int = 8, coarse_iters: int = 2,
+                   n_probe: int = 2, seed: str = "s42",
+                   train_pred: str = "vec_id % 2 = 0") -> str:
+    """DuckDB twin of ivfpq_build(train half) + ivfpq_add(rest) +
+    ivfpq_search: the coarse and subspace Lloyd's chains train ONLY on
+    ``train_pred`` rows (via from_sql), then the FULL corpus is
+    assigned and encoded against those frozen final centroids /
+    codebooks — exactly the union the Spark incremental add produces,
+    since both halves end up argmin'd against the same parameters."""
+    train_sql = f"(SELECT * FROM embeddings WHERE {train_pred})"
+    parts, _, ccents = _kmeans_ctes(
+        k=n_cells, iters=coarse_iters, dim=dim, seed=seed, prefix="cq_",
+        from_sql=train_sql,
+    )
+    parts = list(parts)
+    parts.append(
+        "full_emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings)"
+    )
+    # every corpus vector (both halves) against the FINAL trained
+    # centroids — the frozen-parameter assignment of ivfpq_add
+    parts.append(
+        "fa_el AS (SELECT e.vec_id, c.cid, unnest(e.v) AS x,"
+        f" unnest(c.cv) AS y FROM full_emb e CROSS JOIN {ccents} c)"
+    )
+    parts.append(
+        "fa_d AS (SELECT vec_id, cid, sum((x - y) * (x - y)) AS dist"
+        " FROM fa_el GROUP BY 1, 2)"
+    )
+    parts.append(
+        "cellof AS (SELECT vec_id AS neighbor_id, cid AS cell FROM ("
+        "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id"
+        " ORDER BY dist, cid) AS rn FROM fa_d) t WHERE rn = 1)"
+    )
+    parts.append(
+        "cq_qel AS (SELECT e.vec_id AS query_id, c.cid AS cell,"
+        " unnest(e.v) AS x, unnest(c.cv) AS y"
+        f" FROM full_emb e CROSS JOIN {ccents} c WHERE e.vec_id < 5)"
+    )
+    parts.append(
+        "cq_qd AS (SELECT query_id, cell, sum((x - y) * (x - y)) AS dist"
+        " FROM cq_qel GROUP BY 1, 2)"
+    )
+    parts.append(
+        "probes AS (SELECT query_id, cell FROM ("
+        "SELECT query_id, cell, row_number() OVER (PARTITION BY query_id"
+        " ORDER BY dist, cell) AS pr FROM cq_qd) t"
+        f" WHERE pr <= {n_probe})"
+    )
+    sub_dim = dim // m
+    score_ctes = []
+    for s in range(m):
+        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
+        sub_parts, _, cents = _kmeans_ctes(
+            k=k, iters=iters, dim=sub_dim, seed=seed, prefix=f"s{s}_",
+            vec_sql=f"CAST(embedding AS DOUBLE[])[{lo}:{hi}]",
+            from_sql=train_sql,
+        )
+        parts.extend(sub_parts)
+        # frozen-codebook codes for the FULL corpus
+        parts.append(
+            f"f{s}_el AS (SELECT e.vec_id, c.cid,"
+            f" unnest(e.v[{lo}:{hi}]) AS x, unnest(c.cv) AS y"
+            f" FROM full_emb e CROSS JOIN {cents} c)"
+        )
+        parts.append(
+            f"f{s}_d AS (SELECT vec_id, cid,"
+            " sum((x - y) * (x - y)) AS dist"
+            f" FROM f{s}_el GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"f{s}_a AS (SELECT vec_id, cid FROM ("
+            "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id"
+            f" ORDER BY dist, cid) AS rn FROM f{s}_d) t WHERE rn = 1)"
+        )
+        parts.append(
+            f"s{s}_qlel AS (SELECT e.vec_id AS query_id, c.cid AS code,"
+            f" unnest(e.v[{lo}:{hi}]) AS x, unnest(c.cv) AS y"
+            f" FROM full_emb e CROSS JOIN {cents} c WHERE e.vec_id < 5)"
+        )
+        parts.append(
+            f"s{s}_qlut AS (SELECT query_id, code,"
+            f" sum((x - y) * (x - y)) AS d FROM s{s}_qlel GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"s{s}_fsc AS (SELECT l.query_id, a.vec_id AS neighbor_id,"
+            f" l.d FROM f{s}_a a JOIN s{s}_qlut l ON l.code = a.cid)"
+        )
+        score_ctes.append(f"SELECT * FROM s{s}_fsc")
+    parts.append(
+        "add_scored AS (SELECT s.query_id, s.neighbor_id,"
+        " sum(s.d) AS adist"
+        f" FROM ({' UNION ALL '.join(score_ctes)}) s"
+        " JOIN cellof c USING (neighbor_id)"
+        " JOIN probes p ON p.query_id = s.query_id AND p.cell = c.cell"
+        " GROUP BY 1, 2)"
+    )
+    return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
+        src="add_scored", n=n_neighbors
+    )
+
+
 # 10 planes/band: random-pair collision 0.5^10 per band (~0.4% of all
 # pairs across 4 bands) vs 6% at 6 planes — candidate volume, not
 # recall, is the scale limit (near-dups at cos>0.9 still hit ~60%+
@@ -1629,6 +1733,27 @@ def q_sim_ivfpq_residual(spark, sf_dir):
     )
 
 
+def q_sim_ivfpq_add(spark, sf_dir):
+    # Incremental index maintenance: build on the even-id half, add
+    # the odd-id half with FROZEN centroids/codebooks (pq.ivfpq_add —
+    # the day's-batch shape), search the incremented index. The oracle
+    # trains its chains on the same half via from_sql and then
+    # assigns/encodes the FULL corpus against the frozen parameters —
+    # equal to the Spark union because both halves end up argmin'd
+    # against identical params.
+    from net_spider_spark.pipeline import pq as PQ
+
+    emb = demo.read_table(spark, sf_dir, "embeddings")
+    idx = PQ.ivfpq_build(
+        emb.where(F.col("vec_id") % 2 == 0), dim=64, n_cells=8,
+        coarse_iters=2, m=4, k_codes=16, pq_iters=1,
+    )
+    idx = PQ.ivfpq_add(idx, emb.where(F.col("vec_id") % 2 == 1))
+    return PQ.ivfpq_search(
+        idx, emb.where(F.col("vec_id") < 5), k=3, n_probe=2
+    )
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     # Approximate distinct users per event type via the portable KMV
     # sketch (k=16 so the estimator path actually runs — every event
@@ -2849,6 +2974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode_arrow": q_text_bpe_encode_arrow,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_ivfpq_residual": q_sim_ivfpq_residual,
+        "sim_ivfpq_add": q_sim_ivfpq_add,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -4772,6 +4898,9 @@ FROM {_kmeans_cte_sql(k=8, iters=2)[1]} a LEFT JOIN dups d USING (vec_id)
                                               dim=64, n_neighbors=3,
                                               n_cells=8, coarse_iters=2,
                                               n_probe=2, residual=True),
+        "sim_ivfpq_add": _ivfpq_add_sql(m=4, k=16, iters=1, dim=64,
+                                        n_neighbors=3, n_cells=8,
+                                        coarse_iters=2, n_probe=2),
         "events_quantiles_sketch": f"""
 WITH d AS (
   SELECT event_type, CAST(value AS DOUBLE) AS v,

@@ -389,6 +389,50 @@ def ivfpq_build(
     return IvfPqIndex(cells, codes, cents, books, dim, m, residual)
 
 
+def ivfpq_add(index: IvfPqIndex, new_batch: DataFrame,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> IvfPqIndex:
+    """Add a batch of vectors to a built index WITHOUT retraining:
+    new vectors are assigned to the existing cells and encoded against
+    the FROZEN codebooks (residual mode subtracts the assigned cell's
+    centroid first), then unioned into the cells/codes tables — the
+    day's-batch shape every incremental operator here uses (cf.
+    ``embedding_near_dup_against``). Quantization error for the new
+    batch reflects the original training distribution; retrain
+    (:func:`ivfpq_build`) when the distribution drifts."""
+    from net_spider_spark.pipeline import cluster as CL
+
+    vecs = new_batch.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    assigned = CL._assign(vecs, index.cents)
+    new_cells = assigned.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("cluster_id").alias("_cell"),
+    )
+    if index.residual:
+        cdf = CL._centroid_df(new_batch, index.cents)
+        src = assigned.join(
+            F.broadcast(cdf), F.col("cluster_id") == F.col("cid")
+        ).select(
+            "_id",
+            F.zip_with("_v", "cv", lambda x, y: x - y).alias("_rv"),
+        )
+        new_codes = pq_encode(
+            src, index.books, id_col="_id", vec_col="_rv"
+        ).select(F.col("_id").alias("neighbor_id"), "codes")
+    else:
+        new_codes = pq_encode(
+            new_batch, index.books, id_col=id_col, vec_col=vec_col
+        ).select(F.col(id_col).alias("neighbor_id"), "codes")
+    return IvfPqIndex(
+        index.cells.unionByName(new_cells),
+        index.codes.unionByName(new_codes),
+        index.cents, index.books, index.dim, index.m, index.residual,
+    )
+
+
 def ivfpq_search(
     index: IvfPqIndex,
     queries: DataFrame,

@@ -283,3 +283,46 @@ def test_ivfpq_build_once_search_many(emb):
             )
         )
         assert got == want
+
+
+def test_ivfpq_add_frozen_codebooks(emb):
+    # Incremental add: build on the first half, add the second half
+    # with FROZEN codebooks. The incremented index must (a) contain
+    # every vector exactly once, (b) equal an index whose cells/codes
+    # were computed directly from the same frozen books over the full
+    # corpus, and (c) let a query find a planted second-half neighbor.
+    first = emb.where(F.col("vec_id") < 40)
+    second = emb.where(F.col("vec_id") >= 40)
+    idx = PQ.ivfpq_build(
+        first, dim=8, n_cells=4, coarse_iters=1, m=2, k_codes=4,
+        pq_iters=1, residual=True,
+    )
+    inc = PQ.ivfpq_add(idx, second)
+    assert inc.cells.count() == 80 and inc.codes.count() == 80
+    assert inc.cells.select("neighbor_id").distinct().count() == 80
+
+    # direct frozen-book encoding of the full corpus == union result
+    direct = PQ.ivfpq_add(
+        PQ.IvfPqIndex(
+            idx.cells.limit(0), idx.codes.limit(0), idx.cents,
+            idx.books, idx.dim, idx.m, idx.residual,
+        ),
+        emb,
+    )
+    assert sorted(map(tuple, inc.cells.collect())) == sorted(
+        map(tuple, direct.cells.collect())
+    )
+    assert sorted(map(tuple, inc.codes.collect())) == sorted(
+        map(tuple, direct.codes.collect())
+    )
+
+    # a second-half vector queried against the incremented index: with
+    # n_probe=1 the probed cell is its own cell (same assign rule), and
+    # within one cell its own codeword is the per-subspace argmin — so
+    # its ADC distance must be MINIMAL (ties by code collision allowed,
+    # outright self-miss not).
+    q = emb.where(F.col("vec_id") == 50)
+    got = PQ.ivfpq_search(inc, q, k=10_000, n_probe=1).collect()
+    self_rows = [r for r in got if r["neighbor_id"] == 50]
+    assert self_rows, "planted vector missing from its own cell"
+    assert self_rows[0]["adist"] == min(r["adist"] for r in got)
