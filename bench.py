@@ -132,6 +132,7 @@ HEADLINE = [
     "stream_dedup_phash_near",
     "sim_ivfpq_topk",
     "sim_ivfpq_residual",
+    "sim_ivfpq_add",
 ]
 
 
