@@ -1754,6 +1754,43 @@ def q_sim_ivfpq_add(spark, sf_dir):
     )
 
 
+def q_multimodal_warc_extract(spark, sf_dir):
+    # WARC front door (pipeline/warc.py): one single-record WARC/1.0
+    # archive is synthesized PER DOCUMENT in pure expressions (headers
+    # + HTTP 200 response wrapping the text, Content-Length =
+    # octet_length — the same synthesize-then-decode pattern as the
+    # image/audio queries), parsed back through the mapInPandas record
+    # parser, and text-extracted. The oracle predicts every output
+    # analytically from the same columns. Both sides exclude texts
+    # containing '<' so the tag-stripping chain (Java-regex
+    # backreferences RE2 can't express) is provably a no-op.
+    from net_spider_spark.pipeline import warc as W
+
+    docs = demo.read_table(spark, sf_dir, "documents").where(
+        ~F.col("text").contains("<")
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        F.col("text"),
+    )
+    head = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: http://crawl.test/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+              "Content-Type: application/http; msgtype=response\r\n"
+              "Content-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    archives = docs.select(
+        F.col("doc_id").alias("file_id"),
+        F.concat(head, http, F.lit("\r\n\r\n")).cast("binary")
+        .alias("content"),
+    )
+    return W.warc_text_documents(archives)
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     # Approximate distinct users per event type via the portable KMV
     # sketch (k=16 so the estimator path actually runs — every event
@@ -2975,6 +3012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_ivfpq_residual": q_sim_ivfpq_residual,
         "sim_ivfpq_add": q_sim_ivfpq_add,
+        "multimodal_warc_extract": q_multimodal_warc_extract,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -4901,6 +4939,23 @@ FROM {_kmeans_cte_sql(k=8, iters=2)[1]} a LEFT JOIN dups d USING (vec_id)
         "sim_ivfpq_add": _ivfpq_add_sql(m=4, k=16, iters=1, dim=64,
                                         n_neighbors=3, n_cells=8,
                                         coarse_iters=2, n_probe=2),
+        # warc extract: the archive round-trips the text, so every
+        # output is an analytic function of the documents columns;
+        # the text chain replays html_to_text minus the script/style
+        # rule, a no-op under the shared no-'<' guard.
+        "multimodal_warc_extract": """
+SELECT doc_id * 100000 AS doc_id,
+       'http://crawl.test/' || CAST(doc_id AS VARCHAR) AS target_uri,
+       trim(regexp_replace(
+         replace(replace(replace(replace(replace(replace(
+           regexp_replace(text, '<[^>]*>', ' ', 'g'),
+           '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+           '&quot;', '"'), chr(38) || chr(35) || '39;', chr(39)),
+           '&nbsp;', ' '),
+         '\\s+', ' ', 'g')) AS text
+FROM documents
+WHERE text NOT LIKE '%<%'
+""",
         "events_quantiles_sketch": f"""
 WITH d AS (
   SELECT event_type, CAST(value AS DOUBLE) AS v,
