@@ -133,6 +133,7 @@ HEADLINE = [
     "sim_ivfpq_topk",
     "sim_ivfpq_residual",
     "sim_ivfpq_add",
+    "multimodal_warc_extract",
 ]
 
 
