@@ -1791,6 +1791,32 @@ def q_multimodal_warc_extract(spark, sf_dir):
     return W.warc_text_documents(archives)
 
 
+def q_curate_url_dedup(spark, sf_dir):
+    # URL-level dedup (pipeline/url.py): messy URL variants are
+    # synthesized per document in expressions — uppercase scheme/host,
+    # www. prefix, explicit :80, tracking params, permuted query
+    # order, fragments — and url_dedup must collapse them onto the
+    # canonical forms the oracle computes DIRECTLY, attesting every
+    # canonicalization rule (lowercasing, www/port stripping,
+    # tracking-param removal, param sorting, fragment dropping).
+    from net_spider_spark.pipeline import url as URL
+
+    docs = demo.read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.Site"), (d % 5).cast("string"),
+            F.lit(".com:80/page/"), (d % 40).cast("string"),
+            F.when(d % 3 == 0, F.lit("?utm_source=x&b=2&a=1"))
+            .when(d % 3 == 1, F.lit("?a=1&b=2"))
+            .otherwise(F.lit("")),
+            F.when(d % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    return URL.url_dedup(messy)
+
+
 def q_sketch_kmv_distinct(spark, sf_dir):
     # Approximate distinct users per event type via the portable KMV
     # sketch (k=16 so the estimator path actually runs — every event
@@ -3013,6 +3039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_residual": q_sim_ivfpq_residual,
         "sim_ivfpq_add": q_sim_ivfpq_add,
         "multimodal_warc_extract": q_multimodal_warc_extract,
+        "curate_url_dedup": q_curate_url_dedup,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -4955,6 +4982,23 @@ SELECT doc_id * 100000 AS doc_id,
          '\\s+', ' ', 'g')) AS text
 FROM documents
 WHERE text NOT LIKE '%<%'
+""",
+        # url dedup: the oracle computes the canonical form DIRECTLY
+        # from doc_id arithmetic — matching forces every Spark-side
+        # canonicalization rule to land exactly there.
+        "curate_url_dedup": """
+WITH c AS (
+  SELECT doc_id,
+         'http://site' || CAST(doc_id % 5 AS VARCHAR)
+           || '.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 2 THEN '' ELSE '?a=1&b=2' END
+           AS canonical_url
+  FROM documents
+),
+k AS (SELECT canonical_url, min(doc_id) AS keeper_id FROM c GROUP BY 1)
+SELECT c.doc_id, c.canonical_url, k.keeper_id,
+       c.doc_id <> k.keeper_id AS is_dup
+FROM c JOIN k USING (canonical_url)
 """,
         "events_quantiles_sketch": f"""
 WITH d AS (

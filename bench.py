@@ -134,6 +134,7 @@ HEADLINE = [
     "sim_ivfpq_residual",
     "sim_ivfpq_add",
     "multimodal_warc_extract",
+    "curate_url_dedup",
 ]
 
 

@@ -1,0 +1,99 @@
+"""URL canonicalization and URL-level dedup — the first dedup pass of
+a crawl pipeline (cheaper than any content hash: two pages with one
+canonical URL are the same fetch, no text comparison needed).
+
+Everything is Catalyst string expressions (whole-stage codegen, no
+Python), built from regex/array primitives that exist identically in
+DuckDB so the canonicalization RULES themselves are oracle-attested:
+
+1. fragment dropped;
+2. scheme and authority lowercased (path/query case is significant);
+3. a ``www.`` host prefix dropped;
+4. explicit default ports ``:80``/``:443`` dropped;
+5. tracking parameters (``utm_*``, ``fbclid``, ``gclid``) dropped and
+   the surviving query parameters SORTED (param order is almost never
+   semantic; sorting merges permutations), ``?`` dropped when none
+   survive.
+
+Deliberately not done: scheme merging (http != https), trailing-slash
+or %-encoding normalization, IDN — rules whose false-merge risk
+outweighs their dedup win. Swap in stricter rules behind the same
+column contract if a crawl warrants them.
+"""
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_AUTHORITY_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """The canonical form of ``url`` under the module's rules."""
+    u = F.regexp_replace(url, "#.*$", "")
+    head = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 0))
+    head = F.regexp_replace(head, "://www\\.", "://")
+    head = F.regexp_replace(head, ":(80|443)$", "")
+    rest = F.regexp_replace(u, _AUTHORITY_RE, "")
+    path = F.regexp_replace(rest, "\\?.*$", "")
+    qs = F.regexp_extract(rest, "\\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != F.lit(""))
+            & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    return F.concat(
+        head,
+        path,
+        F.when(
+            F.size(params) > 0,
+            F.concat(F.lit("?"), F.array_join(params, "&")),
+        ).otherwise(F.lit("")),
+    )
+
+
+def url_host(url: Column) -> Column:
+    """The canonical host (lowercased, www./default port dropped)."""
+    head = F.lower(F.regexp_extract(url, _AUTHORITY_RE, 0))
+    head = F.regexp_replace(head, "://www\\.", "://")
+    head = F.regexp_replace(head, ":(80|443)$", "")
+    return F.regexp_replace(head, "^[a-z0-9+.-]*://", "")
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level exact dedup: (id_col, canonical_url, keeper_id,
+    is_dup) — the smallest id per canonical URL is the keeper, the
+    rest are duplicates. One hash aggregate + a broadcastable
+    marking join, the same keep-min shape as ``dedup_exact``."""
+    canon = df.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("canonical_url")
+    )
+    keepers = canon.groupBy("canonical_url").agg(
+        F.min(id_col).alias("keeper_id")
+    )
+    return canon.join(keepers, "canonical_url").select(
+        id_col,
+        "canonical_url",
+        "keeper_id",
+        (F.col(id_col) != F.col("keeper_id")).alias("is_dup"),
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    blocked_hosts: list[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose canonical host is in ``blocked_hosts`` (the
+    crawl blocklist case). The list is a literal set in the plan —
+    a blocklist of real size should be a broadcast anti-join instead;
+    this covers the in-plan small-list case."""
+    host = url_host(F.col(url_col))
+    return df.where(~host.isin([h.lower() for h in blocked_hosts]))

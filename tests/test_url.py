@@ -1,0 +1,81 @@
+"""URL canonicalization/dedup (net_spider_spark/pipeline/url.py):
+rule-by-rule canonicalization cases, keep-min dedup, host extraction,
+and the codegen-only plan pin."""
+
+from pyspark.sql import functions as F
+
+from net_spider_spark.pipeline import url as U
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)],
+                               "doc_id long, url string")
+    rows = df.select(
+        "doc_id", U.canonical_url(F.col("url")).alias("c")
+    ).collect()
+    return [r["c"] for r in sorted(rows, key=lambda r: r["doc_id"])]
+
+
+def test_canonicalization_rules(spark):
+    got = _canon(spark, [
+        "HTTP://WWW.Example.COM:80/Page?b=2&a=1#frag",
+        "http://example.com/Page?a=1&b=2",
+        "https://Example.com:443/x?utm_source=tw&gclid=1&q=spark",
+        "https://example.com/x?q=spark",
+        "http://example.com/plain",
+        "http://example.com/plain?utm_campaign=only",
+        "http://sub.www-like.example.com/keep",   # 'www.' only as prefix
+    ])
+    assert got[0] == got[1] == "http://example.com/Page?a=1&b=2"
+    assert got[2] == got[3] == "https://example.com/x?q=spark"
+    # a tracking-only query drops its '?' entirely
+    assert got[4] == got[5] == "http://example.com/plain"
+    assert got[6] == "http://sub.www-like.example.com/keep"
+
+
+def test_case_of_path_and_query_is_preserved(spark):
+    got = _canon(spark, ["http://A.com/CaseSensitive?Q=Value"])
+    assert got[0] == "http://a.com/CaseSensitive?Q=Value"
+
+
+def test_url_dedup_keep_min(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.a.com/x?b=2&a=1"),
+            (2, "HTTP://A.COM:80/x?a=1&b=2#f"),
+            (3, "http://a.com/other"),
+        ],
+        "doc_id long, url string",
+    )
+    rows = {r["doc_id"]: r for r in U.url_dedup(df).collect()}
+    assert rows[1]["is_dup"] is False and rows[1]["keeper_id"] == 1
+    assert rows[2]["is_dup"] is True and rows[2]["keeper_id"] == 1
+    assert rows[3]["is_dup"] is False
+    assert rows[1]["canonical_url"] == rows[2]["canonical_url"]
+
+
+def test_host_and_domain_filter(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "http://WWW.Spam.com:80/x"),
+            (2, "https://good.org/y"),
+        ],
+        "doc_id long, url string",
+    )
+    hosts = {
+        r["doc_id"]: r["h"]
+        for r in df.select("doc_id", U.url_host(F.col("url")).alias("h")).collect()
+    }
+    assert hosts == {1: "spam.com", 2: "good.org"}
+    kept = U.domain_filter(df, ["Spam.com"]).collect()
+    assert [r["doc_id"] for r in kept] == [2]
+
+
+def test_plan_stays_in_codegen(spark):
+    df = spark.createDataFrame([(1, "http://a.com/x")],
+                               "doc_id long, url string")
+    plan = (
+        U.url_dedup(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
