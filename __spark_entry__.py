@@ -1791,6 +1791,44 @@ def q_multimodal_warc_extract(spark, sf_dir):
     return W.warc_text_documents(archives)
 
 
+def q_stream_warc_extract(spark, sf_dir):
+    # The crawl front door AS A STREAM: WARC archives arriving on a
+    # file stream, exploded + text-extracted in-flight (stateless
+    # mapInPandas + codegen expressions, so it drops into a streaming
+    # plan unchanged — no state store at all). availableNow replay
+    # must hash-match the same analytic oracle as the batch
+    # multimodal_warc_extract.
+    from net_spider_spark.pipeline import warc as W
+
+    docs = demo.read_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    ).where(~F.col("text").contains("<"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"),
+        F.col("text"),
+    )
+    head = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: http://crawl.test/"),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+              "Content-Type: application/http; msgtype=response\r\n"
+              "Content-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+    )
+    archives = stream.select(
+        F.col("doc_id").alias("file_id"),
+        F.concat(head, http, F.lit("\r\n\r\n")).cast("binary")
+        .alias("content"),
+    )
+    out = W.warc_text_documents(archives)
+    return _run_available_now(out, "stream_warc_sink", "append")
+
+
 def q_curate_url_dedup(spark, sf_dir):
     # URL-level dedup (pipeline/url.py): messy URL variants are
     # synthesized per document in expressions — uppercase scheme/host,
@@ -3040,6 +3078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ivfpq_add": q_sim_ivfpq_add,
         "multimodal_warc_extract": q_multimodal_warc_extract,
         "curate_url_dedup": q_curate_url_dedup,
+        "stream_warc_extract": q_stream_warc_extract,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -3362,6 +3401,9 @@ def oracle_sql() -> dict[str, str]:
     d["text_bpe_learned_dist"] = _bpe_learn_sql(BPE_N_MERGES)
     d["text_bpe_encode"] = _bpe_encode_sql(BPE_N_MERGES)
     d["text_bpe_encode_arrow"] = _bpe_encode_sql(BPE_N_MERGES)
+    # same analytic oracle: the availableNow replay of the WARC
+    # extraction must equal the batch path row for row
+    d["stream_warc_extract"] = d["multimodal_warc_extract"]
     d["curate_pack_bpe"] = _bpe_pack_sql(BPE_N_MERGES)
     # Fuzzy decontamination: same banded-probe + verify algebra as the
     # incremental minhash + jaccard oracles, across the train/eval

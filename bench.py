@@ -135,6 +135,7 @@ HEADLINE = [
     "sim_ivfpq_add",
     "multimodal_warc_extract",
     "curate_url_dedup",
+    "stream_warc_extract",
 ]
 
 
