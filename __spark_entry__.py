@@ -1791,6 +1791,28 @@ def q_multimodal_warc_extract(spark, sf_dir):
     return W.warc_text_documents(archives)
 
 
+def q_curate_host_quota(spark, sf_dir):
+    # Per-host quota (pipeline/url.py host_quota): cap docs per
+    # canonical host so giant sites can't dominate the corpus; the
+    # max_per_host smallest ids per host survive. URLs synthesized
+    # from doc_id arithmetic (5 hosts), so the oracle is a plain
+    # row_number over doc_id % 5.
+    from net_spider_spark.pipeline import url as URL
+
+    docs = demo.read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.Host"), (d % 5).cast("string"),
+            F.lit(".com:80/doc/"), d.cast("string"),
+        ).alias("url"),
+    )
+    return URL.host_quota(urls, max_per_host=30).select(
+        "doc_id", "host"
+    )
+
+
 def q_stream_warc_extract(spark, sf_dir):
     # The crawl front door AS A STREAM: WARC archives arriving on a
     # file stream, exploded + text-extracted in-flight (stateless
@@ -3079,6 +3101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_warc_extract": q_multimodal_warc_extract,
         "curate_url_dedup": q_curate_url_dedup,
         "stream_warc_extract": q_stream_warc_extract,
+        "curate_host_quota": q_curate_host_quota,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -5041,6 +5064,16 @@ k AS (SELECT canonical_url, min(doc_id) AS keeper_id FROM c GROUP BY 1)
 SELECT c.doc_id, c.canonical_url, k.keeper_id,
        c.doc_id <> k.keeper_id AS is_dup
 FROM c JOIN k USING (canonical_url)
+""",
+        "curate_host_quota": """
+SELECT doc_id,
+       'host' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host
+FROM (
+  SELECT doc_id,
+         row_number() OVER (PARTITION BY doc_id % 5
+                            ORDER BY doc_id) AS rk
+  FROM documents) t
+WHERE rk <= 30
 """,
         "events_quantiles_sketch": f"""
 WITH d AS (

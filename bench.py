@@ -136,6 +136,7 @@ HEADLINE = [
     "multimodal_warc_extract",
     "curate_url_dedup",
     "stream_warc_extract",
+    "curate_host_quota",
 ]
 
 

@@ -86,6 +86,31 @@ def url_dedup(
     )
 
 
+def host_quota(
+    df: DataFrame,
+    max_per_host: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap documents per canonical host — the crawl-balance op that
+    stops a handful of giant sites dominating a corpus. Deterministic:
+    within a host the ``max_per_host`` smallest ids survive. Returns
+    the surviving rows of ``df`` plus a ``host`` column.
+
+    One window over (host, id). At 100 TB the sort is per-host and
+    hosts are many, so partitions stay balanced unless one host is
+    pathological — exactly the rows this op deletes."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host").orderBy(id_col)
+    return (
+        df.withColumn("host", url_host(F.col(url_col)))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= max_per_host)
+        .drop("_rk")
+    )
+
+
 def domain_filter(
     df: DataFrame,
     blocked_hosts: list[str],

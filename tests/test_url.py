@@ -79,3 +79,18 @@ def test_plan_stays_in_codegen(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_host_quota_keeps_smallest_ids_per_host(spark):
+    rows = [(i, f"http://WWW.h{i % 2}.com:80/p/{i}") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    kept = U.host_quota(df, max_per_host=3).collect()
+    by_host = {}
+    for r in kept:
+        by_host.setdefault(r["host"], []).append(r["doc_id"])
+    assert {h: sorted(ids) for h, ids in by_host.items()} == {
+        "h0.com": [0, 2, 4],
+        "h1.com": [1, 3, 5],
+    }
+    # original columns survive
+    assert {f for f in kept[0].asDict()} == {"doc_id", "url", "host"}
