@@ -1813,6 +1813,27 @@ def q_curate_host_quota(spark, sf_dir):
     )
 
 
+def q_curate_sitemap_urls(spark, sf_dir):
+    # Sitemap frontier expansion (pipeline/url.py sitemap_urls): a
+    # two-entry <urlset> sitemap synthesized per document explodes
+    # into its URL rows — regexp extraction kept in codegen, oracle
+    # generates the frontier directly from doc_id arithmetic.
+    from net_spider_spark.pipeline import url as URL
+
+    docs = demo.read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id").cast("string")
+    xml = F.concat(
+        F.lit("<?xml version=\"1.0\"?><urlset><url><loc>"
+              "http://crawl.test/"), d, F.lit("/a</loc></url>"
+              "<url><loc>http://crawl.test/"), d,
+        F.lit("/b</loc><priority>0.5</priority></url></urlset>"),
+    )
+    return URL.sitemap_urls(
+        docs.select(F.col("doc_id").alias("sitemap_id"),
+                    xml.alias("sitemap_xml"))
+    )
+
+
 def q_stream_warc_extract(spark, sf_dir):
     # The crawl front door AS A STREAM: WARC archives arriving on a
     # file stream, exploded + text-extracted in-flight (stateless
@@ -3102,6 +3123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate_url_dedup": q_curate_url_dedup,
         "stream_warc_extract": q_stream_warc_extract,
         "curate_host_quota": q_curate_host_quota,
+        "curate_sitemap_urls": q_curate_sitemap_urls,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -5074,6 +5096,13 @@ FROM (
                             ORDER BY doc_id) AS rk
   FROM documents) t
 WHERE rk <= 30
+""",
+        "curate_sitemap_urls": """
+SELECT doc_id AS sitemap_id,
+       'http://crawl.test/' || CAST(doc_id AS VARCHAR) || '/' || s
+         AS url,
+       false AS is_index
+FROM documents, (SELECT unnest(['a', 'b']) AS s)
 """,
         "events_quantiles_sketch": f"""
 WITH d AS (

@@ -137,6 +137,7 @@ HEADLINE = [
     "curate_url_dedup",
     "stream_warc_extract",
     "curate_host_quota",
+    "curate_sitemap_urls",
 ]
 
 

@@ -111,6 +111,37 @@ def host_quota(
     )
 
 
+def sitemap_urls(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    id_col: str = "sitemap_id",
+) -> DataFrame:
+    """Explode sitemap XML (sitemaps.org protocol) into its frontier:
+    (id_col, url, is_index). ``<loc>`` entries under ``<sitemapindex>``
+    are child sitemaps (is_index=true, to be fetched and fed back in);
+    under ``<urlset>`` they are page URLs. A regexp extraction, not an
+    XML parser — sitemaps are machine-generated and flat, and the
+    regex shape keeps the whole frontier expansion in codegen (and
+    oracle-portable). ``<loc>`` text is whitespace-trimmed and the five
+    predefined XML entities are unescaped (the protocol REQUIRES URLs
+    be entity-escaped inside ``<loc>``), ``&amp;`` last so double
+    escapes survive one level. Feed the url column through
+    :func:`canonical_url` / :func:`url_dedup` before crawling."""
+    locs = F.regexp_extract_all(
+        F.col(xml_col), F.lit("<loc>([^<]*)</loc>"), 1
+    )
+    is_index = F.col(xml_col).contains("<sitemapindex")
+    url = F.trim(F.explode(locs))
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&apos;", "'"), ("&amp;", "&")):
+        url = F.replace(url, F.lit(ent), F.lit(ch))
+    return df.select(
+        F.col(id_col),
+        url.alias("url"),
+        is_index.alias("is_index"),
+    )
+
+
 def domain_filter(
     df: DataFrame,
     blocked_hosts: list[str],

@@ -94,3 +94,23 @@ def test_host_quota_keeps_smallest_ids_per_host(spark):
     }
     # original columns survive
     assert {f for f in kept[0].asDict()} == {"doc_id", "url", "host"}
+
+
+def test_sitemap_urls_urlset_and_index(spark):
+    urlset = ("<?xml version=\"1.0\"?><urlset>"
+              "<url><loc>http://a/1?x=1&amp;y=%3C</loc>"
+              "<priority>0.5</priority></url>"
+              "<url><loc>\n  http://a/2 </loc></url></urlset>")
+    index = ("<sitemapindex><sitemap><loc>http://a/maps/1.xml</loc>"
+             "</sitemap></sitemapindex>")
+    df = spark.createDataFrame(
+        [(1, urlset), (2, index), (3, "<urlset></urlset>")],
+        "sitemap_id long, sitemap_xml string",
+    )
+    rows = U.sitemap_urls(df).collect()
+    got = sorted((r["sitemap_id"], r["url"], r["is_index"]) for r in rows)
+    assert got == [
+        (1, "http://a/1?x=1&y=%3C", False),
+        (1, "http://a/2", False),
+        (2, "http://a/maps/1.xml", True),
+    ]
