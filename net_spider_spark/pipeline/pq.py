@@ -34,6 +34,19 @@ init, (dist, cid) tie-breaks, fixed iteration count) is deterministic,
 so the whole train -> encode -> score pipeline has an EXACT DuckDB
 oracle despite being an "approximate" index.
 
+Why the encode is a broadcast JOIN and not a shuffle-free projection:
+the tempting alternative — inline the driver-side codebook and compute
+each subspace's argmin with ``transform``/``array_min``/``aggregate``
+expressions — was measured 9x SLOWER (171 s vs 19 s encoding 200k
+64-dim vectors on local[32]): higher-order functions are
+CodegenFallback in Spark, so the nested lambda tree evaluates
+interpreted per row per centroid, while the explode + broadcast-join +
+min-struct hash aggregate stays in whole-stage codegen end to end.
+The two small shuffles (m ints per vector) are far cheaper than
+leaving codegen. Inlining the codebook as literal expressions is
+worse still — m*k*sub_dim literals make Catalyst analysis itself the
+bottleneck.
+
 Reference n/a: extension suite (LLM-data-pipeline operators).
 """
 
