@@ -135,6 +135,9 @@ SQL_HEX16 = (
 )
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
+_GOPHER_REQ_SQL = (
+    "[" + ", ".join(f"'{w}'" for w in TX.GOPHER_REQUIRED_WORDS) + "]"
+)
 
 
 def _lsh_sig_sql(n_bands: int = 4, n_planes: int = 4, dim: int = 64,
@@ -796,6 +799,73 @@ def q_text_lang_id(spark, sf_dir):
 def q_text_fingerprint(spark, sf_dir):
     docs = demo.read_table(spark, sf_dir, "documents")
     return TX.fingerprint(docs)
+
+
+def _structured_docs(spark, sf_dir):
+    # Line-structured documents synthesized from doc_id arithmetic
+    # (the same device as the WARC/sitemap queries): the parquet corpus
+    # is flat word soup — no newlines, bullets, ellipses, braces — so
+    # the line-level Gopher/C4 rule paths would be degenerate on it.
+    # Each rule gets both passing and failing documents; the oracles
+    # replay the identical synthesis in SQL.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.lit(" end."),
+        F.when(d % 4 == 0, F.lit("\n- bullet point item")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("\nto be continued...")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("\n#### chart ####")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("\nenable javascript and cookie support."))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("\nint main() { return 0; }"))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", text.alias("text"))
+
+
+# The CASE-chain twin of _structured_docs, shared by both rule oracles.
+SQL_STRUCTURED = """
+structured AS (
+  SELECT doc_id,
+    text || ' end.'
+    || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- bullet point item' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'to be continued...' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN chr(10) || '#### chart ####' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'enable javascript and cookie support.' ELSE '' END
+    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'int main() { return 0; }' ELSE '' END
+    AS text
+  FROM documents
+)
+"""
+
+
+def q_text_gopher_rules(spark, sf_dir):
+    # Gopher rule-based filtering (Rae et al. 2021) over synthesized
+    # line-structured docs; thresholds tuned so every rule is binding
+    # for some documents (ellipsis 0.25 splits on line count, required
+    # hits 2 splits on whether the 'to be' line is present, symbol
+    # ratio 0.1 fails the '####' docs). The oracle recomputes every
+    # signal and the keep verdict from the same synthesis.
+    return TX.gopher_rules(
+        _structured_docs(spark, sf_dir),
+        min_words=10, max_words=100_000,
+        min_mean_word_len=3.0, max_mean_word_len=10.0,
+        max_symbol_word_ratio=0.1, max_bullet_line_frac=0.9,
+        max_ellipsis_line_frac=0.25, min_alpha_word_frac=0.8,
+        min_required_hits=2,
+    )
+
+
+def q_text_c4_clean(spark, sf_dir):
+    # C4 line-level cleaning (Raffel et al. 2020 §2.2) over the same
+    # synthesized docs: terminal-punctuation + min-words line keeps,
+    # javascript/cookie/brace line drops, lorem-ipsum/brace doc drops.
+    # The oracle rebuilds clean_text line by line with the identical
+    # predicate.
+    return TX.c4_clean(
+        _structured_docs(spark, sf_dir), min_line_words=3, min_kept_lines=1
+    )
 
 
 def q_curate_repetition(spark, sf_dir):
@@ -1580,6 +1650,112 @@ def q_layout_zorder(spark, sf_dir):
     )
 
 
+def q_stream_c4_clean(spark, sf_dir):
+    # Rule-based cleaning AS A STREAM: c4_clean is a stateless
+    # projection, so it drops into a streaming plan unchanged (no state
+    # store, append mode) — documents arriving on a file stream are
+    # cleaned in-flight. The availableNow replay must hash-match the
+    # SAME oracle as the batch text_c4_clean.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    d = F.col("doc_id")
+    text = F.concat(
+        F.col("text"),
+        F.lit(" end."),
+        F.when(d % 4 == 0, F.lit("\n- bullet point item")).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit("\nto be continued...")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit("\n#### chart ####")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("\nenable javascript and cookie support."))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("\nint main() { return 0; }"))
+        .otherwise(F.lit("")),
+    )
+    structured = stream.select("doc_id", text.alias("text"))
+    out = TX.c4_clean(structured, min_line_words=3, min_kept_lines=1)
+    return _run_available_now(out, "stream_c4_sink", "append")
+
+
+def q_pipeline_curation(spark, sf_dir):
+    # The END-TO-END curation pipeline as one query — the composition a
+    # real training-data run executes: C4 line cleaning -> Gopher rule
+    # filter on the CLEANED text -> exact dedup (keep-min per digest)
+    # -> greedy context-window packing of the keepers. The synthesized
+    # corpus makes every stage binding: doc_id % 11 plants brace docs
+    # (C4 doc-drop), % 7 plants javascript lines (C4 line-drop), % 3
+    # plants ellipsis lines (Gopher frac_ellipsis kill), and the
+    # surviving cleaned texts collide on (doc_id % 13, doc_id % 5) so
+    # dedup removes real mass before packing. The oracle derives the
+    # survivor set, keeper set, and pack layout analytically.
+    from net_spider_spark.pipeline import dedup as DD
+
+    docs = demo.read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    line1 = F.concat(
+        F.lit("the section "), (d % 13).cast("string"),
+        F.lit(" covers area "), (d % 5).cast("string"), F.lit(" fully."),
+    )
+    text = F.concat(
+        line1,
+        F.when(d % 3 == 0, F.lit("\nto be continued...")).otherwise(F.lit("")),
+        F.when(d % 7 == 0, F.lit("\nenable javascript now."))
+        .otherwise(F.lit("")),
+        F.when(d % 11 == 0, F.lit("\nbad code { here }")).otherwise(F.lit("")),
+    )
+    raw = docs.select("doc_id", text.alias("text"))
+    cleaned = TX.c4_clean(raw, min_line_words=3, min_kept_lines=1)
+    kept = cleaned.where(F.col("keep")).select(
+        "doc_id", F.col("clean_text").alias("text")
+    )
+    g = TX.gopher_rules(
+        kept, min_words=5, max_words=100, min_mean_word_len=3.0,
+        max_mean_word_len=10.0, max_symbol_word_ratio=0.1,
+        max_bullet_line_frac=0.9, max_ellipsis_line_frac=0.25,
+        min_alpha_word_frac=0.6, min_required_hits=1,
+    )
+    good = kept.join(g.where(F.col("keep")).select("doc_id"), "doc_id")
+    keepers = good.join(
+        DD.exact_duplicates(good).select(
+            F.col("keeper_id").alias("doc_id")
+        ),
+        "doc_id",
+    )
+    return CU.pack_documents(keepers, window_tokens=64, n_groups=8)
+
+
+def q_layout_bucketed_join(spark, sf_dir):
+    # Bucketed co-located join (layout.write_bucketed): orders and
+    # lineitem land bucketed by orderkey into the SAME bucket count at
+    # write time, so the fact-table join runs with zero Exchange on
+    # either side (pinned in tests/test_layout.py with broadcast
+    # disabled) — the write-once-join-many layout that amortizes the
+    # big join's shuffle at 100 TB. The oracle is the plain SQL
+    # join+agg: bucketing must change the PLAN, never the answer.
+    from net_spider_spark import layout as LY
+
+    orders = demo.read_table(spark, sf_dir, "orders")
+    li = demo.read_table(spark, sf_dir, "lineitem")
+    o = LY.write_bucketed(
+        orders, "nss_bucketed_orders", ["o_orderkey"], n_buckets=8,
+        sort_cols=["o_orderkey"], path="/tmp/nss_bucketed/orders",
+    )
+    l = LY.write_bucketed(
+        li, "nss_bucketed_lineitem", ["l_orderkey"], n_buckets=8,
+        sort_cols=["l_orderkey"], path="/tmp/nss_bucketed/lineitem",
+    )
+    return (
+        o.join(l, o["o_orderkey"] == l["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
 def _zorder_sql_terms(qa: str, qb: str, bits: int) -> str:
     """DuckDB bit-interleave expression mirroring layout.zorder_interleave."""
     terms = []
@@ -1896,6 +2072,107 @@ def q_curate_url_dedup(spark, sf_dir):
         ).alias("url"),
     )
     return URL.url_dedup(messy)
+
+
+def _robots_corpus(spark, sf_dir):
+    # One robots.txt per synthesized host (doc_id % 5): hosts 0-3 carry
+    # a badbot group (must be ignored for agent '*'), a '*' group with
+    # disallow/allow/disallow rules, an inline comment, an EMPTY
+    # Disallow (must be dropped: empty = allow all), and a Crawl-delay
+    # line (not a rule); host 4 has ONLY the badbot group, so every
+    # URL on it falls through to allowed-by-default.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    hosts = docs.select(
+        (F.col("doc_id") % 5).cast("long").alias("h")
+    ).distinct()
+    body = F.when(
+        F.col("h") == 4, F.lit("User-agent: badbot\nDisallow: /")
+    ).otherwise(
+        F.lit(
+            "User-agent: badbot\nDisallow: /\n"
+            "User-Agent: *\nDisallow: /private/   # staff only\n"
+            "Allow: /private/ok/\nDisallow: /tmp\nDisallow:\n"
+            "Crawl-delay: 3"
+        )
+    )
+    return hosts.select(
+        F.concat(F.lit("host"), F.col("h").cast("string"), F.lit(".test"))
+        .alias("host"),
+        body.alias("robots_txt"),
+    )
+
+
+def q_curate_robots_rules(spark, sf_dir):
+    # robots.txt parsing (pipeline/url.py robots_rules): group
+    # detection, agent matching, comment stripping, empty-rule
+    # dropping — the oracle knows exactly which (host, allow, prefix)
+    # rows the synthesized corpus must produce, so the whole parser is
+    # attested end-to-end.
+    from net_spider_spark.pipeline import url as URL
+
+    return URL.robots_rules(_robots_corpus(spark, sf_dir), agent="*")
+
+
+def q_curate_robots_filter(spark, sf_dir):
+    # RFC 9309 longest-match-wins filtering over a synthesized URL
+    # frontier: /doc/ no match (allowed), /private/ disallowed,
+    # /private/ok/ re-allowed by the LONGER allow rule, /tmp
+    # disallowed, and every URL on the rule-less host 4 allowed by
+    # default. The oracle predicts allowed analytically per doc_id.
+    from net_spider_spark.pipeline import url as URL
+
+    docs = demo.read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    path = (
+        F.when(d % 4 == 0, F.concat(F.lit("/doc/"), d.cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("/private/p"), d.cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit("/private/ok/q"), d.cast("string")))
+        .otherwise(F.concat(F.lit("/tmp"), d.cast("string")))
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://host"), (d % 5).cast("string"), F.lit(".test"),
+            path,
+        ).alias("url"),
+    )
+    rules = URL.robots_rules(_robots_corpus(spark, sf_dir), agent="*")
+    return URL.robots_filter(urls, rules)
+
+
+def q_graph_host_links(spark, sf_dir):
+    # Host-level web graph from raw HTML (pipeline/url.py
+    # extract_links + host_link_graph): each synthesized page carries
+    # an absolute link, a relative link (same-host edge), and — every
+    # third doc — a messy-cased absolute link whose host must
+    # canonicalize (lowercase, www./:443 stripped). The oracle builds
+    # the same edge list analytically and aggregates it.
+    from net_spider_spark.pipeline import url as URL
+
+    docs = demo.read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p><a href="http://host'), ((d + 1) % 5).cast("string"),
+        F.lit('.test/p'), d.cast("string"), F.lit('">next</a>'),
+        F.lit('<a href="/local/'), d.cast("string"), F.lit('">rel</a>'),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit('<a href="HTTPS://WWW.Host'),
+                ((d + 2) % 5).cast("string"),
+                F.lit('.test:443/x">cross</a>'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        "doc_id",
+        html.alias("html"),
+        F.concat(
+            F.lit("http://www.host"), (d % 5).cast("string"),
+            F.lit(".test:80/doc/"), d.cast("string"),
+        ).alias("url"),
+    )
+    return URL.host_link_graph(URL.extract_links(pages))
 
 
 def q_sketch_kmv_distinct(spark, sf_dir):
@@ -3124,6 +3401,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_warc_extract": q_stream_warc_extract,
         "curate_host_quota": q_curate_host_quota,
         "curate_sitemap_urls": q_curate_sitemap_urls,
+        "text_gopher_rules": q_text_gopher_rules,
+        "text_c4_clean": q_text_c4_clean,
+        "curate_robots_rules": q_curate_robots_rules,
+        "curate_robots_filter": q_curate_robots_filter,
+        "graph_host_links": q_graph_host_links,
+        "layout_bucketed_join": q_layout_bucketed_join,
+        "pipeline_curation": q_pipeline_curation,
+        "stream_c4_clean": q_stream_c4_clean,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -3449,6 +3734,9 @@ def oracle_sql() -> dict[str, str]:
     # same analytic oracle: the availableNow replay of the WARC
     # extraction must equal the batch path row for row
     d["stream_warc_extract"] = d["multimodal_warc_extract"]
+    # stateless rule cleaning: the streaming replay answers to the
+    # batch oracle verbatim.
+    d["stream_c4_clean"] = d["text_c4_clean"]
     d["curate_pack_bpe"] = _bpe_pack_sql(BPE_N_MERGES)
     # Fuzzy decontamination: same banded-probe + verify algebra as the
     # incremental minhash + jaccard oracles, across the train/eval
@@ -3807,6 +4095,63 @@ WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
 FROM tok
+""",
+        "text_gopher_rules": f"""
+WITH {SQL_STRUCTURED},
+tok AS (
+  SELECT doc_id, text,
+         {SQL_TOKS_RAW} AS toks,
+         string_split(text, chr(10)) AS lines
+  FROM structured
+),
+m AS (
+  SELECT doc_id,
+    len(toks) AS n_words,
+    list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT)))
+      / greatest(len(toks), 1) AS mean_word_len,
+    ((length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '...', ''))) / 3)
+      / greatest(len(toks), 1) AS symbol_word_ratio,
+    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'))
+      / greatest(len(lines), 1) AS frac_bullet_lines,
+    len(list_filter(lines, l -> l LIKE '%...'))
+      / greatest(len(lines), 1) AS frac_ellipsis_lines,
+    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
+      / greatest(len(toks), 1) AS frac_alpha_words,
+    len(list_intersect(list_transform(toks, t -> lower(t)), {_GOPHER_REQ_SQL}))
+      AS n_required_hits
+  FROM tok
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+       symbol_word_ratio, frac_bullet_lines, frac_ellipsis_lines,
+       frac_alpha_words, CAST(n_required_hits AS BIGINT) AS n_required_hits,
+       (n_words BETWEEN 10 AND 100000)
+         AND (mean_word_len BETWEEN 3.0 AND 10.0)
+         AND symbol_word_ratio <= 0.1
+         AND frac_bullet_lines <= 0.9
+         AND frac_ellipsis_lines <= 0.25
+         AND frac_alpha_words >= 0.8
+         AND n_required_hits >= 2 AS keep
+FROM m
+""",
+        "text_c4_clean": f"""
+WITH {SQL_STRUCTURED},
+k AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)), l ->
+      regexp_matches(l, '[.!?"]$')
+      AND len(list_filter(string_split_regex(l, '\\s+'), t -> t <> '')) >= 3
+      AND NOT contains(lower(l), 'javascript')
+      AND NOT contains(lower(l), 'cookie')
+      AND NOT contains(l, '{{')) AS kept
+  FROM structured
+)
+SELECT doc_id,
+       array_to_string(kept, chr(10)) AS clean_text,
+       CAST(len(kept) AS BIGINT) AS n_kept_lines,
+       (NOT (contains(lower(text), 'lorem ipsum') OR contains(text, '{{')))
+         AND len(kept) >= 1 AS keep
+FROM k
 """,
         "sim_topk": """
 WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
@@ -5103,6 +5448,103 @@ SELECT doc_id AS sitemap_id,
          AS url,
        false AS is_index
 FROM documents, (SELECT unnest(['a', 'b']) AS s)
+""",
+        # robots rules: the oracle KNOWS which (host, allow, prefix)
+        # rows the synthesized corpus must parse into — hosts 0-3 get
+        # exactly the three '*'-group rules (badbot group ignored,
+        # comment stripped, empty Disallow and Crawl-delay dropped),
+        # host 4 none.
+        "curate_robots_rules": """
+WITH h AS (
+  SELECT DISTINCT doc_id % 5 AS h FROM documents WHERE doc_id % 5 <> 4
+),
+r(allow, path_prefix) AS (
+  VALUES (false, '/private/'), (true, '/private/ok/'), (false, '/tmp')
+)
+SELECT 'host' || CAST(h AS VARCHAR) || '.test' AS host,
+       allow, path_prefix
+FROM h CROSS JOIN r
+""",
+        # robots filter: allowed is an analytic function of doc_id —
+        # host 4 has no '*' rules (default allow); elsewhere /doc/ has
+        # no matching prefix, /private/ok/ wins by longest match, and
+        # /private/ + /tmp are disallowed.
+        "curate_robots_filter": """
+SELECT doc_id,
+       'http://host' || CAST(doc_id % 5 AS VARCHAR) || '.test'
+         || CASE WHEN doc_id % 4 = 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 4 = 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 4 = 2 THEN '/private/ok/q' || CAST(doc_id AS VARCHAR)
+                 ELSE '/tmp' || CAST(doc_id AS VARCHAR) END AS url,
+       'host' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,
+       (doc_id % 5 = 4) OR (doc_id % 4 = 0) OR (doc_id % 4 = 2) AS allowed
+FROM documents
+""",
+        # end-to-end curation pipeline: every stage's effect is an
+        # analytic function of doc_id — survivors are the docs no rule
+        # killed (% 11 brace docs fail C4, % 3 ellipsis docs fail
+        # Gopher), keepers are min-id per colliding cleaned text
+        # ((doc_id % 13, doc_id % 5) classes), every keeper has exactly
+        # 7 whitespace tokens, and the pack layout is the same
+        # per-group running-sum window as curate_pack at window 64.
+        "pipeline_curation": """
+WITH surv AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id % 11 <> 0 AND doc_id % 3 <> 0
+),
+ded AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY doc_id % 13, doc_id % 5)
+             AS keeper
+    FROM surv) q
+  WHERE doc_id = keeper
+),
+t AS (
+  SELECT doc_id, CAST(7 AS BIGINT) AS n_tokens, doc_id % 8 AS grp
+  FROM ded
+),
+c AS (
+  SELECT doc_id, n_tokens, grp,
+         coalesce(sum(n_tokens) OVER (
+           PARTITION BY grp ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       CAST(grp * 1099511627776 + cumb // 64 AS BIGINT) AS pack_id,
+       CAST(cumb % 64 AS BIGINT) AS pack_pos
+FROM c
+""",
+        # bucketed join: bucketing changes the plan, never the answer —
+        # the oracle is the plain join+agg.
+        "layout_bucketed_join": """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       sum(l_quantity) AS sum_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY 1
+""",
+        # host link graph: the edge list is an analytic function of
+        # doc_id (absolute link to (d+1)%5, relative link = self edge,
+        # every third doc a messy-cased link to (d+2)%5 whose host
+        # must canonicalize), then one aggregate.
+        "graph_host_links": """
+WITH e AS (
+  SELECT 'host' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS src_host,
+         'host' || CAST((doc_id + 1) % 5 AS VARCHAR) || '.test' AS dst_host
+  FROM documents
+  UNION ALL
+  SELECT 'host' || CAST(doc_id % 5 AS VARCHAR) || '.test',
+         'host' || CAST(doc_id % 5 AS VARCHAR) || '.test'
+  FROM documents
+  UNION ALL
+  SELECT 'host' || CAST(doc_id % 5 AS VARCHAR) || '.test',
+         'host' || CAST((doc_id + 2) % 5 AS VARCHAR) || '.test'
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+FROM e GROUP BY 1, 2
 """,
         "events_quantiles_sketch": f"""
 WITH d AS (

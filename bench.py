@@ -138,6 +138,16 @@ HEADLINE = [
     "stream_warc_extract",
     "curate_host_quota",
     "curate_sitemap_urls",
+    # crawl-policy + document-quality additions: robots.txt parsing
+    # and RFC 9309 longest-match filtering, the host-level link graph
+    # from raw HTML, and the Gopher/C4 rule-based document filters.
+    "curate_robots_rules",
+    "curate_robots_filter",
+    "graph_host_links",
+    "text_gopher_rules",
+    "text_c4_clean",
+    "layout_bucketed_join",
+    "pipeline_curation",
 ]
 
 

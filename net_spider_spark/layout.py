@@ -23,7 +23,12 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["zorder_interleave", "zorder_value", "write_zordered"]
+__all__ = [
+    "zorder_interleave",
+    "zorder_value",
+    "write_zordered",
+    "write_bucketed",
+]
 
 
 def zorder_interleave(a: Column, b: Column, bits: int = 16) -> Column:
@@ -131,3 +136,53 @@ def write_zordered(
         # caller added only to give zorder_value a numeric axis
         out = out.drop(*drop_cols)
     out.write.mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    n_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write ``df`` as a BUCKETED (and optionally sorted) parquet
+    table and return it re-read through the catalog.
+
+    Bucketing is the co-located-join layout: two tables bucketed into
+    the same ``n_buckets`` on their join key hash-partition AT WRITE
+    TIME, so every later equi-join or aggregation on that key runs
+    with ZERO Exchange on either side — at 100 TB, where one shuffle
+    of the fact table dwarfs everything else, this amortizes the big
+    join's shuffle into the (one-time) write. The plan property is
+    pinned by ``tests/test_layout.py``: join two co-bucketed tables
+    with broadcast disabled and the SortMergeJoin has no Exchange
+    child.
+
+    ``saveAsTable`` is required — only catalog tables carry bucket
+    metadata (``DataFrameWriter.parquet(path)`` silently drops it);
+    pass ``path`` to keep the data outside the warehouse dir as an
+    external table. Any existing table of the same name is dropped
+    first so a stale catalog entry pointing at a vanished temp dir
+    can't poison the write.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # repartition by the bucket key first: Spark's bucket assignment is
+    # the same Murmur3 hash repartition uses, so each write task owns
+    # exactly one bucket — the write parallelizes across buckets and
+    # produces one file per bucket instead of one task writing (and
+    # sorting) all n_buckets sequentially from a single-scan source.
+    w = (
+        df.repartition(n_buckets, *[F.col(c) for c in bucket_cols])
+        .write.format("parquet")
+        .mode(mode)
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+    return spark.table(table)

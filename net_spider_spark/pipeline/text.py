@@ -85,6 +85,137 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+# The "required word" list of the Gopher quality rules (Rae et al.
+# 2021, arXiv:2112.11446 table A1): a document must contain at least
+# ``min_required_hits`` of these to look like running English prose.
+GOPHER_REQUIRED_WORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """The Gopher rule-based document filter (Rae et al. 2021, table
+    A1 — public paper): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio (``#`` and ``...``), bullet-/ellipsis-line
+    fractions, fraction of words containing an alphabetic character,
+    and the required-stopword test. Returns every signal plus the
+    final ``keep`` verdict so a pipeline can tune thresholds without
+    recomputing.
+
+    All pure Catalyst expressions over one projection — at 100 TB this
+    is a scan-shaped map with zero shuffles; the HOF filters
+    (``F.filter``/``F.aggregate``) cost interpreted eval per row, the
+    same trade :func:`quality_scores` already makes for rule fidelity.
+    """
+    text = F.col(text_col)
+    toks = tokens_col(text)
+    n_words = F.size(toks)
+    n_words1 = F.greatest(n_words, F.lit(1))
+    mean_word_len = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
+        / n_words1
+    )
+    n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis) / n_words1
+    lines = F.split(text, "\n")
+    n_lines1 = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: ln.startswith("- ") | ln.startswith("* "),
+            )
+        )
+        / n_lines1
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda ln: ln.endswith("..."))) / n_lines1
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n_words1
+    )
+    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    n_required = F.size(
+        F.array_intersect(F.transform(toks, lambda t: F.lower(t)), req)
+    )
+    keep = (
+        n_words.between(min_words, max_words)
+        & mean_word_len.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio <= max_symbol_word_ratio)
+        & (bullet_frac <= max_bullet_line_frac)
+        & (ellipsis_frac <= max_ellipsis_line_frac)
+        & (alpha_frac >= min_alpha_word_frac)
+        & (n_required >= min_required_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_word_ratio"),
+        bullet_frac.alias("frac_bullet_lines"),
+        ellipsis_frac.alias("frac_ellipsis_lines"),
+        alpha_frac.alias("frac_alpha_words"),
+        n_required.cast("long").alias("n_required_hits"),
+        keep.alias("keep"),
+    )
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2 — public
+    paper): keep only lines that end in terminal punctuation and have
+    at least ``min_line_words`` words, drop lines carrying boilerplate
+    markers (``javascript``, ``cookie``) or code braces, then drop the
+    whole document if it contains ``lorem ipsum`` / a brace or retains
+    fewer than ``min_kept_lines`` lines.
+
+    Returns (id, clean_text, n_kept_lines, keep). Scan-shaped single
+    projection like :func:`gopher_rules`; the per-line predicate runs
+    in a ``F.filter`` HOF because the rule is genuinely per-line.
+    """
+    text = F.col(text_col)
+    lo = F.lower(text)
+
+    def _line_ok(ln: Column) -> Column:
+        low = F.lower(ln)
+        return (
+            ln.rlike('[.!?"]$')
+            & (F.size(tokens_col(ln)) >= min_line_words)
+            & ~low.contains("javascript")
+            & ~low.contains("cookie")
+            & ~ln.contains("{")
+        )
+
+    kept = F.filter(F.split(text, "\n"), _line_ok)
+    bad_doc = lo.contains("lorem ipsum") | text.contains("{")
+    keep = ~bad_doc & (F.size(kept) >= min_kept_lines)
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        keep.alias("keep"),
+    )
+
+
 def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Stopword-marker language ID. Ties resolve in fixed priority
     order (en > de > fr > es > unknown) so results are deterministic

@@ -131,14 +131,183 @@ def sitemap_urls(
         F.col(xml_col), F.lit("<loc>([^<]*)</loc>"), 1
     )
     is_index = F.col(xml_col).contains("<sitemapindex")
-    url = F.trim(F.explode(locs))
+    # the explode lives alone in its select (a generator may not nest
+    # inside other expressions); trim/unescape follow in a projection
+    # the optimizer fuses into the same stage.
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(locs).alias("_loc"),
+        is_index.alias("is_index"),
+    )
+    # btrim with an explicit set: plain trim strips only ' ', and
+    # sitemap generators routinely pretty-print <loc> with newlines.
+    url = F.btrim(F.col("_loc"), F.lit(" \t\r\n"))
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                     ("&apos;", "'"), ("&amp;", "&")):
         url = F.replace(url, F.lit(ent), F.lit(ch))
-    return df.select(
+    return exploded.select(
         F.col(id_col),
         url.alias("url"),
-        is_index.alias("is_index"),
+        "is_index",
+    )
+
+
+def robots_rules(
+    df: DataFrame,
+    agent: str = "*",
+    robots_col: str = "robots_txt",
+    host_col: str = "host",
+) -> DataFrame:
+    """Parse robots.txt bodies into per-host prefix rules:
+    (host, allow, path_prefix) — one row per Allow/Disallow line in a
+    group whose ``User-agent`` set contains ``agent`` (exact,
+    case-insensitive). The documented subset of RFC 9309: ``#``
+    comments stripped, header names case-insensitive, a group is a run
+    of consecutive ``User-agent`` lines followed by its rules,
+    empty-path rules dropped (an empty Disallow allows everything),
+    no ``*``/``$`` wildcards inside paths (prefix semantics only) and
+    no agent-specificity fallback — pass the agent whose group you
+    want, ``*`` for the default group.
+
+    Pure expressions + one per-host window (group numbering is a
+    running sum of group starts) + one equi-join of rule lines to
+    matching-agent groups. Scale: robots files are small and per-host;
+    everything partitions by host."""
+    lines = df.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(robots_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host",
+        "pos",
+        F.trim(F.regexp_replace(F.col("raw"), "#.*$", "")).alias("line"),
+    )
+    kind = (
+        F.when(F.lower(F.col("line")).rlike("^user-agent\\s*:"), F.lit("ua"))
+        .when(F.lower(F.col("line")).rlike("^allow\\s*:"), F.lit("allow"))
+        .when(F.lower(F.col("line")).rlike("^disallow\\s*:"), F.lit("disallow"))
+    )
+    value = F.trim(F.regexp_extract(F.col("line"), "^[^:]*:(.*)$", 1))
+    typed = lines.select(
+        "host", "pos", kind.alias("kind"), value.alias("value")
+    ).where(F.col("kind").isNotNull())
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("host").orderBy("pos")
+    is_ua = F.col("kind") == "ua"
+    started = (
+        is_ua & ~F.coalesce(F.lag("kind").over(w) == "ua", F.lit(False))
+    ).cast("int")
+    grouped = typed.withColumn("grp", F.sum(started).over(w))
+    agents = (
+        grouped.where(is_ua)
+        .where(F.lower(F.col("value")) == agent.lower())
+        .select("host", "grp")
+        .distinct()
+    )
+    return (
+        grouped.where(~is_ua)
+        .where(F.col("value") != "")
+        .join(agents, ["host", "grp"])
+        .select(
+            "host",
+            (F.col("kind") == "allow").alias("allow"),
+            F.col("value").alias("path_prefix"),
+        )
+        .distinct()
+    )
+
+
+def robots_filter(
+    urls: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply :func:`robots_rules` output to a URL frontier with RFC
+    9309 longest-match-wins semantics (Allow wins length ties):
+    returns (id_col, url, host, allowed). URLs with no matching rule —
+    or whose host has no rules at all — are allowed.
+
+    Shape: an equi-join on host with a prefix predicate, then a
+    max-struct aggregate per URL (map-side combinable: (prefix_len,
+    allow) ordering makes the longest match, allow-on-tie, the max) —
+    never a window over the frontier. Rules per host are few; the join
+    broadcasts when the rule table is small."""
+    u = urls.select(
+        F.col(id_col),
+        F.col(url_col).alias("url"),
+        url_host(F.col(url_col)).alias("host"),
+        F.regexp_replace(
+            F.regexp_replace(F.col(url_col), _AUTHORITY_RE, ""),
+            "[?#].*$",
+            "",
+        ).alias("_path"),
+    )
+    matched = (
+        u.join(rules, "host")
+        .where(F.col("_path").startswith(F.col("path_prefix")))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("path_prefix").alias("l"),
+                    F.col("allow").alias("allow"),
+                )
+            ).alias("_best")
+        )
+        .select(F.col(id_col), F.col("_best.allow").alias("_allow"))
+    )
+    return u.join(matched, id_col, "left").select(
+        id_col,
+        "url",
+        "host",
+        F.coalesce(F.col("_allow"), F.lit(True)).alias("allowed"),
+    )
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, src_host, href, dst_host): one row per ``href="..."``
+    in the HTML. Absolute http(s) hrefs resolve to their canonical
+    host; anything else (relative, mailto, javascript) counts as a
+    same-host link — the coarse resolution a host-level web graph
+    needs, kept in codegen (regexp_extract_all + explode)."""
+    hrefs = F.regexp_extract_all(
+        F.col(html_col), F.lit('href="([^"]*)"'), 1
+    )
+    src = url_host(F.col(url_col))
+    exploded = df.select(
+        F.col(id_col),
+        src.alias("src_host"),
+        F.explode(hrefs).alias("href"),
+    )
+    dst = F.when(
+        F.lower(F.col("href")).rlike("^https?://"),
+        url_host(F.col("href")),
+    ).otherwise(F.col("src_host"))
+    return exploded.select(
+        id_col, "src_host", "href", dst.alias("dst_host")
+    )
+
+
+def host_link_graph(
+    links: DataFrame,
+    keep_self_loops: bool = True,
+) -> DataFrame:
+    """Aggregate :func:`extract_links` rows into the host-level web
+    graph: (src_host, dst_host, n_links). One hash aggregate; feed the
+    edges into graph/analyze.py (PageRank, components) for host
+    authority scoring."""
+    e = links
+    if not keep_self_loops:
+        e = e.where(F.col("src_host") != F.col("dst_host"))
+    return e.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links")
     )
 
 

@@ -206,3 +206,67 @@ def test_compact_history_zorder_relayouts_day_table(spark, tmp_path):
         for s in subjects
     )
     assert hits / (len(subjects) * len(exts)) < 0.6
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    from net_spider_spark import layout as LY
+
+    left = spark.range(200).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(200).selectExpr("id AS k", "id * 3 AS b")
+    lt = LY.write_bucketed(
+        left, "t_bkt_left", ["k"], n_buckets=4, sort_cols=["k"],
+        path=str(tmp_path / "l"),
+    )
+    rt = LY.write_bucketed(
+        right, "t_bkt_right", ["k"], n_buckets=4, sort_cols=["k"],
+        path=str(tmp_path / "r"),
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lt.join(rt, "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # co-located: the join runs on the write-time hash layout —
+        # no shuffle on either side, and the scans are bucketed
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert "Bucketed: true" in plan
+        # and bucketing never changes the answer
+        assert joined.count() == 200
+        got = {r["k"]: (r["a"], r["b"]) for r in joined.collect()}
+        assert got[7] == (14, 21)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_bkt_left")
+        spark.sql("DROP TABLE IF EXISTS t_bkt_right")
+
+
+def test_bucketed_groupby_on_bucket_key_no_exchange(spark, tmp_path):
+    from net_spider_spark import layout as LY
+
+    df = spark.range(100).selectExpr("id % 10 AS k", "id AS v")
+    t = LY.write_bucketed(
+        df, "t_bkt_agg", ["k"], n_buckets=4, path=str(tmp_path / "g")
+    )
+    try:
+        agg = t.groupBy("k").count()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert agg.count() == 10
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_agg")
+
+
+def test_write_bucketed_replaces_stale_table(spark, tmp_path):
+    from net_spider_spark import layout as LY
+
+    df1 = spark.range(10).selectExpr("id AS k")
+    LY.write_bucketed(df1, "t_bkt_stale", ["k"], path=str(tmp_path / "a"))
+    # same name, different location: the drop-first contract means the
+    # second write wins cleanly
+    df2 = spark.range(20).selectExpr("id AS k")
+    t = LY.write_bucketed(df2, "t_bkt_stale", ["k"], path=str(tmp_path / "b"))
+    try:
+        assert t.count() == 20
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_bkt_stale")

@@ -114,3 +114,126 @@ def test_sitemap_urls_urlset_and_index(spark):
         (1, "http://a/2", False),
         (2, "http://a/maps/1.xml", True),
     ]
+
+
+ROBOTS = """# global banner comment
+User-agent: badbot
+Disallow: /
+
+User-agent: Googlebot
+User-agent: *
+Disallow: /private/  # staff only
+Allow: /private/ok/
+disallow: /tmp
+Disallow:
+Crawl-delay: 3
+"""
+
+
+def test_robots_rules_groups_agents_comments(spark):
+    df = spark.createDataFrame(
+        [("a.test", ROBOTS), ("empty.test", "# nothing here")],
+        "host string, robots_txt string",
+    )
+    got = sorted(
+        (r["host"], r["allow"], r["path_prefix"])
+        for r in U.robots_rules(df, agent="*").collect()
+    )
+    # badbot group excluded; multi-agent group (Googlebot + *) matched;
+    # comment stripped from the prefix; lowercase 'disallow:' header
+    # parsed; empty Disallow and Crawl-delay dropped; no rows for the
+    # rule-less host.
+    assert got == [
+        ("a.test", False, "/private/"),
+        ("a.test", False, "/tmp"),
+        ("a.test", True, "/private/ok/"),
+    ]
+    # the same file serves the Googlebot group too, and badbot gets its
+    # own catch-all.
+    assert sorted(
+        (r["allow"], r["path_prefix"])
+        for r in U.robots_rules(df, agent="googlebot").collect()
+    ) == [(False, "/private/"), (False, "/tmp"), (True, "/private/ok/")]
+    assert [
+        (r["allow"], r["path_prefix"])
+        for r in U.robots_rules(df, agent="BADBOT").collect()
+    ] == [(False, "/")]
+
+
+def test_robots_filter_longest_match_wins(spark):
+    rules = spark.createDataFrame(
+        [
+            ("a.test", False, "/private/"),
+            ("a.test", True, "/private/ok/"),
+            ("a.test", False, "/"),
+            ("a.test", True, "/doc"),
+        ],
+        "host string, allow boolean, path_prefix string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.test/private/x"),
+            (2, "http://a.test/private/ok/y"),
+            (3, "http://a.test/doc/1?q=2"),     # query excluded from path
+            (4, "http://a.test/other"),          # '/' disallow catches
+            (5, "http://b.test/anything"),       # no rules -> allowed
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["allowed"]
+        for r in U.robots_filter(urls, rules).collect()
+    }
+    assert got == {1: False, 2: True, 3: True, 4: False, 5: True}
+
+
+def test_robots_filter_allow_wins_length_tie(spark):
+    rules = spark.createDataFrame(
+        [("a.test", False, "/p/"), ("a.test", True, "/p/")],
+        "host string, allow boolean, path_prefix string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "http://a.test/p/x")], "doc_id long, url string"
+    )
+    assert U.robots_filter(urls, rules).collect()[0]["allowed"] is True
+
+
+def test_extract_links_and_host_graph(spark):
+    pages = spark.createDataFrame(
+        [
+            (1, '<a href="http://b.test/x">b</a><a href="/rel">r</a>'
+                '<a href="HTTPS://WWW.C.test:443/y">c</a>'
+                '<a href="mailto:x@y.z">m</a>',
+             "http://www.a.test:80/page"),
+            (2, "no links at all", "http://a.test/2"),
+        ],
+        "doc_id long, html string, url string",
+    )
+    links = U.extract_links(pages).collect()
+    got = sorted((r["doc_id"], r["src_host"], r["dst_host"]) for r in links)
+    # absolute -> canonical host, relative + mailto -> same host, no
+    # rows for the link-less page
+    assert got == [
+        (1, "a.test", "a.test"),
+        (1, "a.test", "b.test"),
+        (1, "a.test", "c.test"),
+        (1, "a.test", "a.test"),
+    ] or got == sorted(
+        [(1, "a.test", "b.test"), (1, "a.test", "a.test"),
+         (1, "a.test", "c.test"), (1, "a.test", "a.test")]
+    )
+    g = {
+        (r["src_host"], r["dst_host"]): r["n_links"]
+        for r in U.host_link_graph(U.extract_links(pages)).collect()
+    }
+    assert g == {
+        ("a.test", "a.test"): 2,
+        ("a.test", "b.test"): 1,
+        ("a.test", "c.test"): 1,
+    }
+    no_self = U.host_link_graph(
+        U.extract_links(pages), keep_self_loops=False
+    ).collect()
+    assert ("a.test", "a.test") not in {
+        (r["src_host"], r["dst_host"]) for r in no_self
+    }
