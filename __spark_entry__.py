@@ -993,18 +993,31 @@ def q_graph_kcore(spark, sf_dir):
     return kcore(_kept_edges(spark, sf_dir), k=2, max_rounds=15)
 
 
-def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
+def _pagerank_sql(n_iter: int = 10, damping: float = 0.85,
+                  edges_sql: str | None = None) -> str:
     """DuckDB twin of graph.pagerank: the fixed-point power-method
     rounds unrolled as CTE stages. Pure integer arithmetic (micro-unit
     ranks, floor division) — bit-exact across engines regardless of
-    aggregation order, unlike any floating formulation."""
+    aggregation order, unlike any floating formulation.
+
+    ``edges_sql`` swaps the default findings-graph edge source for any
+    (src, dst) SELECT (self-loop-free, deduplicated by the caller or by
+    DISTINCT inside it) — the power-method chain is edge-source
+    agnostic, which is how graph_host_rank reuses it over the crawl
+    link graph."""
     d_num = int(round(damping * 1000))
     base_int = (1_000_000 * (1000 - d_num)) // 1000
-    ctes = [
-        """e AS MATERIALIZED (
+    if edges_sql is None:
+        head = f"WITH {SQL_F},\n{SQL_KEPT_OVERWRITE},\n"
+        first = """e AS MATERIALIZED (
   SELECT DISTINCT subject_node AS src, target_node AS dst
   FROM kept WHERE subject_node <> target_node
-)""",
+)"""
+    else:
+        head = "WITH "
+        first = f"e AS MATERIALIZED ({edges_sql})"
+    ctes = [
+        first,
         """n AS MATERIALIZED (
   SELECT src AS v FROM e UNION SELECT dst AS v FROM e
 )""",
@@ -1028,7 +1041,7 @@ def _pagerank_sql(n_iter: int = 10, damping: float = 0.85) -> str:
 )"""
         )
     return (
-        f"WITH {SQL_F},\n{SQL_KEPT_OVERWRITE},\n"
+        head
         + ",\n".join(ctes)
         + f"\nSELECT v AS node_id, pr / 1000000.0 AS pagerank FROM pr{n_iter}"
     )
@@ -1648,6 +1661,96 @@ def q_layout_zorder(spark, sf_dir):
     return LY.zorder_value(ev, ["user_id", "value"], bits=8).select(
         "event_id", "z_value"
     )
+
+
+def q_graph_host_rank(spark, sf_dir):
+    # Host authority: the crawl link graph (q_graph_host_links'
+    # synthesis) fed into the fixed-point integer PageRank — the
+    # CommonCrawl-style composition that turns raw HTML into a
+    # quality prior per host. The oracle reuses the SAME unrolled
+    # power-method chain as graph_pagerank over the analytic host
+    # edge list (self-loops dropped by pagerank's edge normalizer).
+    # Only hosts 0-2 place the cross link, so the graph is IRREGULAR
+    # and ranks genuinely differ — a uniform-rank bug cannot pass.
+    from net_spider_spark.graph.pagerank import pagerank
+    from net_spider_spark.pipeline import url as URL
+
+    docs = demo.read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit('<p><a href="http://host'), ((d + 1) % 5).cast("string"),
+        F.lit('.test/p'), d.cast("string"), F.lit('">next</a>'),
+        F.lit('<a href="/local/'), d.cast("string"), F.lit('">rel</a>'),
+        F.when(
+            (d % 3 == 0) & (d % 5 < 3),
+            F.concat(
+                F.lit('<a href="HTTPS://WWW.Host'),
+                ((d + 2) % 5).cast("string"),
+                F.lit('.test:443/x">cross</a>'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select(
+        "doc_id",
+        html.alias("html"),
+        F.concat(
+            F.lit("http://www.host"), (d % 5).cast("string"),
+            F.lit(".test:80/doc/"), d.cast("string"),
+        ).alias("url"),
+    )
+    edges = URL.host_link_graph(URL.extract_links(pages)).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return pagerank(edges, n_iter=10)
+
+
+def q_pipeline_crawl_frontier(spark, sf_dir):
+    # The crawl FRONT-END pipeline as one query: sitemap frontier
+    # expansion -> URL canonicalization + dedup -> robots.txt filtering
+    # -> per-host quota. Every stage is binding: the first sitemap URL
+    # is messy (WWW./:80/uppercase must canonicalize), the second
+    # carries entity-escaped tracking params (sorted + stripped), the
+    # third (every third doc) lands under a Disallow prefix. doc_id %
+    # 20 drives ~8x URL-level duplication, and the quota of 5 per host
+    # cuts the surviving frontier again. The oracle generates the
+    # distinct canonical frontier directly from the residues.
+    from net_spider_spark.pipeline import url as URL
+
+    docs = demo.read_table(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    h = (d % 5).cast("string")
+    k = (d % 20).cast("string")
+    xml = F.concat(
+        F.lit("<urlset><url><loc>http://WWW.Host"), h,
+        F.lit(".test:80/page/"), k, F.lit("</loc></url>"),
+        F.lit("<url><loc>http://host"), h,
+        F.lit(".test/private/ok/"), k,
+        F.lit("?utm_source=x&amp;b=2&amp;a=1</loc></url>"),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("<url><loc>http://host"), h,
+                F.lit(".test/private/x"), k, F.lit("</loc></url>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</urlset>"),
+    )
+    frontier = URL.sitemap_urls(
+        docs.select(F.col("doc_id").alias("sitemap_id"),
+                    xml.alias("sitemap_xml"))
+    )
+    canon = (
+        frontier.select(URL.canonical_url(F.col("url")).alias("url"))
+        .distinct()
+        .select(F.col("url").alias("cid"), "url")
+    )
+    rules = URL.robots_rules(_robots_corpus(spark, sf_dir), agent="*")
+    allowed = URL.robots_filter(
+        canon, rules, url_col="url", id_col="cid"
+    ).where(F.col("allowed")).select("url")
+    return URL.host_quota(
+        allowed, max_per_host=5, url_col="url", id_col="url"
+    ).select("url", "host")
 
 
 def q_stream_c4_clean(spark, sf_dir):
@@ -3409,6 +3512,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_bucketed_join": q_layout_bucketed_join,
         "pipeline_curation": q_pipeline_curation,
         "stream_c4_clean": q_stream_c4_clean,
+        "pipeline_crawl_frontier": q_pipeline_crawl_frontier,
+        "graph_host_rank": q_graph_host_rank,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -5479,6 +5584,56 @@ SELECT doc_id,
        'host' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,
        (doc_id % 5 = 4) OR (doc_id % 4 = 0) OR (doc_id % 4 = 2) AS allowed
 FROM documents
+""",
+        # host authority: the same unrolled integer power method as
+        # graph_pagerank, over the analytic host edge list (every host
+        # links to (h+1)%5; only hosts 0-2 also link to (h+2)%5, so
+        # the graph is irregular and ranks differ; the relative
+        # self-link is a self-loop pagerank drops).
+        "graph_host_rank": _pagerank_sql(
+            n_iter=10,
+            edges_sql="""
+  SELECT DISTINCT
+         'host' || CAST(h AS VARCHAR) || '.test' AS src,
+         'host' || CAST((h + o) % 5 AS VARCHAR) || '.test' AS dst
+  FROM (SELECT DISTINCT doc_id % 5 AS h FROM documents) hs,
+       (SELECT unnest([1, 2]) AS o) os
+  WHERE o = 1 OR h < 3
+""",
+        ),
+        # crawl frontier pipeline: the distinct canonical frontier is a
+        # function of the doc_id % 20 residues (all present at every
+        # sf) — /page/ and the re-allowed /private/ok/ survive robots,
+        # /private/x survives only on the rule-less host 4; then the
+        # same row_number quota as curate_host_quota at 5.
+        "pipeline_crawl_frontier": """
+WITH k AS (SELECT DISTINCT doc_id % 20 AS k20 FROM documents),
+u AS (
+  SELECT 'http://host' || CAST(k20 % 5 AS VARCHAR) || '.test/page/'
+           || CAST(k20 AS VARCHAR) AS url,
+         'host' || CAST(k20 % 5 AS VARCHAR) || '.test' AS host,
+         true AS allowed
+  FROM k
+  UNION ALL
+  SELECT 'http://host' || CAST(k20 % 5 AS VARCHAR) || '.test/private/ok/'
+           || CAST(k20 AS VARCHAR) || '?a=1&b=2',
+         'host' || CAST(k20 % 5 AS VARCHAR) || '.test',
+         true
+  FROM k
+  UNION ALL
+  SELECT 'http://host' || CAST(k20 % 5 AS VARCHAR) || '.test/private/x'
+           || CAST(k20 AS VARCHAR),
+         'host' || CAST(k20 % 5 AS VARCHAR) || '.test',
+         (k20 % 5 = 4)
+  FROM k
+),
+a AS (SELECT url, host FROM u WHERE allowed),
+q AS (
+  SELECT url, host,
+         row_number() OVER (PARTITION BY host ORDER BY url) AS rk
+  FROM a
+)
+SELECT url, host FROM q WHERE rk <= 5
 """,
         # end-to-end curation pipeline: every stage's effect is an
         # analytic function of doc_id — survivors are the docs no rule

@@ -148,6 +148,8 @@ HEADLINE = [
     "text_c4_clean",
     "layout_bucketed_join",
     "pipeline_curation",
+    "pipeline_crawl_frontier",
+    "graph_host_rank",
 ]
 
 
