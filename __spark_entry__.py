@@ -1829,6 +1829,102 @@ def q_pipeline_curation(spark, sf_dir):
     return CU.pack_documents(keepers, window_tokens=64, n_groups=8)
 
 
+def _wordpiece_vocab_ctes(vocab_size: int, max_piece_len: int) -> str:
+    """Shared CTE chain: word frequencies -> weighted substring counts
+    -> top-V multi-char pieces + all single chars. Twin of
+    text.wordpiece_vocab."""
+    return f"""tok AS (SELECT doc_id, {SQL_TOKS_RAW} AS toks FROM documents),
+w AS (SELECT unnest(toks) AS word FROM tok),
+wf AS (SELECT word, count(*) AS freq FROM w GROUP BY 1),
+sub AS (
+  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece, freq
+  FROM wf,
+       unnest(range(1, length(word) + 1)) AS ti(i),
+       unnest(range(2, {max_piece_len + 1})) AS tl(l)
+  WHERE i + l - 1 <= length(word)
+),
+multi AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+         false AS is_char
+  FROM sub GROUP BY 1
+  ORDER BY n_occurrences DESC, piece ASC LIMIT {vocab_size}
+),
+ch AS (
+  SELECT substr(word, CAST(i AS INT), 1) AS piece, freq
+  FROM wf, unnest(range(1, length(word) + 1)) AS ti(i)
+),
+chars AS (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS n_occurrences,
+         true AS is_char
+  FROM ch GROUP BY 1
+)"""
+
+
+def _wordpiece_encode_sql(vocab_size: int, max_piece_len: int,
+                          steps: int = 12) -> str:
+    """Twin of text.wordpiece_encode_stats: the greedy longest-match
+    loop unrolled as ``steps`` CTE stages (>= the longest corpus word,
+    so the unroll always drains; leftover characters count one piece
+    each, matching the Spark encoder's char fallback)."""
+    ctes = [
+        "vocab AS (SELECT piece FROM chars UNION ALL"
+        " SELECT piece FROM multi)",
+        "dw AS (SELECT DISTINCT word FROM w)",
+        "g0 AS (SELECT word, word AS rem, 0 AS np FROM dw)",
+    ]
+    for i in range(1, steps + 1):
+        p = f"g{i - 1}"
+        ctes.append(f"""g{i} AS (
+  SELECT word,
+    CASE WHEN rem = '' THEN ''
+         ELSE substr(rem, coalesce(
+           (SELECT max(length(piece)) FROM vocab v
+            WHERE starts_with({p}.rem, v.piece)), 1) + 1)
+    END AS rem,
+    np + CASE WHEN rem = '' THEN 0 ELSE 1 END AS np
+  FROM {p})""")
+    return (
+        f"WITH {_wordpiece_vocab_ctes(vocab_size, max_piece_len)},\n"
+        + ",\n".join(ctes)
+        + f""",
+enc AS (SELECT word, np + length(rem) AS n_pieces FROM g{steps}),
+agg AS (SELECT doc_id, len(toks) AS n_words FROM tok),
+wd AS (SELECT doc_id, unnest(toks) AS word FROM tok),
+sums AS (
+  SELECT wd.doc_id, sum(e.n_pieces) AS s
+  FROM wd JOIN enc e USING (word) GROUP BY 1
+)
+SELECT a.doc_id, CAST(a.n_words AS BIGINT) AS n_words,
+       CAST(coalesce(s.s, 0) AS BIGINT) AS n_pieces
+FROM agg a LEFT JOIN sums s USING (doc_id)"""
+    )
+
+
+def q_text_wordpiece_vocab(spark, sf_dir):
+    # WordPiece-style vocabulary selection: all corpus characters plus
+    # the top-32 weighted substrings (length 2-4) — the deterministic
+    # frequency simplification of Wu et al. 2016, rank ties broken by
+    # piece so the LIMIT boundary is engine-stable.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return TX.wordpiece_vocab(docs, vocab_size=32, max_piece_len=4)
+
+
+def q_text_wordpiece_encode(spark, sf_dir):
+    # Greedy longest-match WordPiece encoding under the learned vocab
+    # (the standard WordPiece/BERT inference rule), per-doc word and
+    # piece counts. The oracle relearns the same vocab and unrolls the
+    # greedy loop as 12 CTE stages — every (vocab selection, longest
+    # match, char fallback) decision is attested.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    vocab = [
+        r["piece"]
+        for r in TX.wordpiece_vocab(
+            docs, vocab_size=32, max_piece_len=4
+        ).collect()
+    ]
+    return TX.wordpiece_encode_stats(docs, vocab)
+
+
 def q_layout_bucketed_join(spark, sf_dir):
     # Bucketed co-located join (layout.write_bucketed): orders and
     # lineitem land bucketed by orderkey into the SAME bucket count at
@@ -3514,6 +3610,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_c4_clean": q_stream_c4_clean,
         "pipeline_crawl_frontier": q_pipeline_crawl_frontier,
         "graph_host_rank": q_graph_host_rank,
+        "text_wordpiece_vocab": q_text_wordpiece_vocab,
+        "text_wordpiece_encode": q_text_wordpiece_encode,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -3842,6 +3940,11 @@ def oracle_sql() -> dict[str, str]:
     # stateless rule cleaning: the streaming replay answers to the
     # batch oracle verbatim.
     d["stream_c4_clean"] = d["text_c4_clean"]
+    d["text_wordpiece_vocab"] = (
+        f"WITH {_wordpiece_vocab_ctes(32, 4)}\n"
+        "SELECT * FROM chars UNION ALL SELECT * FROM multi"
+    )
+    d["text_wordpiece_encode"] = _wordpiece_encode_sql(32, 4, steps=12)
     d["curate_pack_bpe"] = _bpe_pack_sql(BPE_N_MERGES)
     # Fuzzy decontamination: same banded-probe + verify algebra as the
     # incremental minhash + jaccard oracles, across the train/eval

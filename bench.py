@@ -150,6 +150,8 @@ HEADLINE = [
     "pipeline_curation",
     "pipeline_crawl_frontier",
     "graph_host_rank",
+    "text_wordpiece_vocab",
+    "text_wordpiece_encode",
 ]
 
 

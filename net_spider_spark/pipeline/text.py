@@ -756,6 +756,149 @@ def _bpe_encode_stats_arrow(
     return projected.mapInPandas(encode_partition, schema=out_schema)
 
 
+def wordpiece_vocab(
+    df: DataFrame,
+    vocab_size: int = 64,
+    max_piece_len: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequency-based WordPiece-style vocabulary: every single
+    character seen in the corpus (the char-fallback floor that makes
+    greedy encoding total) plus the ``vocab_size`` most frequent
+    multi-character substrings (length 2..``max_piece_len``) of the
+    whitespace words, occurrences weighted by word frequency.
+
+    Returns (piece, n_occurrences, is_char). Deterministic: the
+    multi-char top-V ranks by (occurrences DESC, piece ASC) through
+    orderBy+limit — TakeOrderedAndProject, per-partition top-V, only V
+    rows cross the wire. This is the frequency-selection simplification
+    of WordPiece (Wu et al. 2016 selects by likelihood gain); the
+    ENCODER below is the standard WordPiece greedy longest-match.
+
+    Scale shape: one word-count aggregate, one substring explode over
+    the DISTINCT word table (bounded by vocabulary size x word length x
+    max_piece_len, not by corpus size), two bounded top-V/char
+    aggregates.
+    """
+    w = F.col("word")
+    words = (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # all (i, l) substrings, l in 2..max_piece_len, truncated tails
+    # excluded (they would double-count shorter pieces)
+    pieces = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(2), F.lit(max_piece_len)),
+                    lambda l: F.when(
+                        i + l - 1 <= F.length(w), F.substr(w, i, l)
+                    ),
+                ),
+                lambda s: s.isNotNull(),
+            ),
+        )
+    )
+    multi = (
+        words.select(F.explode(pieces).alias("piece"), "freq")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("piece"))
+        .limit(vocab_size)
+        .select("piece", "n_occurrences", F.lit(False).alias("is_char"))
+    )
+    chars = (
+        words.select(
+            F.explode(F.split(w, "(?!^)")).alias("piece"), "freq"
+        )
+        .where(F.col("piece") != "")
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .select("piece", "n_occurrences", F.lit(True).alias("is_char"))
+    )
+    return chars.unionByName(multi)
+
+
+def _wp_encode_word(word: str, vocab: frozenset, max_len: int) -> int:
+    """Greedy longest-match piece count (WordPiece inference): at each
+    position take the longest vocab piece; an unseen character (only
+    possible when encoding a corpus the vocab wasn't built from)
+    consumes one position as one piece."""
+    pos, n, length = 0, 0, len(word)
+    while pos < length:
+        for l in range(min(max_len, length - pos), 1, -1):
+            if word[pos:pos + l] in vocab:
+                pos += l
+                break
+        else:
+            pos += 1  # single char: in-vocab by construction, or unseen
+        n += 1
+    return n
+
+
+def wordpiece_encode_stats(
+    df: DataFrame,
+    vocab: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_col, n_words, n_pieces): per document, the whitespace word
+    count and the total greedy longest-match WordPiece count under
+    ``vocab`` (:func:`wordpiece_vocab` pieces, collected — the vocab is
+    bounded by construction, so shipping it in the task closure is the
+    scale-correct move, exactly like the BPE rank table). Arrow-batched
+    mapInPandas with a per-partition distinct-word cache: the encode
+    working set is the vocabulary, not the corpus.
+    """
+    import pandas as pd
+
+    vset = frozenset(vocab)
+    max_len = max((len(p) for p in vset), default=1)
+    id_field = df.select(id_col).schema.fields[0]
+    projected = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+
+    def encode_partition(batches):
+        cache: dict = {}
+        for pdf in batches:
+            n_words, n_pieces = [], []
+            for toks in pdf["_toks"]:
+                if toks is None:
+                    n_words.append(None)
+                    n_pieces.append(None)
+                    continue
+                total = 0
+                for word in toks:
+                    got = cache.get(word)
+                    if got is None:
+                        got = _wp_encode_word(word, vset, max_len)
+                        cache[word] = got
+                    total += got
+                n_words.append(len(toks))
+                n_pieces.append(total)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": pd.array(n_words, dtype="Int64"),
+                    "n_pieces": pd.array(n_pieces, dtype="Int64"),
+                }
+            )
+
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField("n_words", T.LongType()),
+            T.StructField("n_pieces", T.LongType()),
+        ]
+    )
+    return projected.mapInPandas(encode_partition, schema=out_schema)
+
+
 def quality_filter(
     df: DataFrame,
     min_chars: int = 50,
