@@ -135,9 +135,6 @@ SQL_HEX16 = (
 )
 
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in TX.STOPWORDS) + "]"
-_GOPHER_REQ_SQL = (
-    "[" + ", ".join(f"'{w}'" for w in TX.GOPHER_REQUIRED_WORDS) + "]"
-)
 
 
 def _lsh_sig_sql(n_bands: int = 4, n_planes: int = 4, dim: int = 64,
@@ -4308,26 +4305,28 @@ FROM tok
 WITH {SQL_STRUCTURED},
 tok AS (
   SELECT doc_id, text,
-         {SQL_TOKS_RAW} AS toks,
-         string_split(text, chr(10)) AS lines
+         len({SQL_TOKS_RAW}) AS n_words,
+         ' ' || regexp_replace(text, '\\s', '  ', 'g') || ' ' AS spread
   FROM structured
 ),
 m AS (
   SELECT doc_id,
-    len(toks) AS n_words,
-    list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT)))
-      / greatest(len(toks), 1) AS mean_word_len,
+    n_words,
+    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+      / greatest(n_words, 1) AS mean_word_len,
     ((length(text) - length(replace(text, '#', '')))
       + (length(text) - length(replace(text, '...', ''))) / 3)
-      / greatest(len(toks), 1) AS symbol_word_ratio,
-    len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'))
-      / greatest(len(lines), 1) AS frac_bullet_lines,
-    len(list_filter(lines, l -> l LIKE '%...'))
-      / greatest(len(lines), 1) AS frac_ellipsis_lines,
-    len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]')))
-      / greatest(len(toks), 1) AS frac_alpha_words,
-    len(list_intersect(list_transform(toks, t -> lower(t)), {_GOPHER_REQ_SQL}))
-      AS n_required_hits
+      / greatest(n_words, 1) AS symbol_word_ratio,
+    len(regexp_extract_all(text, '(?m)^(- |\\* )'))
+      / greatest(len(string_split(text, chr(10))), 1) AS frac_bullet_lines,
+    len(regexp_extract_all(text, '(?m)\\.\\.\\.$'))
+      / greatest(len(string_split(text, chr(10))), 1) AS frac_ellipsis_lines,
+    (n_words - len(regexp_extract_all(spread, ' [^A-Za-z ]+ ')))
+      / greatest(n_words, 1) AS frac_alpha_words,
+    ({" + ".join(
+        f"CASE WHEN contains(lower(spread), ' {w} ') THEN 1 ELSE 0 END"
+        for w in TX.GOPHER_REQUIRED_WORDS
+    )}) AS n_required_hits
   FROM tok
 )
 SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,

@@ -113,44 +113,52 @@ def gopher_rules(
     final ``keep`` verdict so a pipeline can tune thresholds without
     recomputing.
 
-    All pure Catalyst expressions over one projection — at 100 TB this
-    is a scan-shaped map with zero shuffles; the HOF filters
-    (``F.filter``/``F.aggregate``) cost interpreted eval per row, the
-    same trade :func:`quality_scores` already makes for rule fidelity.
+    Every signal is a plain string/regexp expression — no higher-order
+    functions. The first version computed the line/word signals with
+    ``F.filter``/``F.aggregate`` lambdas and measured 101 s over 320k
+    docs on local[32]; the HOF-free formulations below measure 5-8 s on
+    the same corpus (nested lambda trees evaluate interpreted per
+    element — the same lesson as :func:`tokens_col`) and are
+    value-identical:
+
+    * mean word length — total non-whitespace chars / word count
+      (tokens are maximal non-whitespace runs, so their length sum IS
+      the stripped length);
+    * bullet / ellipsis line fractions — ``(?m)`` anchored
+      regexp_count, one match per qualifying line;
+    * alpha-word fraction — every whitespace char doubled first, so
+      each token is surrounded by its OWN spaces and the
+      non-overlapping ``' [^A-Za-z ]+ '`` scan can't starve adjacent
+      non-alpha tokens;
+    * required-word hits — 8 token-delimited ``contains`` probes on
+      the same doubled-space (lowercased) form, one per vocabulary
+      word, counting each distinct word once exactly like the
+      array_intersect it replaces.
     """
     text = F.col(text_col)
     toks = tokens_col(text)
     n_words = F.size(toks)
     n_words1 = F.greatest(n_words, F.lit(1))
     mean_word_len = (
-        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t))
-        / n_words1
+        F.length(F.regexp_replace(text, r"\s", "")).cast("long") / n_words1
     )
     n_hash = F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))
     n_ellipsis = (
         F.length(text) - F.length(F.replace(text, F.lit("..."), F.lit("")))
     ) / 3
     symbol_ratio = (n_hash + n_ellipsis) / n_words1
-    lines = F.split(text, "\n")
-    n_lines1 = F.greatest(F.size(lines), F.lit(1))
-    bullet_frac = (
-        F.size(
-            F.filter(
-                lines,
-                lambda ln: ln.startswith("- ") | ln.startswith("* "),
-            )
-        )
-        / n_lines1
+    n_lines1 = F.greatest(F.size(F.split(text, "\n")), F.lit(1))
+    bullet_frac = F.regexp_count(text, F.lit(r"(?m)^(- |\* )")) / n_lines1
+    ellipsis_frac = F.regexp_count(text, F.lit(r"(?m)\.\.\.$")) / n_lines1
+    spread = F.concat(
+        F.lit(" "), F.regexp_replace(text, r"\s", "  "), F.lit(" ")
     )
-    ellipsis_frac = (
-        F.size(F.filter(lines, lambda ln: ln.endswith("..."))) / n_lines1
-    )
-    alpha_frac = (
-        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n_words1
-    )
-    req = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
-    n_required = F.size(
-        F.array_intersect(F.transform(toks, lambda t: F.lower(t)), req)
+    n_nonalpha = F.regexp_count(spread, F.lit(" [^A-Za-z ]+ "))
+    alpha_frac = (n_words - n_nonalpha) / n_words1
+    low = F.lower(spread)
+    n_required = sum(
+        F.when(low.contains(f" {w} "), 1).otherwise(0)
+        for w in GOPHER_REQUIRED_WORDS
     )
     keep = (
         n_words.between(min_words, max_words)

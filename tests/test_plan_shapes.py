@@ -339,3 +339,75 @@ def test_decontaminate_fuzzy_plan_no_cartesian(spark, docs):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_rule_filters_pure_projection(docs):
+    # Gopher and C4 rule filters are scan-shaped: no shuffle, no
+    # Python eval — the whole document scan is one narrow stage.
+    from net_spider_spark.pipeline import text as TX
+
+    for df in (TX.gopher_rules(docs), TX.c4_clean(docs)):
+        plan = plan_of(df)
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_robots_filter_no_window_no_cartesian(spark):
+    # The longest-match resolution is a max-struct AGGREGATE, never a
+    # window over the frontier, and the rules join is an equi-join on
+    # host — no cartesian, no per-URL sort.
+    from net_spider_spark.pipeline import url as U
+
+    urls = spark.createDataFrame(
+        [(i, f"http://h{i % 3}.test/p/{i}") for i in range(50)],
+        "doc_id long, url string",
+    )
+    rules = spark.createDataFrame(
+        [(f"h{h}.test", False, "/p/") for h in range(3)],
+        "host string, allow boolean, path_prefix string",
+    )
+    plan = plan_of(U.robots_filter(urls, rules))
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_host_link_graph_single_aggregate_exchange(spark):
+    # extract_links is a projection + generator; the only shuffle is
+    # the final (src, dst) hash aggregate (plus AQE reads of it).
+    from net_spider_spark.pipeline import url as U
+
+    pages = spark.createDataFrame(
+        [(i, f'<a href="http://h{(i + 1) % 3}.test/x">a</a>',
+          f"http://h{i % 3}.test/p") for i in range(50)],
+        "doc_id long, html string, url string",
+    )
+    plan = plan_of(U.host_link_graph(U.extract_links(pages)))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_wordpiece_encode_single_arrow_stage(docs):
+    # The greedy encoder is ONE mapInPandas over a projection: no
+    # shuffle before the Arrow stage, exactly one Python boundary.
+    from net_spider_spark.pipeline import text as TX
+
+    df = TX.wordpiece_encode_stats(docs, ["a", "b", "so", "me"])
+    plan = plan_of(df)
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
+
+
+def test_crawl_frontier_rules_broadcast(spark):
+    # In the composed frontier pipeline the per-URL side never carries
+    # a cartesian; robots rules reach the frontier as a broadcast (the
+    # rule table is tiny by construction).
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()["pipeline_crawl_frontier"](
+        spark, "/root/testdata/sf0.001"
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -86,13 +86,25 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     counters: dict[str, dict] = {}
+    # SPARK_GRAFT_SCALE_ONLY=a,b,c times just the named rows (their
+    # inputs still build); anything a skipped row would have produced
+    # for a LATER row still runs, untimed.
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_SCALE_ONLY", "").split(",") if s
+    }
 
     def timed(name, fn):
+        if only and name not in only:
+            if name in _FEEDS:  # result feeds a later timed row
+                fn()
+            return
         before = executor_counters(spark)
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
         counters[name] = counters_delta(executor_counters(spark), before)
+
+    _FEEDS = {"text_bpe_learned_256", "text_wordpiece_vocab"}
 
     timed("latest_per_node", lambda: force(latest_findings_per_node(findings)))
     timed(
@@ -202,6 +214,83 @@ def main() -> None:
         lambda: force(
             TX.bpe_encode_stats(docs_rep, learned["m"], method="arrow")
         ),
+    )
+
+    # ---- round-9 crawl-policy / quality / tokenizer families ----
+    from net_spider_spark.pipeline import url as URL
+
+    # Rule filters are scan-shaped projections: the flat-linear rows.
+    timed("text_gopher_rules", lambda: force(TX.gopher_rules(docs_rep)))
+    timed("text_c4_clean", lambda: force(TX.c4_clean(docs_rep)))
+    # WordPiece: vocab selection aggregates over the DISTINCT word
+    # table (replication-invariant input), encode scales with the scan
+    # but its CPU with the vocabulary (distinct-word cache).
+    wp: dict = {}
+    timed(
+        "text_wordpiece_vocab",
+        lambda: wp.setdefault(
+            "v",
+            [
+                r["piece"]
+                for r in TX.wordpiece_vocab(
+                    docs_rep, vocab_size=256, max_piece_len=4
+                ).collect()
+            ],
+        ),
+    )
+    timed(
+        "text_wordpiece_encode",
+        lambda: force(TX.wordpiece_encode_stats(docs_rep, wp["v"])),
+    )
+    # URL dedup over 1000 synthesized hosts: one hash aggregate + a
+    # marking join; replication multiplies copies per canonical URL.
+    dd = F.col("doc_id")
+    messy = docs_rep.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.Site"), (dd % 1000).cast("string"),
+            F.lit(".com:80/page/"), (dd % 40).cast("string"),
+            F.when(dd % 3 == 0, F.lit("?utm_source=x&b=2&a=1"))
+            .otherwise(F.lit("?a=1&b=2")),
+        ).alias("url"),
+    )
+    timed("curate_url_dedup", lambda: force(URL.url_dedup(messy)))
+    # robots filtering: frontier x (2 rules x 1000 hosts) equi-join +
+    # max-struct aggregate — rules broadcast, frontier never sorts.
+    rules = spark.createDataFrame(
+        [(f"site{h}.com", False, "/private/") for h in range(1000)]
+        + [(f"site{h}.com", True, "/private/ok/") for h in range(1000)],
+        "host string, allow boolean, path_prefix string",
+    )
+    frontier = docs_rep.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://site"), (dd % 1000).cast("string"), F.lit(".com"),
+            F.when(dd % 4 == 0, F.concat(F.lit("/private/ok/"), dd.cast("string")))
+            .when(dd % 4 == 1, F.concat(F.lit("/private/p"), dd.cast("string")))
+            .otherwise(F.concat(F.lit("/doc/"), dd.cast("string"))),
+        ).alias("url"),
+    )
+    timed(
+        "curate_robots_filter",
+        lambda: force(URL.robots_filter(frontier, rules)),
+    )
+    # host link graph: regexp extraction + explode (3x rows) + one
+    # hash aggregate onto the bounded (src, dst) host key space.
+    pages = docs_rep.select(
+        "doc_id",
+        F.concat(
+            F.lit('<a href="http://site'), ((dd + 1) % 1000).cast("string"),
+            F.lit('.com/x">a</a><a href="/rel">r</a><a href="HTTPS://WWW.Site'),
+            ((dd + 7) % 1000).cast("string"), F.lit('.com:443/y">b</a>'),
+        ).alias("html"),
+        F.concat(
+            F.lit("http://site"), (dd % 1000).cast("string"), F.lit(".com/p")
+        ).alias("url"),
+    )
+    timed(
+        "graph_host_links",
+        lambda: force(URL.host_link_graph(URL.extract_links(pages))),
     )
     docs_rep.unpersist()
 
