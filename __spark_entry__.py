@@ -1750,6 +1750,37 @@ def q_pipeline_crawl_frontier(spark, sf_dir):
     ).select("url", "host")
 
 
+def q_stream_url_dedup(spark, sf_dir):
+    # URL-level dedup IN-FLIGHT (streaming/dedup.py stream_url_dedup):
+    # the messy URL variants of curate_url_dedup arriving on a file
+    # stream collapse onto their canonical forms before any fetch.
+    # Emits only the canonical set (deterministic under replay); the
+    # oracle computes the distinct canonical URLs directly from doc_id
+    # arithmetic — the same rules attestation as the batch query, now
+    # through the state store.
+    from net_spider_spark.streaming.dedup import stream_url_dedup
+
+    docs = demo.read_table(spark, sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    d = F.col("doc_id")
+    messy = stream.select(
+        F.concat(
+            F.lit("HTTP://WWW.Site"), (d % 5).cast("string"),
+            F.lit(".com:80/page/"), (d % 40).cast("string"),
+            F.when(d % 3 == 0, F.lit("?utm_source=x&b=2&a=1"))
+            .when(d % 3 == 1, F.lit("?a=1&b=2"))
+            .otherwise(F.lit("")),
+            F.when(d % 2 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+    out = stream_url_dedup(messy)
+    return _run_available_now(out, "stream_url_dedup_sink", "append")
+
+
 def q_stream_c4_clean(spark, sf_dir):
     # Rule-based cleaning AS A STREAM: c4_clean is a stateless
     # projection, so it drops into a streaming plan unchanged (no state
@@ -3609,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_host_rank": q_graph_host_rank,
         "text_wordpiece_vocab": q_text_wordpiece_vocab,
         "text_wordpiece_encode": q_text_wordpiece_encode,
+        "stream_url_dedup": q_stream_url_dedup,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -3937,6 +3969,17 @@ def oracle_sql() -> dict[str, str]:
     # stateless rule cleaning: the streaming replay answers to the
     # batch oracle verbatim.
     d["stream_c4_clean"] = d["text_c4_clean"]
+    # streaming URL dedup: the canonical-set output is the DISTINCT of
+    # the batch canonicalization — computed analytically like
+    # curate_url_dedup's oracle.
+    d["stream_url_dedup"] = """
+SELECT DISTINCT
+       'http://site' || CAST(doc_id % 5 AS VARCHAR)
+         || '.com/page/' || CAST(doc_id % 40 AS VARCHAR)
+         || CASE WHEN doc_id % 3 = 2 THEN '' ELSE '?a=1&b=2' END
+         AS canonical_url
+FROM documents
+"""
     d["text_wordpiece_vocab"] = (
         f"WITH {_wordpiece_vocab_ctes(32, 4)}\n"
         "SELECT * FROM chars UNION ALL SELECT * FROM multi"

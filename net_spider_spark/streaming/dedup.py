@@ -109,6 +109,42 @@ def stream_dedup_digests(
     )
 
 
+def stream_url_dedup(
+    urls_stream: DataFrame,
+    url_col: str = "url",
+    event_time_col: Optional[str] = None,
+    ttl: Optional[str] = None,
+) -> DataFrame:
+    """First occurrence per CANONICAL URL over a crawl-frontier stream
+    — the streaming face of :func:`pipeline.url.url_dedup`, the dedup
+    a live crawler runs BEFORE fetching (two URL variants that
+    canonicalize together are the same fetch; catching them in-flight
+    saves the request, not just the storage).
+
+    Same state-lifecycle contract as :func:`stream_dedup_digests`:
+    ``ttl=None`` is exact-forever (one state row per distinct
+    canonical URL — run under :func:`rocksdb_state_conf`), ``ttl`` +
+    ``event_time_col`` bounds state to the horizon's URL arrival rate
+    and re-emits a URL silent for longer than ``ttl`` (a crawler
+    usually WANTS that — it is a natural refetch policy). Emits only
+    ``canonical_url``: which variant survives a within-batch tie
+    depends on partition order, the canonical set does not, so the
+    replay stays deterministic against the batch dedup.
+    """
+    from net_spider_spark.pipeline.url import canonical_url
+
+    canon = canonical_url(F.col(url_col)).alias("canonical_url")
+    if ttl is None:
+        return urls_stream.select(canon).dropDuplicates(["canonical_url"])
+    if event_time_col is None:
+        raise ValueError("ttl mode needs event_time_col to watermark on")
+    return (
+        urls_stream.select(canon, F.col(event_time_col).alias("event_time"))
+        .withWatermark("event_time", ttl)
+        .dropDuplicatesWithinWatermark(["canonical_url"])
+    )
+
+
 def state_store_metrics(query) -> dict:
     """State size of a (finished or running) streaming query: rows,
     bytes, and the provider's custom metrics (RocksDB SST/memory
