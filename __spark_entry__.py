@@ -1928,6 +1928,21 @@ FROM agg a LEFT JOIN sums s USING (doc_id)"""
     )
 
 
+def q_text_corpus_stats(spark, sf_dir):
+    # The corpus card: doc count, token totals/extremes, exact distinct
+    # tokens, type-token ratio — integer aggregates plus one exact
+    # division.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return TX.corpus_stats(docs)
+
+
+def q_text_length_histogram(spark, sf_dir):
+    # Length distribution in 16-token bins — one hash aggregate on the
+    # bounded bin key.
+    docs = demo.read_table(spark, sf_dir, "documents")
+    return TX.token_length_histogram(docs, bucket=16)
+
+
 def q_text_wordpiece_vocab(spark, sf_dir):
     # WordPiece-style vocabulary selection: all corpus characters plus
     # the top-32 weighted substrings (length 2-4) — the deterministic
@@ -3641,6 +3656,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_wordpiece_vocab": q_text_wordpiece_vocab,
         "text_wordpiece_encode": q_text_wordpiece_encode,
         "stream_url_dedup": q_stream_url_dedup,
+        "text_corpus_stats": q_text_corpus_stats,
+        "text_length_histogram": q_text_length_histogram,
         # --- last driver-green r7 ---
         "curate_chunks": q_curate_chunks,
         "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
@@ -4343,6 +4360,32 @@ WITH tok AS (SELECT doc_id, {SQL_TOKS} AS toks FROM documents)
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
 FROM tok
+""",
+        "text_corpus_stats": f"""
+WITH tok AS (SELECT doc_id, {SQL_TOKS_RAW} AS toks FROM documents),
+base AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+         CAST(min(len(toks)) AS BIGINT) AS min_tokens,
+         CAST(max(len(toks)) AS BIGINT) AS max_tokens
+  FROM tok
+),
+d AS (
+  SELECT CAST(count(DISTINCT t) AS BIGINT) AS distinct_tokens
+  FROM (SELECT unnest(toks) AS t FROM tok)
+)
+SELECT n_docs, total_tokens, min_tokens, max_tokens, distinct_tokens,
+       distinct_tokens / greatest(total_tokens, 1) AS type_token_ratio
+FROM base, d
+""",
+        "text_length_histogram": f"""
+WITH tok AS (
+  SELECT CAST(len({SQL_TOKS_RAW}) AS BIGINT) AS n FROM documents
+)
+SELECT CAST((n // 16) * 16 AS BIGINT) AS bucket_start,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS total_tokens
+FROM tok GROUP BY 1
 """,
         "text_gopher_rules": f"""
 WITH {SQL_STRUCTURED},

@@ -152,6 +152,10 @@ HEADLINE = [
     "graph_host_rank",
     "text_wordpiece_vocab",
     "text_wordpiece_encode",
+    "stream_c4_clean",
+    "stream_url_dedup",
+    "text_corpus_stats",
+    "text_length_histogram",
 ]
 
 

@@ -764,6 +764,58 @@ def _bpe_encode_stats_arrow(
     return projected.mapInPandas(encode_partition, schema=out_schema)
 
 
+def corpus_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The one-row corpus card a training-data report opens with:
+    document count, total/min/max whitespace tokens, corpus-wide
+    distinct token count, and the type-token ratio. Two aggregates
+    (per-doc counts reduce map-side; the distinct count is one
+    explode + distinct — exact, because corpus cards get quoted and
+    sketches belong in :mod:`pipeline.sketch` when approximation is
+    acceptable)."""
+    toks = tokens_col(F.col(text_col))
+    per_doc = df.select(F.size(toks).cast("long").alias("_n"))
+    base = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n").alias("total_tokens"),
+        F.min("_n").alias("min_tokens"),
+        F.max("_n").alias("max_tokens"),
+    )
+    distinct = (
+        df.select(F.explode(toks).alias("_t"))
+        .agg(F.count_distinct("_t").alias("distinct_tokens"))
+    )
+    return base.crossJoin(distinct).select(
+        "n_docs", "total_tokens", "min_tokens", "max_tokens",
+        "distinct_tokens",
+        (F.col("distinct_tokens") / F.greatest("total_tokens", F.lit(1)))
+        .alias("type_token_ratio"),
+    )
+
+
+def token_length_histogram(
+    df,
+    bucket: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document-length distribution in fixed ``bucket``-token bins:
+    (bucket_start, n_docs, total_tokens) — the histogram behind every
+    'length distribution' panel of a corpus report. One hash aggregate
+    on the bounded bin key; integer arithmetic end to end."""
+    n = F.size(tokens_col(F.col(text_col))).cast("long")
+    b = (F.floor(n / bucket) * bucket).cast("long")
+    return (
+        df.select(b.alias("bucket_start"), n.alias("_n"))
+        .groupBy("bucket_start")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+        )
+    )
+
+
 def wordpiece_vocab(
     df: DataFrame,
     vocab_size: int = 64,
