@@ -199,16 +199,25 @@ def main() -> None:
         s.sparkContext._jvm.System.gc()
 
     qs = entry_mod.queries()
+    headline = HEADLINE
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:  # harness smoke: run a comma-separated subset
+        names = {n.strip() for n in only.split(",")}
+        headline = [n for n in HEADLINE if n in names]
     if not os.environ.get("SPARK_GRAFT_BENCH_COLD"):
         t0 = time.time()
-        for name in HEADLINE:
+        for name in headline:
             qs[name](spark, sf_dir).count()
             _reset(spark)
         print(
             f"# warm-up pass: {round(time.time() - t0, 1)}s (untimed)",
             file=sys.stderr,
         )
-    from net_spider_spark.metrics import counters_delta, executor_counters
+    from net_spider_spark.metrics import (
+        counters_delta,
+        executor_counters,
+        gc_time_ms,
+    )
 
     # Cold mode: one timed pass, or a later pass 2-3 would be warmed by
     # pass 1 and the reported median would be a warm number anyway.
@@ -219,21 +228,31 @@ def main() -> None:
     timings: dict[str, float] = {}
     walls: dict[str, list[float]] = {}
     counters: dict[str, dict] = {}
-    for name in HEADLINE:
+    env: dict[str, dict] = {}
+    for name in headline:
         fn = qs[name]
         per_pass: list[float] = []
+        per_load: list[float] = []
+        per_gc: list[int] = []
         n = 0
         for i in range(passes):
             # counters are a function of plan+data, identical across
             # passes — snapshot them around the first timed pass only.
+            # Load average + GC-time deltas are captured around EVERY
+            # pass: a wall spike with flat counters plus high load is
+            # provable contention, a GC spike is memory pressure.
             before = executor_counters(spark) if i == 0 else None
+            gc0 = gc_time_ms(spark)
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
             per_pass.append(round(time.time() - t0, 3))
+            per_load.append(round(os.getloadavg()[0], 2))
+            per_gc.append(gc_time_ms(spark) - gc0)
             if i == 0:
                 counters[name] = counters_delta(executor_counters(spark), before)
             _reset(spark)
+        env[name] = {"load1": per_load, "gc_ms": per_gc}
         walls[name] = per_pass
         timings[name] = round(statistics.median(per_pass), 3)
         print(
@@ -259,12 +278,14 @@ def main() -> None:
             int(cpus)
         )
         ingest_walls: list[float] = []
+        ingest_load: list[float] = []
         for i in range(5):
             t0 = time.time()
             findings.write.mode("overwrite").parquet(
                 f"{ingest_dir}/findings.parquet"
             )
             ingest_walls.append(round(time.time() - t0, 3))
+            ingest_load.append(round(os.getloadavg()[0], 2))
         ingest_sec = round(statistics.median(ingest_walls), 3)
         ingest_rows = spark.read.parquet(f"{ingest_dir}/findings.parquet").count()
 
@@ -277,10 +298,24 @@ def main() -> None:
         big = findings.withColumn(
             "_rep", F.explode(F.array([F.lit(i) for i in range(reps)]))
         ).drop("_rep").repartition(int(cpus))
+        # Median of 3 timed writes after 1 warm-up (the r9 single-shot
+        # sustained number collapsed 54x on box contention with
+        # byte-identical counters — a median plus the recorded load
+        # bounds that to the middle draw and makes noise provable).
         big.write.mode("overwrite").parquet(f"{ingest_dir}/sustained.parquet")
-        t0 = time.time()
-        big.write.mode("overwrite").parquet(f"{ingest_dir}/sustained.parquet")
-        sustained_sec = round(time.time() - t0, 3)
+        sustained_walls: list[float] = []
+        sustained_load: list[float] = []
+        sustained_gc: list[int] = []
+        for i in range(3):
+            gc0 = gc_time_ms(spark)
+            t0 = time.time()
+            big.write.mode("overwrite").parquet(
+                f"{ingest_dir}/sustained.parquet"
+            )
+            sustained_walls.append(round(time.time() - t0, 3))
+            sustained_load.append(round(os.getloadavg()[0], 2))
+            sustained_gc.append(gc_time_ms(spark) - gc0)
+        sustained_sec = round(statistics.median(sustained_walls), 3)
         sustained_rows = spark.read.parquet(
             f"{ingest_dir}/sustained.parquet"
         ).count()
@@ -304,9 +339,13 @@ def main() -> None:
         "sec": ingest_sec,
         "rows_per_sec": ingest_rps,
         "walls": ingest_walls,
+        "load1": ingest_load,
         "sustained_rows": sustained_rows,
         "sustained_sec": sustained_sec,
         "sustained_rows_per_sec": sustained_rps,
+        "sustained_walls": sustained_walls,
+        "sustained_load1": sustained_load,
+        "sustained_gc_ms": sustained_gc,
     }
 
     # Full detail (per-query counters: shuffle bytes, tasks, spill — the
@@ -321,6 +360,7 @@ def main() -> None:
         "queries": timings,
         "walls": walls,
         "counters": counters,
+        "env": env,
         "ingest": ingest,
         "sf": sf_val,
     }
@@ -367,6 +407,7 @@ def main() -> None:
             2,
         ),
     }
+    all_loads = [x for v in env.values() for x in v["load1"]]
     compact = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -375,6 +416,13 @@ def main() -> None:
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "counters_total": ctot,
         "counters_sha": counters_sha,
+        "env": {
+            "load1_max": max(all_loads, default=0.0),
+            "load1_median": round(statistics.median(all_loads), 2)
+            if all_loads
+            else 0.0,
+            "gc_ms_total": sum(x for v in env.values() for x in v["gc_ms"]),
+        },
         "ingest": ingest,
         "sf": sf_val,
         "n_queries": len(timings),

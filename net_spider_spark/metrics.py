@@ -47,6 +47,22 @@ def executor_counters(spark: SparkSession) -> dict:
     return tot
 
 
+def gc_time_ms(spark: SparkSession) -> int:
+    """Cumulative JVM GC milliseconds across all executors (in local
+    mode: the driver). A wall regression with flat counters AND flat
+    GC-time delta is box contention; a GC spike is memory pressure —
+    recording both makes the distinction visible in the bench artifact
+    instead of requiring a judge re-run (round-9 lesson: sustained
+    ingest 829k -> 15.4k rows/s with byte-identical shuffle counters)."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    total = 0
+    it = store.executorList(False).iterator()
+    while it.hasNext():
+        total += it.next().totalGCTime()
+    return int(total)
+
+
 def counters_delta(after: dict, before: dict) -> dict:
     """Per-query counters: the difference of two cumulative snapshots.
     Clamped at 0 — the status store evicts old stages
