@@ -218,6 +218,7 @@ def main() -> None:
         executor_counters,
         gc_time_ms,
     )
+    from net_spider_spark import sizing
 
     # Cold mode: one timed pass, or a later pass 2-3 would be warmed by
     # pass 1 and the reported median would be a warm number anyway.
@@ -243,6 +244,8 @@ def main() -> None:
             # provable contention, a GC spike is memory pressure.
             before = executor_counters(spark) if i == 0 else None
             gc0 = gc_time_ms(spark)
+            if i == 0:
+                sizing.DECISION_LOG.clear()
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()
@@ -251,8 +254,19 @@ def main() -> None:
             per_gc.append(gc_time_ms(spark) - gc0)
             if i == 0:
                 counters[name] = counters_delta(executor_counters(spark), before)
+                # Which side of each local-vs-distributed guard this
+                # query landed on — committed so a path flip between
+                # rounds is visible in the artifact, never silent.
+                paths = [
+                    {"tag": d["tag"], "local": d["local"]}
+                    for d in sizing.DECISION_LOG
+                ]
+                if paths:
+                    env.setdefault(name, {})["paths"] = paths
             _reset(spark)
-        env[name] = {"load1": per_load, "gc_ms": per_gc}
+        env.setdefault(name, {}).update(
+            {"load1": per_load, "gc_ms": per_gc}
+        )
         walls[name] = per_pass
         timings[name] = round(statistics.median(per_pass), 3)
         print(

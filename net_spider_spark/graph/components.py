@@ -45,7 +45,9 @@ def connected_components(
         .persist()
     )
     n_edges = und.count()
-    if n_edges <= local_threshold and fits_in_driver(und, n_edges):
+    if n_edges <= local_threshold and fits_in_driver(
+        und, n_edges, tag="components"
+    ):
         try:
             return _local_components(und)
         finally:

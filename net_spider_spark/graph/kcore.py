@@ -71,7 +71,9 @@ def kcore(
     )
     n_und = und.count()
     # symmetric set = 2x edges
-    if n_und <= 2 * local_threshold and fits_in_driver(und, n_und):
+    if n_und <= 2 * local_threshold and fits_in_driver(
+        und, n_und, tag="kcore"
+    ):
         try:
             seen = set()
             for r in und.collect():

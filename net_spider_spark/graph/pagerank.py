@@ -93,7 +93,9 @@ def pagerank(
         .persist()
     )
     n_edges = e.count()
-    if n_edges <= local_threshold and fits_in_driver(e, n_edges):
+    if n_edges <= local_threshold and fits_in_driver(
+        e, n_edges, tag="pagerank"
+    ):
         try:
             pairs = [(r["src"], r["dst"]) for r in e.collect()]
             return _local_pagerank(

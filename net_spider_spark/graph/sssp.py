@@ -77,7 +77,9 @@ def shortest_paths(
     n_edges = e.count()
     spark = e.sparkSession
     id_type = e.schema["src"].dataType.simpleString()
-    if n_edges <= local_threshold and fits_in_driver(e, n_edges):
+    if n_edges <= local_threshold and fits_in_driver(
+        e, n_edges, tag="sssp"
+    ):
         try:
             rows = [(r["src"], r["dst"], r["weight"]) for r in e.collect()]
             return _local_sssp(spark, rows, list(sources), max_hops, id_type)

@@ -22,6 +22,25 @@ DRIVER_LOCAL_MAX_BYTES = 256 * 1024 * 1024
 
 _SAMPLE_ROWS = 4096
 
+# Ring buffer of recent guard decisions, appended by fits_in_driver.
+# A silent local<->distributed path flip between rounds makes bench
+# numbers incomparable (round-9 lesson: j5_reachability fell off the
+# fast path when the byte estimate was reworked, +41% wall with no
+# code change to the operator). Recording every decision lets bench.py
+# commit which path each query took and lets tests PIN the expected
+# path at the bench scale factor, so a flip fails CI instead of
+# surfacing as an unexplained wall delta.
+DECISION_LOG: list[dict] = []
+_DECISION_LOG_MAX = 256
+
+
+def _log_decision(tag: str | None, n_rows: int, est: int, local: bool) -> None:
+    DECISION_LOG.append(
+        {"tag": tag, "n_rows": n_rows, "est_bytes": est, "local": local}
+    )
+    if len(DECISION_LOG) > _DECISION_LOG_MAX:
+        del DECISION_LOG[: -_DECISION_LOG_MAX]
+
 
 def _row_width_expr(df: DataFrame):
     """Column summing an approximate serialized width per row: actual
@@ -72,7 +91,16 @@ def estimated_bytes(df: DataFrame, n_rows: int) -> int:
 
 
 def fits_in_driver(
-    df: DataFrame, n_rows: int, max_bytes: int = DRIVER_LOCAL_MAX_BYTES
+    df: DataFrame,
+    n_rows: int,
+    max_bytes: int = DRIVER_LOCAL_MAX_BYTES,
+    tag: str | None = None,
 ) -> bool:
-    """True when collecting ``df`` is within the driver byte budget."""
-    return estimated_bytes(df, n_rows) <= max_bytes
+    """True when collecting ``df`` is within the driver byte budget.
+    Every decision is appended to :data:`DECISION_LOG` (with the
+    caller's ``tag``) so the taken path is observable by bench.py and
+    pinnable by tests."""
+    est = estimated_bytes(df, n_rows)
+    local = est <= max_bytes
+    _log_decision(tag, n_rows, est, local)
+    return local

@@ -68,7 +68,9 @@ def reachable_nodes(
         .persist()
     )
     n_edges = edges.count()
-    if n_edges <= local_threshold and fits_in_driver(edges, n_edges):
+    if n_edges <= local_threshold and fits_in_driver(
+        edges, n_edges, tag="bfs"
+    ):
         try:
             return _local_bfs(edges, starts, max_hops)
         finally:
@@ -135,7 +137,9 @@ def reachable_with_levels(
         .persist()
     )
     n_edges = edges.count()
-    if n_edges <= local_threshold and fits_in_driver(edges, n_edges):
+    if n_edges <= local_threshold and fits_in_driver(
+        edges, n_edges, tag="bfs"
+    ):
         try:
             adj: dict[str, list[str]] = {}
             for row in edges.collect():

@@ -411,3 +411,36 @@ def test_crawl_frontier_rules_broadcast(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bench_scale_guard_paths_pinned(spark):
+    # Pin which side of the driver-local guard each guarded HEADLINE
+    # query takes at the BENCH scale factor (sf0.1). A silent flip
+    # between rounds makes bench walls incomparable (round-9 lesson:
+    # j5_reachability's counters changed with no operator edit). Any
+    # change to sizing.estimated_bytes / thresholds that moves one of
+    # these decisions must consciously update this pin.
+    import os
+
+    import __spark_entry__ as em
+    from net_spider_spark import sizing
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip("no sf0.1 testdata")
+    expected = {
+        "j5_reachability": [("bfs", True)],
+        "graph_components": [("components", True)],
+        "graph_pagerank": [("pagerank", True)],
+        "graph_kcore": [("kcore", True)],
+        "graph_sssp": [("sssp", True)],
+        # forced-distributed twins must never consult the guard
+        "j5_reachability_dist": [],
+        "graph_components_dist": [],
+    }
+    qs = em.queries()
+    for name, want in expected.items():
+        sizing.DECISION_LOG.clear()
+        qs[name](spark, sf_dir)  # guard fires at build time
+        got = [(d["tag"], d["local"]) for d in sizing.DECISION_LOG]
+        assert got == want, f"{name}: guard path flipped: {got} != {want}"
