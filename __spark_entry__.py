@@ -267,19 +267,30 @@ WHERE rank <= {n}
 """
 
 
-def _pq_topk_sql(m: int = 4, k: int = 16, iters: int = 1, dim: int = 64,
+def _materialize_ctes(sql: str) -> str:
+    """Mark every CTE MATERIALIZED: DuckDB inlines CTEs referenced
+    more than once, so the chained Lloyd's-iteration CTEs re-execute
+    multiplicatively with depth — the m=32/iters=2 residual oracle ran
+    >570 s inlined vs 23 s materialized at sf0.01. Materialization is
+    semantically transparent; every reference reads the same rows."""
+    return sql.replace(" AS (", " AS MATERIALIZED (")
+
+
+def _pq_topk_sql(m: int = 32, k: int = 256, iters: int = 1, dim: int = 64,
                  n_neighbors: int = 3, seed: str = "s42") -> str:
     """DuckDB twin of pipeline.pq.pq_topk: flat ADC over every code."""
     parts = _pq_score_parts(m, k, iters, dim, seed)
-    return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
-        src="pq_scored", n=n_neighbors
+    return _materialize_ctes(
+        "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
+            src="pq_scored", n=n_neighbors
+        )
     )
 
 
-def _ivfpq_topk_sql(m: int = 4, k: int = 16, iters: int = 1,
+def _ivfpq_topk_sql(m: int = 32, k: int = 256, iters: int = 1,
                     dim: int = 64, n_neighbors: int = 3,
                     n_cells: int = 8, coarse_iters: int = 2,
-                    n_probe: int = 2, seed: str = "s42",
+                    n_probe: int = 6, seed: str = "s42",
                     residual: bool = False) -> str:
     """DuckDB twin of pipeline.pq.ivfpq_topk: the coarse Lloyd's chain
     assigns every corpus vector a cell, each query keeps its n_probe
@@ -323,8 +334,10 @@ def _ivfpq_topk_sql(m: int = 4, k: int = 16, iters: int = 1,
             " JOIN probes p ON p.query_id = s.query_id"
             " AND p.cell = c.cell)"
         )
-        return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
-            src="ivf_scored", n=n_neighbors
+        return _materialize_ctes(
+            "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
+                src="ivf_scored", n=n_neighbors
+            )
         )
 
     sub_dim = dim // m
@@ -368,15 +381,17 @@ def _ivfpq_topk_sql(m: int = 4, k: int = 16, iters: int = 1,
         "rpq_scored AS (SELECT query_id, neighbor_id, sum(d) AS adist"
         f" FROM ({' UNION ALL '.join(score_ctes)}) GROUP BY 1, 2)"
     )
-    return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
-        src="rpq_scored", n=n_neighbors
+    return _materialize_ctes(
+        "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
+            src="rpq_scored", n=n_neighbors
+        )
     )
 
 
-def _ivfpq_add_sql(m: int = 4, k: int = 16, iters: int = 1,
+def _ivfpq_add_sql(m: int = 32, k: int = 256, iters: int = 1,
                    dim: int = 64, n_neighbors: int = 3,
                    n_cells: int = 8, coarse_iters: int = 2,
-                   n_probe: int = 2, seed: str = "s42",
+                   n_probe: int = 6, seed: str = "s42",
                    train_pred: str = "vec_id % 2 = 0") -> str:
     """DuckDB twin of ivfpq_build(train half) + ivfpq_add(rest) +
     ivfpq_search: the coarse and subspace Lloyd's chains train ONLY on
@@ -472,8 +487,10 @@ def _ivfpq_add_sql(m: int = 4, k: int = 16, iters: int = 1,
         " JOIN probes p ON p.query_id = s.query_id AND p.cell = c.cell"
         " GROUP BY 1, 2)"
     )
-    return "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
-        src="add_scored", n=n_neighbors
+    return _materialize_ctes(
+        "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
+            src="add_scored", n=n_neighbors
+        )
     )
 
 
@@ -2105,13 +2122,16 @@ def q_dedup_semantic(spark, sf_dir):
 
 def q_sim_pq_topk(spark, sf_dir):
     # Product quantization ANN: per-subspace deterministic k-means
-    # codebooks, 4-byte codes, ADC top-3. Every training/encode/score
+    # codebooks, 32-byte codes, ADC top-3. Every training/encode/score
     # step is deterministic, so the compressed index has an exact
     # oracle (per-subspace unrolled Lloyd's chains + lookup-table sum).
+    # m=32/k=256 are the recall-first defaults (recall@10 = 0.82 on
+    # the isotropic test corpus vs 0.16 at the old m=4/k=16 demo
+    # params — RECALL_r10.json).
     from net_spider_spark.pipeline import pq as PQ
 
     emb = demo.read_table(spark, sf_dir, "embeddings")
-    books = PQ.pq_train(emb, dim=64, m=4, k=16, iters=1)
+    books = PQ.pq_train(emb, dim=64, m=32, k=256, iters=1)
     codes = PQ.pq_encode(emb, books)
     return PQ.pq_topk(emb.where(F.col("vec_id") < 5), codes, books, k=3)
 
@@ -2122,14 +2142,16 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     # fine quantizer the PQ subspace codebooks, so the ENTIRE index —
     # cells, codes, probes, ADC sums — replays exactly in DuckDB
     # (unlike sim_ivf_topk, whose MLlib coarse step forces exhaustive
-    # probing in its oracle). n_probe=2 of 8 cells: the oracle attests
-    # the pruning itself, not just the scoring.
+    # probing in its oracle). n_probe=6 of 8 cells: the oracle attests
+    # the pruning itself, not just the scoring. Defaults are the
+    # recall-first config (recall@10 = 0.80 vs 0.16 at the old
+    # m=4/k=16/probe-2 demo params — RECALL_r10.json).
     from net_spider_spark.pipeline import pq as PQ
 
     emb = demo.read_table(spark, sf_dir, "embeddings")
     return PQ.ivfpq_topk(
         emb.where(F.col("vec_id") < 5), emb, dim=64, k=3,
-        n_cells=8, n_probe=2, coarse_iters=2, m=4, k_codes=16,
+        n_cells=8, n_probe=6, coarse_iters=2, m=32, k_codes=256,
         pq_iters=1,
     )
 
@@ -2140,14 +2162,18 @@ def q_sim_ivfpq_residual(spark, sf_dir):
     # per-probed-cell lookup table against its residual to that cell.
     # Same deterministic pieces, so the oracle replays the residual
     # table, the residual-trained subspace chains, and the
-    # (query, cell)-keyed ADC exactly.
+    # (query, cell)-keyed ADC exactly. pq_iters=2: residual codebooks
+    # start from raw-vector slices, so they need one extra Lloyd
+    # iteration to center on the residual distribution (recall@10 =
+    # 0.81 at these defaults vs 0.15 at the old m=4/k=16/probe-2 —
+    # RECALL_r10.json).
     from net_spider_spark.pipeline import pq as PQ
 
     emb = demo.read_table(spark, sf_dir, "embeddings")
     return PQ.ivfpq_topk(
         emb.where(F.col("vec_id") < 5), emb, dim=64, k=3,
-        n_cells=8, n_probe=2, coarse_iters=2, m=4, k_codes=16,
-        pq_iters=1, residual=True,
+        n_cells=8, n_probe=6, coarse_iters=2, m=32, k_codes=256,
+        pq_iters=2, residual=True,
     )
 
 
@@ -2164,11 +2190,11 @@ def q_sim_ivfpq_add(spark, sf_dir):
     emb = demo.read_table(spark, sf_dir, "embeddings")
     idx = PQ.ivfpq_build(
         emb.where(F.col("vec_id") % 2 == 0), dim=64, n_cells=8,
-        coarse_iters=2, m=4, k_codes=16, pq_iters=1,
+        coarse_iters=2, m=32, k_codes=256, pq_iters=1,
     )
     idx = PQ.ivfpq_add(idx, emb.where(F.col("vec_id") % 2 == 1))
     return PQ.ivfpq_search(
-        idx, emb.where(F.col("vec_id") < 5), k=3, n_probe=2
+        idx, emb.where(F.col("vec_id") < 5), k=3, n_probe=6
     )
 
 
@@ -5677,18 +5703,18 @@ SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cluster_id,
 FROM {_kmeans_cte_sql(k=8, iters=2)[1]} a LEFT JOIN dups d USING (vec_id)
 """
         ),
-        "sim_pq_topk": _pq_topk_sql(m=4, k=16, iters=1, dim=64,
+        "sim_pq_topk": _pq_topk_sql(m=32, k=256, iters=1, dim=64,
                                     n_neighbors=3),
-        "sim_ivfpq_topk": _ivfpq_topk_sql(m=4, k=16, iters=1, dim=64,
+        "sim_ivfpq_topk": _ivfpq_topk_sql(m=32, k=256, iters=1, dim=64,
                                           n_neighbors=3, n_cells=8,
-                                          coarse_iters=2, n_probe=2),
-        "sim_ivfpq_residual": _ivfpq_topk_sql(m=4, k=16, iters=1,
+                                          coarse_iters=2, n_probe=6),
+        "sim_ivfpq_residual": _ivfpq_topk_sql(m=32, k=256, iters=2,
                                               dim=64, n_neighbors=3,
                                               n_cells=8, coarse_iters=2,
-                                              n_probe=2, residual=True),
-        "sim_ivfpq_add": _ivfpq_add_sql(m=4, k=16, iters=1, dim=64,
+                                              n_probe=6, residual=True),
+        "sim_ivfpq_add": _ivfpq_add_sql(m=32, k=256, iters=1, dim=64,
                                         n_neighbors=3, n_cells=8,
-                                        coarse_iters=2, n_probe=2),
+                                        coarse_iters=2, n_probe=6),
         # warc extract: the archive round-trips the text, so every
         # output is an analytic function of the documents columns;
         # the text chain replays html_to_text minus the script/style

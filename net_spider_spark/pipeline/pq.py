@@ -4,9 +4,18 @@ Jégou et al. 2011 ("Product quantization for nearest neighbor
 search", IEEE TPAMI — public paper, reimplemented on DataFrame
 expressions): split each vector into ``m`` subvectors, k-means each
 subspace independently, and store a vector as ``m`` small codes. With
-m=4, k=16 a 64-dim float vector (256 bytes) becomes 4 bytes — the
+m=32, k=256 a 64-dim float vector (256 bytes) becomes 32 bytes — the
 difference between "the corpus fits in cluster memory" and "it
 doesn't" at 100 TB.
+
+Default parameters are chosen for RECALL, not minimal code size: on
+isotropic (near-i.i.d.) embeddings like the synthetic test corpus,
+distance concentration makes coarse codes useless — the standard
+m=8/k=256 config caps at recall@10 = 0.46 flat on this data (numpy
+sweep, RECALL_r10), while m=32/k=256 reaches 0.82 flat / 0.80-0.81
+through the IVF probe at n_probe=6 of 8. Real-world correlated
+embeddings can lower m again; recall is a parameter, not a property
+(tools/ann_recall.py re-measures every round).
 
 Querying uses ADC (asymmetric distance computation): per query, a
 lookup table of ``m * k`` exact subspace distances; a corpus vector's
@@ -20,9 +29,10 @@ Scale shapes:
   subvectors (broadcast argmin + one posexplode-mean shuffle per
   iteration; nothing driver-sized but the k*dim/m centroid table).
 * **encode** — one broadcast hash-join of the exploded (id, sub,
-  subvector) table against the m*k codebook, min-struct argmin (a
-  map-side-combinable aggregate — no window), then collect_list back
-  to one codes row per vector. Shuffle is m small ints per vector.
+  subvector) table against the m*k codebook, two-phase primitive-
+  hash-aggregate argmin (see :func:`_argmin_codes` — no window, no
+  SortAggregate), then collect_list back to one codes row per vector.
+  Shuffle is m small ints per vector.
 * **topk** — the LUT is queries x m x k rows (tiny for interactive
   query batches; broadcast), joined to the exploded codes on
   (sub, code) and summed per (query, corpus id) — a map-side-
@@ -41,7 +51,7 @@ expressions — was measured 9x SLOWER (171 s vs 19 s encoding 200k
 64-dim vectors on local[32]): higher-order functions are
 CodegenFallback in Spark, so the nested lambda tree evaluates
 interpreted per row per centroid, while the explode + broadcast-join +
-min-struct hash aggregate stays in whole-stage codegen end to end.
+primitive hash aggregate stays in whole-stage codegen end to end.
 The two small shuffles (m ints per vector) are far cheaper than
 leaving codegen. Inlining the codebook as literal expressions is
 worse still — m*k*sub_dim literals make Catalyst analysis itself the
@@ -85,34 +95,76 @@ def _explode_subvectors(df: DataFrame, m: int, sub_dim: int,
     ).select(out_id, F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("sv"))
 
 
-def _sq_dist(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
-def _argmin_codes(sliced: DataFrame, cb: DataFrame) -> DataFrame:
-    """(_id, sub, code, sv): each subvector's argmin codebook entry —
-    min-struct over a broadcast join, a map-side-combinable aggregate
-    (never a per-vector window)."""
-    return (
-        sliced.join(F.broadcast(cb), "sub")
-        .select(
-            "_id",
-            "sub",
-            F.struct(
-                _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
-                F.col("cid").alias("cid"),
-                F.col("sv").alias("sv"),
-            ).alias("_s"),
+def _sq_dist(a, b, sub_dim: int | None = None):
+    """Squared L2 between two array columns. When ``sub_dim`` is known
+    (it always is in PQ — every call site slices fixed-width
+    subvectors), unroll to a flat sum of element_at terms: higher-order
+    functions are CodegenFallback in Spark, so the zip_with/aggregate
+    form evaluates interpreted per row — at m=32, k=256 the encode join
+    makes n*m*k of these evaluations and the interpreted tree is the
+    whole wall. The unrolled form stays in whole-stage codegen (column
+    refs, not literals, so Catalyst analysis stays cheap)."""
+    if sub_dim is None:
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
+    terms = [
+        (F.element_at(a, i) - F.element_at(b, i))
+        * (F.element_at(a, i) - F.element_at(b, i))
+        for i in range(1, sub_dim + 1)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _argmin_codes(
+    sliced: DataFrame, cb: DataFrame, sub_dim: int
+) -> DataFrame:
+    """(_id, sub, code, sv): each subvector's argmin codebook entry,
+    with the (d, cid) tie-break, as TWO primitive hash aggregates.
+
+    ``min(struct(d, cid))`` would express the argmin in one aggregate,
+    but a struct-typed buffer is not hash-aggregable — Spark plans it
+    as SortAggregate, which SORTS all n*m*k candidate rows map-side
+    (measured 25 s of a 30 s wall at m=32, k=256). Instead: pass 1
+    hash-aggregates ``dmin = min(d)`` per (_id, sub); pass 2 re-joins
+    the one-row-per-group result against the same broadcast codebook,
+    recomputes d, and takes ``min(cid)`` over exact-dmin matches. The
+    equality is exact: the identical expression tree over identical
+    inputs reproduces the double bit-for-bit. Both passes are
+    whole-stage-codegen HashAggregates with map-side combine, and both
+    shuffles carry one thin row per (_id, sub) — never the candidate
+    stream — so the shape holds at corpus scale."""
+    def d_of(sv_col):
+        return _sq_dist(sv_col, F.col("cv"), sub_dim)
+
+    # sv rides through each hash aggregate as per-element first()s —
+    # first(array) has a non-mutable buffer and would ALSO fall back to
+    # SortAggregate; first(double) stays in the fast unsafe-row agg.
+    sd = sub_dim
+    sv_firsts = [
+        F.first(F.element_at(F.col("sv"), i)).alias(f"_sv{i}")
+        for i in range(1, sd + 1)
+    ]
+    sv_rebuild = F.array(*[F.col(f"_sv{i}") for i in range(1, sd + 1)])
+
+    dmin = (
+        sliced.join(F.broadcast(cb), "sub")
         .groupBy("_id", "sub")
-        .agg(F.min("_s").alias("_m"))
+        .agg(F.min(d_of(F.col("sv"))).alias("_dmin"), *sv_firsts)
+        .select("_id", "sub", "_dmin", sv_rebuild.alias("sv"))
+    )
+    return (
+        dmin.join(F.broadcast(cb), "sub")
+        .where(d_of(F.col("sv")) == F.col("_dmin"))
+        .groupBy("_id", "sub")
+        .agg(F.min("cid").alias("code"), *sv_firsts)
         .select(
-            "_id", "sub", F.col("_m.cid").alias("code"),
-            F.col("_m.sv").alias("sv"),
+            "_id", "sub", "code", sv_rebuild.alias("sv")
         )
     )
 
@@ -120,8 +172,8 @@ def _argmin_codes(sliced: DataFrame, cb: DataFrame) -> DataFrame:
 def pq_train(
     df: DataFrame,
     dim: int,
-    m: int = 4,
-    k: int = 16,
+    m: int = 32,
+    k: int = 256,
     iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -161,7 +213,9 @@ def pq_train(
 
     sliced = _explode_subvectors(df, m, sub_dim, id_col, vec_col)
     for _ in range(iters):
-        assigned = _argmin_codes(sliced, _codebook_df(spark, _book_list(books)))
+        assigned = _argmin_codes(
+            sliced, _codebook_df(spark, _book_list(books)), sub_dim
+        )
         means = (
             assigned.select(
                 "sub", F.col("code").alias("cid"),
@@ -207,7 +261,7 @@ def pq_encode(
     sub_dim = len(codebooks[0][2])
     sliced = _explode_subvectors(df, m, sub_dim, id_col, vec_col)
     coded = _argmin_codes(
-        sliced, _codebook_df(df.sparkSession, codebooks)
+        sliced, _codebook_df(df.sparkSession, codebooks), sub_dim
     ).drop("sv")
     return (
         coded.groupBy("_id")
@@ -247,7 +301,7 @@ def pq_topk(
     # the (much larger) corpus without moving it.
     lut = q_exploded.join(F.broadcast(cb), "sub").select(
         "query_id", "sub", F.col("cid").alias("code"),
-        _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+        _sq_dist(F.col("sv"), F.col("cv"), sub_dim).alias("d"),
     )
     scored = (
         codes.select(
@@ -274,10 +328,10 @@ def ivfpq_topk(
     dim: int,
     k: int = 3,
     n_cells: int = 8,
-    n_probe: int = 2,
+    n_probe: int = 6,
     coarse_iters: int = 2,
-    m: int = 4,
-    k_codes: int = 16,
+    m: int = 32,
+    k_codes: int = 256,
     pq_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -355,8 +409,8 @@ def ivfpq_build(
     dim: int,
     n_cells: int = 8,
     coarse_iters: int = 2,
-    m: int = 4,
-    k_codes: int = 16,
+    m: int = 32,
+    k_codes: int = 256,
     pq_iters: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -450,7 +504,7 @@ def ivfpq_search(
     index: IvfPqIndex,
     queries: DataFrame,
     k: int = 3,
-    n_probe: int = 2,
+    n_probe: int = 6,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -514,7 +568,7 @@ def ivfpq_search(
         )
         lut = qsub.join(F.broadcast(cb), "sub").select(
             "query_id", "_cell", "sub", F.col("cid").alias("code"),
-            _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+            _sq_dist(F.col("sv"), F.col("cv"), sub_dim).alias("d"),
         )
         lut_keys = ["query_id", "_cell", "sub", "code"]
     else:
@@ -523,7 +577,7 @@ def ivfpq_search(
         )
         lut = q_exploded.join(F.broadcast(cb), "sub").select(
             "query_id", "sub", F.col("cid").alias("code"),
-            _sq_dist(F.col("sv"), F.col("cv")).alias("d"),
+            _sq_dist(F.col("sv"), F.col("cv"), sub_dim).alias("d"),
         )
         lut_keys = ["query_id", "sub", "code"]
     cand = codes.join(cells, "neighbor_id").join(

@@ -110,26 +110,31 @@ def main() -> None:
         gt_cos,
     )
 
-    books = PQ.pq_train(emb, dim=dim, m=4, k=16, iters=1)
+    # Contract defaults since r10: m=32/k=256 codebooks, probe 6 of 8
+    # (the old m=4/k=16/probe-2 demo params gave recall@10 = 0.15 —
+    # near-random neighbors — on this isotropic corpus; RECALL_r09).
+    books = PQ.pq_train(emb, dim=dim, m=32, k=256, iters=1)
     codes = PQ.pq_encode(emb, books)
     timed(
-        "pq_adc",  # 4x16 codebooks = dim/4 compression
+        "pq_adc",  # 32x256 codebooks = dim/8 compression
         lambda: PQ.pq_topk(queries, codes, books, k=K),
         gt_l2,
     )
     timed(
-        "ivfpq",  # 8 cells probe 2 on top of the same code size
+        "ivfpq",  # 8 cells probe 6 on top of the same code size
         lambda: PQ.ivfpq_topk(
-            queries, emb, dim=dim, k=K, n_cells=8, n_probe=2,
-            coarse_iters=2, m=4, k_codes=16, pq_iters=1,
+            queries, emb, dim=dim, k=K, n_cells=8, n_probe=6,
+            coarse_iters=2, m=32, k_codes=256, pq_iters=1,
         ),
         gt_l2,
     )
     timed(
-        "ivfpq_residual",  # same budget, codes store within-cell residuals
+        "ivfpq_residual",  # same budget, codes store within-cell
+        # residuals; pq_iters=2 so the codebooks center on the
+        # residual distribution (contract default)
         lambda: PQ.ivfpq_topk(
-            queries, emb, dim=dim, k=K, n_cells=8, n_probe=2,
-            coarse_iters=2, m=4, k_codes=16, pq_iters=1, residual=True,
+            queries, emb, dim=dim, k=K, n_cells=8, n_probe=6,
+            coarse_iters=2, m=32, k_codes=256, pq_iters=2, residual=True,
         ),
         gt_l2,
     )
@@ -148,18 +153,18 @@ def main() -> None:
         lambda: SIM.ivf_topk(queries, emb, k=K, n_centroids=16, n_probe=8),
         gt_cos,
     )
-    books_t = PQ.pq_train(emb, dim=dim, m=16, k=64, iters=2)
+    books_t = PQ.pq_train(emb, dim=dim, m=32, k=256, iters=2)
     codes_t = PQ.pq_encode(emb, books_t)
     timed(
-        "pq_adc_tuned",  # 16x64 codebooks: 4-dim subspaces, 6-bit codes
+        "pq_adc_tuned",  # extra Lloyd iteration on the same code size
         lambda: PQ.pq_topk(queries, codes_t, books_t, k=K),
         gt_l2,
     )
     timed(
-        "ivfpq_tuned",  # same fine codes, probe 4 of 8 cells
+        "ivfpq_tuned",  # probe 7 of 8 cells, extra Lloyd iteration
         lambda: PQ.ivfpq_topk(
-            queries, emb, dim=dim, k=K, n_cells=8, n_probe=4,
-            coarse_iters=2, m=16, k_codes=64, pq_iters=2,
+            queries, emb, dim=dim, k=K, n_cells=8, n_probe=7,
+            coarse_iters=2, m=32, k_codes=256, pq_iters=2,
         ),
         gt_l2,
     )
