@@ -4920,13 +4920,17 @@ WITH tok AS (
   FROM documents
 ),
 grams AS (
-  SELECT doc_id, i AS start, array_to_string(toks[i:i+7], ' ') AS gram
+  -- gkey mirrors the engine's 16-hex md5 prefix of the gram text: the
+  -- Spark side never shuffles gram strings, and grouping by the same
+  -- key here keeps even a hash collision value-identical on both sides
+  SELECT doc_id, i AS start,
+         substr(md5(array_to_string(toks[i:i+7], ' ')), 1, 16) AS gkey
   FROM tok, unnest(range(1, len(toks) - 6)) AS r(i)
 ),
-dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT gkey FROM grams GROUP BY gkey HAVING count(DISTINCT doc_id) >= 2),
 covered AS (
   SELECT DISTINCT g.doc_id, g.start + u.o AS pos
-  FROM grams g JOIN dup USING (gram), unnest(range(0, 8)) AS u(o)
+  FROM grams g JOIN dup USING (gkey), unnest(range(0, 8)) AS u(o)
 ),
 pos AS (
   SELECT doc_id, i AS pos, toks[i] AS tok

@@ -951,31 +951,42 @@ def remove_duplicate_spans(
         df.sparkSession.sparkContext.defaultParallelism
     ).select(F.col(id_col), toks.alias("_toks"))
     t = F.col("_toks")
+    # Gram rows carry a 16-hex md5 PREFIX, never the gram string: the
+    # doc-frequency aggregate and the duplicated-set join shuffle
+    # (gkey, doc, start) at ~28 bytes/row instead of the ~70-byte
+    # n-token gram text — the gram table is the corpus-sized term, so
+    # this is most of the operator's shuffle (12.7 GB at the 512x
+    # artifact). md5 is the engine-portable hash used throughout; the
+    # DuckDB oracle groups by the identical prefix, so even a
+    # ~2^-64-probability collision would reproduce on both sides.
+    # Gram construction is explode(sequence) + slice/concat_ws — plain
+    # codegen projections; the previous transform() lambda was
+    # CodegenFallback, interpreted per gram (cf. common_ngrams).
+    positions = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
     grams = base.select(
-        F.col(id_col),
-        F.posexplode(
-            F.when(
-                F.size(t) >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size(t) - (n - 1)),
-                    lambda i: F.concat_ws(" ", F.slice(t, i, n)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("_start0", "gram"),
+        F.col(id_col), t.alias("_t"), F.explode(positions).alias("start")
     ).select(
-        F.col(id_col), (F.col("_start0") + 1).alias("start"), "gram"
+        F.col(id_col),
+        "start",
+        F.substring(
+            F.md5(F.concat_ws(" ", F.slice(F.col("_t"), F.col("start"), n))),
+            1,
+            16,
+        ).alias("gkey"),
     )
     dup = (
-        grams.groupBy("gram")
+        grams.groupBy("gkey")
         .agg(F.count_distinct(F.col(id_col)).alias("_docs"))
         .where(F.col("_docs") >= min_docs)
-        .select("gram")
+        .select("gkey")
     )
     # Covered starts are unique per (doc, start) by construction; merge
     # overlapping/adjacent equal-length spans: a span overlaps-or-abuts
     # its predecessor (in start order) iff start <= prev_start + n.
     w = Window.partitionBy(id_col).orderBy("start")
-    starts = grams.join(dup, "gram").select(F.col(id_col), "start")
+    starts = grams.join(dup, "gkey").select(F.col(id_col), "start")
     islands = (
         starts.withColumn(
             "_brk",
