@@ -2345,7 +2345,8 @@ def q_curate_url_dedup(spark, sf_dir):
 def _robots_corpus(spark, sf_dir):
     # One robots.txt per synthesized host (doc_id % 5): hosts 0-3 carry
     # a badbot group (must be ignored for agent '*'), a '*' group with
-    # disallow/allow/disallow rules, an inline comment, an EMPTY
+    # disallow/allow/disallow rules plus two RFC 9309 wildcard rules
+    # (mid-pattern * and $ anchors), an inline comment, an EMPTY
     # Disallow (must be dropped: empty = allow all), and a Crawl-delay
     # line (not a rule); host 4 has ONLY the badbot group, so every
     # URL on it falls through to allowed-by-default.
@@ -2360,6 +2361,7 @@ def _robots_corpus(spark, sf_dir):
             "User-agent: badbot\nDisallow: /\n"
             "User-Agent: *\nDisallow: /private/   # staff only\n"
             "Allow: /private/ok/\nDisallow: /tmp\nDisallow:\n"
+            "Disallow: /*.json$\nDisallow: /sea*rch$\n"
             "Crawl-delay: 3"
         )
     )
@@ -2383,19 +2385,29 @@ def q_curate_robots_rules(spark, sf_dir):
 
 def q_curate_robots_filter(spark, sf_dir):
     # RFC 9309 longest-match-wins filtering over a synthesized URL
-    # frontier: /doc/ no match (allowed), /private/ disallowed,
+    # frontier: /doc/ no rule match, /private/ disallowed,
     # /private/ok/ re-allowed by the LONGER allow rule, /tmp
-    # disallowed, and every URL on the rule-less host 4 allowed by
-    # default. The oracle predicts allowed analytically per doc_id.
+    # disallowed, *.json$ disallowed by the wildcard-anchor rule,
+    # .jsonx NOT matched (the $ anchor holds), /search?q= disallowed
+    # by the mid-pattern wildcard after query stripping, the bare
+    # authority matched as the root path '/', and every URL on the
+    # rule-less host 4 allowed by default. The oracle predicts
+    # allowed analytically per doc_id.
     from net_spider_spark.pipeline import url as URL
 
     docs = demo.read_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
     path = (
-        F.when(d % 4 == 0, F.concat(F.lit("/doc/"), d.cast("string")))
-        .when(d % 4 == 1, F.concat(F.lit("/private/p"), d.cast("string")))
-        .when(d % 4 == 2, F.concat(F.lit("/private/ok/q"), d.cast("string")))
-        .otherwise(F.concat(F.lit("/tmp"), d.cast("string")))
+        F.when(d % 8 == 0, F.concat(F.lit("/doc/"), d.cast("string")))
+        .when(d % 8 == 1, F.concat(F.lit("/private/p"), d.cast("string")))
+        .when(d % 8 == 2, F.concat(F.lit("/private/ok/q"), d.cast("string")))
+        .when(d % 8 == 3, F.concat(F.lit("/tmp"), d.cast("string")))
+        .when(d % 8 == 4, F.concat(F.lit("/data/"), d.cast("string"),
+                                   F.lit(".json")))
+        .when(d % 8 == 5, F.concat(F.lit("/files/f"), d.cast("string"),
+                                   F.lit(".jsonx")))
+        .when(d % 8 == 6, F.concat(F.lit("/search?q="), d.cast("string")))
+        .otherwise(F.lit(""))  # bare authority: path must match as '/'
     )
     urls = docs.select(
         "doc_id",
@@ -2404,7 +2416,17 @@ def q_curate_robots_filter(spark, sf_dir):
             path,
         ).alias("url"),
     )
+    # host0 additionally disallows '/', so the bare-authority case
+    # attests the RFC root-path rule (an empty extracted path must
+    # match as '/'); the row is unioned rather than parsed so the
+    # rules/frontier queries that share _robots_corpus stay unchanged.
     rules = URL.robots_rules(_robots_corpus(spark, sf_dir), agent="*")
+    rules = rules.unionByName(
+        spark.createDataFrame(
+            [("host0.test", False, "/")],
+            "host string, allow boolean, path_prefix string",
+        )
+    )
     return URL.robots_filter(urls, rules)
 
 
@@ -5780,7 +5802,8 @@ WITH h AS (
   SELECT DISTINCT doc_id % 5 AS h FROM documents WHERE doc_id % 5 <> 4
 ),
 r(allow, path_prefix) AS (
-  VALUES (false, '/private/'), (true, '/private/ok/'), (false, '/tmp')
+  VALUES (false, '/private/'), (true, '/private/ok/'), (false, '/tmp'),
+         (false, '/*.json$'), (false, '/sea*rch$')
 )
 SELECT 'host' || CAST(h AS VARCHAR) || '.test' AS host,
        allow, path_prefix
@@ -5793,12 +5816,19 @@ FROM h CROSS JOIN r
         "curate_robots_filter": """
 SELECT doc_id,
        'http://host' || CAST(doc_id % 5 AS VARCHAR) || '.test'
-         || CASE WHEN doc_id % 4 = 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
-                 WHEN doc_id % 4 = 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
-                 WHEN doc_id % 4 = 2 THEN '/private/ok/q' || CAST(doc_id AS VARCHAR)
-                 ELSE '/tmp' || CAST(doc_id AS VARCHAR) END AS url,
+         || CASE WHEN doc_id % 8 = 0 THEN '/doc/' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 8 = 1 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 8 = 2 THEN '/private/ok/q' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 8 = 3 THEN '/tmp' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 8 = 4 THEN '/data/' || CAST(doc_id AS VARCHAR) || '.json'
+                 WHEN doc_id % 8 = 5 THEN '/files/f' || CAST(doc_id AS VARCHAR) || '.jsonx'
+                 WHEN doc_id % 8 = 6 THEN '/search?q=' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END AS url,
        'host' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,
-       (doc_id % 5 = 4) OR (doc_id % 4 = 0) OR (doc_id % 4 = 2) AS allowed
+       -- host 4: no '*' rules at all; cases 0/5/7 match no rule except
+       -- host0's Disallow '/'; case 2's long Allow wins everywhere
+       (doc_id % 5 = 4) OR (doc_id % 8 = 2)
+         OR (doc_id % 8 IN (0, 5, 7) AND doc_id % 5 <> 0) AS allowed
 FROM documents
 """,
         # host authority: the same unrolled integer power method as

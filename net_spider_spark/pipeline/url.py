@@ -165,14 +165,17 @@ def robots_rules(
     comments stripped, header names case-insensitive, a group is a run
     of consecutive ``User-agent`` lines followed by its rules,
     empty-path rules dropped (an empty Disallow allows everything),
-    no ``*``/``$`` wildcards inside paths (prefix semantics only) and
-    no agent-specificity fallback — pass the agent whose group you
+    and no agent-specificity fallback — pass the agent whose group you
     want, ``*`` for the default group.
 
     Pure expressions + one per-host window (group numbering is a
     running sum of group starts) + one equi-join of rule lines to
     matching-agent groups. Scale: robots files are small and per-host;
-    everything partitions by host."""
+    everything partitions by host.
+
+    Paths may carry RFC 9309 ``*`` (any octet sequence) and a trailing
+    ``$`` (end anchor) — the parser passes them through verbatim;
+    :func:`robots_filter` interprets them."""
     lines = df.select(
         F.col(host_col).alias("host"),
         F.posexplode(F.split(F.col(robots_col), "\n")).alias("pos", "raw"),
@@ -227,26 +230,51 @@ def robots_filter(
     """Apply :func:`robots_rules` output to a URL frontier with RFC
     9309 longest-match-wins semantics (Allow wins length ties):
     returns (id_col, url, host, allowed). URLs with no matching rule —
-    or whose host has no rules at all — are allowed.
+    or whose host has no rules at all — are allowed. A URL with no
+    path component matches as ``/`` (RFC 9309: the root path), so
+    ``Disallow: /`` blocks ``http://a.test`` too.
 
-    Shape: an equi-join on host with a prefix predicate, then a
-    max-struct aggregate per URL (map-side combinable: (prefix_len,
+    Rule paths support the full RFC 9309 pattern syntax: ``*`` matches
+    any octet sequence and a trailing ``$`` anchors the end; matching
+    compiles each pattern to a SQL LIKE (escape ``!``, translate ``*``
+    to ``%``, append ``%`` unless anchored) — prefix rules are just
+    patterns without wildcards. Specificity stays the octet length of
+    the RAW rule path (RFC 9309 2.2.2: most octets wins; ``*``/``$``
+    count as octets, matching the reference google/robotstxt matcher).
+
+    Shape: an equi-join on host with a LIKE predicate, then a
+    max-struct aggregate per URL (map-side combinable: (pattern_len,
     allow) ordering makes the longest match, allow-on-tie, the max) —
     never a window over the frontier. Rules per host are few; the join
     broadcasts when the rule table is small."""
+    raw_path = F.regexp_replace(
+        F.regexp_replace(F.col(url_col), _AUTHORITY_RE, ""),
+        "[?#].*$",
+        "",
+    )
     u = urls.select(
         F.col(id_col),
         F.col(url_col).alias("url"),
         url_host(F.col(url_col)).alias("host"),
-        F.regexp_replace(
-            F.regexp_replace(F.col(url_col), _AUTHORITY_RE, ""),
-            "[?#].*$",
-            "",
-        ).alias("_path"),
+        F.when(raw_path == "", F.lit("/")).otherwise(raw_path).alias(
+            "_path"
+        ),
+    )
+    anchored = F.col("path_prefix").endswith("$")
+    body = F.when(
+        anchored,
+        F.expr("substring(path_prefix, 1, length(path_prefix) - 1)"),
+    ).otherwise(F.col("path_prefix"))
+    like_body = F.translate(
+        F.regexp_replace(body, "([!%_])", r"!$1"), "*", "%"
+    )
+    like_pat = F.when(anchored, like_body).otherwise(
+        F.concat(like_body, F.lit("%"))
     )
     matched = (
         u.join(rules, "host")
-        .where(F.col("_path").startswith(F.col("path_prefix")))
+        .withColumn("_pat", like_pat)
+        .where(F.expr("_path LIKE _pat ESCAPE '!'"))
         .groupBy(id_col)
         .agg(
             F.max(

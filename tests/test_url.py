@@ -213,12 +213,7 @@ def test_extract_links_and_host_graph(spark):
     got = sorted((r["doc_id"], r["src_host"], r["dst_host"]) for r in links)
     # absolute -> canonical host, relative + mailto -> same host, no
     # rows for the link-less page
-    assert got == [
-        (1, "a.test", "a.test"),
-        (1, "a.test", "b.test"),
-        (1, "a.test", "c.test"),
-        (1, "a.test", "a.test"),
-    ] or got == sorted(
+    assert got == sorted(
         [(1, "a.test", "b.test"), (1, "a.test", "a.test"),
          (1, "a.test", "c.test"), (1, "a.test", "a.test")]
     )
@@ -237,3 +232,52 @@ def test_extract_links_and_host_graph(spark):
     assert ("a.test", "a.test") not in {
         (r["src_host"], r["dst_host"]) for r in no_self
     }
+
+
+def test_robots_filter_rfc9309_wildcards(spark):
+    # RFC 9309 pattern syntax: '*' spans any octets, trailing '$'
+    # anchors the end, specificity is raw-pattern octet length, and a
+    # URL with no path component matches as '/'.
+    rules = spark.createDataFrame(
+        [
+            ("a.test", False, "/*.json$"),
+            ("a.test", False, "/sea*rch$"),
+            ("a.test", True, "/data/pub*"),
+            ("a.test", False, "/"),
+        ],
+        "host string, allow boolean, path_prefix string",
+    )
+    urls = spark.createDataFrame(
+        [
+            (1, "http://a.test/data/x.json"),       # *.json$ -> deny
+            (2, "http://a.test/data/x.jsonx"),      # anchor holds -> '/' only
+            (3, "http://a.test/search?q=1"),        # query stripped -> deny
+            (4, "http://a.test/data/pub/x.json"),   # allow (10) beats deny (8)
+            (5, "http://a.test"),                   # bare authority = '/'
+            (6, "http://b.test/anything"),          # no rules -> allow
+        ],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["allowed"]
+        for r in U.robots_filter(urls, rules).collect()
+    }
+    assert got == {1: False, 2: False, 3: False, 4: True, 5: False,
+                   6: True}
+
+
+def test_robots_filter_escapes_like_metachars(spark):
+    # literal '%' and '_' in rule paths must not act as LIKE wildcards
+    rules = spark.createDataFrame(
+        [("a.test", False, "/100%_off")],
+        "host string, allow boolean, path_prefix string",
+    )
+    urls = spark.createDataFrame(
+        [(1, "http://a.test/100%_off/sale"), (2, "http://a.test/100xyoff")],
+        "doc_id long, url string",
+    )
+    got = {
+        r["doc_id"]: r["allowed"]
+        for r in U.robots_filter(urls, rules).collect()
+    }
+    assert got == {1: False, 2: True}
