@@ -12,6 +12,7 @@ column name + value hash).
 from __future__ import annotations
 
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -1908,9 +1909,12 @@ chars AS (
 def _wordpiece_encode_sql(vocab_size: int, max_piece_len: int,
                           steps: int = 12) -> str:
     """Twin of text.wordpiece_encode_stats: the greedy longest-match
-    loop unrolled as ``steps`` CTE stages (>= the longest corpus word,
-    so the unroll always drains; leftover characters count one piece
-    each, matching the Spark encoder's char fallback)."""
+    loop unrolled as ``steps`` CTE stages. Every greedy step consumes
+    >= 1 character, so ``steps`` >= the longest corpus word guarantees
+    the unroll drains; the ``enc`` CTE ERRORS (DuckDB ``error()``) on
+    any undrained remainder instead of silently counting leftover
+    characters one piece each — a corpus with longer words fails the
+    gate loudly rather than hash-mismatching."""
     ctes = [
         "vocab AS (SELECT piece FROM chars UNION ALL"
         " SELECT piece FROM multi)",
@@ -1932,7 +1936,13 @@ def _wordpiece_encode_sql(vocab_size: int, max_piece_len: int,
         f"WITH {_wordpiece_vocab_ctes(vocab_size, max_piece_len)},\n"
         + ",\n".join(ctes)
         + f""",
-enc AS (SELECT word, np + length(rem) AS n_pieces FROM g{steps}),
+enc AS (
+  SELECT word,
+         np + CASE WHEN rem = '' THEN 0
+                   ELSE CAST(error('wordpiece unroll undrained: raise steps='
+                                   || '{steps} above the longest corpus word')
+                        AS INT) END AS n_pieces
+  FROM g{steps}),
 agg AS (SELECT doc_id, len(toks) AS n_words FROM tok),
 wd AS (SELECT doc_id, unnest(toks) AS word FROM tok),
 sums AS (
@@ -1995,15 +2005,20 @@ def q_layout_bucketed_join(spark, sf_dir):
     # join+agg: bucketing must change the PLAN, never the answer.
     from net_spider_spark import layout as LY
 
+    # table names/paths are suffixed per sf_dir: two concurrent runs
+    # (a bench sweep + an oracle sweep) sharing the metastore would
+    # otherwise race on DROP TABLE + overwrite and read each other's
+    # data
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.strip("/"))
     orders = demo.read_table(spark, sf_dir, "orders")
     li = demo.read_table(spark, sf_dir, "lineitem")
     o = LY.write_bucketed(
-        orders, "nss_bucketed_orders", ["o_orderkey"], n_buckets=8,
-        sort_cols=["o_orderkey"], path="/tmp/nss_bucketed/orders",
+        orders, f"nss_bucketed_orders_{tag}", ["o_orderkey"], n_buckets=8,
+        sort_cols=["o_orderkey"], path=f"/tmp/nss_bucketed_{tag}/orders",
     )
     l = LY.write_bucketed(
-        li, "nss_bucketed_lineitem", ["l_orderkey"], n_buckets=8,
-        sort_cols=["l_orderkey"], path="/tmp/nss_bucketed/lineitem",
+        li, f"nss_bucketed_lineitem_{tag}", ["l_orderkey"], n_buckets=8,
+        sort_cols=["l_orderkey"], path=f"/tmp/nss_bucketed_{tag}/lineitem",
     )
     return (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])

@@ -138,10 +138,16 @@ def stream_url_dedup(
         return urls_stream.select(canon).dropDuplicates(["canonical_url"])
     if event_time_col is None:
         raise ValueError("ttl mode needs event_time_col to watermark on")
+    # project the watermark column away AFTER the stateful dedup: which
+    # variant's event_time survives a within-batch tie is partition-
+    # order dependent, so emitting it would break the deterministic-
+    # replay contract the docstring promises (the canonical set itself
+    # is tie-invariant)
     return (
         urls_stream.select(canon, F.col(event_time_col).alias("event_time"))
         .withWatermark("event_time", ttl)
         .dropDuplicatesWithinWatermark(["canonical_url"])
+        .select("canonical_url")
     )
 
 
