@@ -26,7 +26,6 @@ from typing import Optional, Sequence
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from net_spider_spark.graphml import write_graphml
 from net_spider_spark.ingest import clear_all, read_findings, write_findings
 from net_spider_spark.interval import NEG_INF, POS_INF, Interval
 from net_spider_spark.rpl.combined import combine_graphs
@@ -274,7 +273,13 @@ def _do_snapshot(spark: SparkSession, args) -> int:
         F.col("link_attrs").getItem("link_type"),
     )
     if args.output == "-":
-        sys.stdout.write(write_graphml(combined_nodes, combined_links))
+        # stdout streams through toLocalIterator too: identical bytes
+        # to write_graphml, constant driver memory — a snapshot export
+        # never materializes the full row list on the driver, whatever
+        # the output target.
+        from net_spider_spark.graphml import write_graphml_to
+
+        write_graphml_to(combined_nodes, combined_links, sys.stdout.write)
     else:
         # File output streams through toLocalIterator: identical bytes
         # to the in-memory writer, constant driver memory for snapshots

@@ -402,17 +402,18 @@ def write_graphml(
     return buf.getvalue()
 
 
-def write_graphml_file(
+def write_graphml_to(
     nodes: DataFrame,
     links: DataFrame,
-    output_path: str,
+    write,
     default_directed: bool = True,
 ) -> None:
-    """Streaming GraphML writer for snapshots too large for one driver
-    string: identical output to :func:`write_graphml`, but elements
-    stream through ``toLocalIterator`` straight to ``output_path`` —
-    driver memory stays constant (one partition in flight + the key
-    registry) however many nodes/links the snapshot has.
+    """Streaming GraphML writer to any ``write(str)`` callable (a file,
+    ``sys.stdout.write``, a socket): identical bytes to
+    :func:`write_graphml`, but elements stream through
+    ``toLocalIterator`` — driver memory stays constant (one partition
+    in flight + the key registry) however many nodes/links the
+    snapshot has; the full row list is never materialized.
 
     Each side is iterated twice (key pass + element pass), so the
     inputs are persisted here for the duration of both passes (and
@@ -421,13 +422,7 @@ def write_graphml_file(
     a key the key pass never registered — a mid-file ``KeyError``
     instead of a correct document. Iteration order is partition order
     both times, keeping the two passes and the in-memory writer
-    consistent. The document is written to a sibling temp file and
-    renamed into place, so a failure mid-stream never leaves a
-    truncated file at ``output_path``. (Reference S10 is inherently
-    driver-side single-document output; this is the scale-respecting
-    extension.)"""
-    import os
-
+    consistent."""
     from pyspark import StorageLevel
 
     # persist() is a no-op on an already-persisted frame and tracks
@@ -438,19 +433,38 @@ def write_graphml_file(
         if df.storageLevel == StorageLevel.NONE:
             df.persist()
             persisted.append(df)
+    try:
+        _emit_graphml(
+            nodes,
+            links,
+            write,
+            lambda df: df.toLocalIterator(),
+            default_directed,
+        )
+    finally:
+        for df in persisted:
+            df.unpersist()
+
+
+def write_graphml_file(
+    nodes: DataFrame,
+    links: DataFrame,
+    output_path: str,
+    default_directed: bool = True,
+) -> None:
+    """Streaming GraphML writer for snapshots too large for one driver
+    string: :func:`write_graphml_to` into ``output_path``. The document
+    is written to a sibling temp file and renamed into place, so a
+    failure mid-stream never leaves a truncated file at
+    ``output_path``. (Reference S10 is inherently driver-side
+    single-document output; this is the scale-respecting extension.)"""
+    import os
+
     tmp = output_path + ".tmp"
     try:
         with open(tmp, "w", encoding="utf-8") as f:
-            _emit_graphml(
-                nodes,
-                links,
-                f.write,
-                lambda df: df.toLocalIterator(),
-                default_directed,
-            )
+            write_graphml_to(nodes, links, f.write, default_directed)
         os.replace(tmp, output_path)
     finally:
         if os.path.exists(tmp):
             os.remove(tmp)
-        for df in persisted:
-            df.unpersist()

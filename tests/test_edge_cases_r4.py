@@ -73,3 +73,37 @@ def test_snapshot_logged_empty_history(spark):
     nodes, links, logs = get_snapshot_logged(findings, Query())
     assert nodes.count() == 0 and links.count() == 0
     assert any("unify: 0 link groups from 0 samples" in m for m in logs)
+
+
+def test_graphml_streaming_writer_never_collects(spark, monkeypatch):
+    # The CLI export contract: however large the snapshot, GraphML
+    # serialization must stream through toLocalIterator — the full row
+    # list is never materialized on the driver. collect() is patched
+    # to fail so any regression to the in-memory path trips here.
+    import io
+
+    from pyspark.sql import DataFrame
+
+    from net_spider_spark.graphml import write_graphml, write_graphml_to
+
+    nodes = spark.createDataFrame(
+        [("n1", False, 5, {"k": "v"}, None, None, None),
+         ("n2", True, None, {}, None, None, None)],
+        "node_id string, is_on_boundary boolean, node_ts long, "
+        "node_attrs map<string,string>, tz_offset_min int, "
+        "tz_summer_only boolean, tz_name string",
+    )
+    links = spark.createDataFrame(
+        [("n1", "n2", True, 5, {"w": "2"})],
+        "source_node string, dest_node string, is_directed boolean, "
+        "link_ts long, link_attrs map<string,string>",
+    )
+    expected = write_graphml(nodes, links)
+
+    def boom(self):
+        raise AssertionError("streaming writer must not collect()")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    buf = io.StringIO()
+    write_graphml_to(nodes, links, buf.write)
+    assert buf.getvalue() == expected
