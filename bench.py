@@ -217,6 +217,7 @@ def main() -> None:
         counters_delta,
         executor_counters,
         gc_time_ms,
+        host_steal_jiffies,
     )
     from net_spider_spark import sizing
 
@@ -235,6 +236,7 @@ def main() -> None:
         per_pass: list[float] = []
         per_load: list[float] = []
         per_gc: list[int] = []
+        per_steal: list[int] = []
         n = 0
         for i in range(passes):
             # counters are a function of plan+data, identical across
@@ -244,6 +246,7 @@ def main() -> None:
             # provable contention, a GC spike is memory pressure.
             before = executor_counters(spark) if i == 0 else None
             gc0 = gc_time_ms(spark)
+            steal0 = host_steal_jiffies()
             if i == 0:
                 sizing.DECISION_LOG.clear()
             t0 = time.time()
@@ -252,6 +255,7 @@ def main() -> None:
             per_pass.append(round(time.time() - t0, 3))
             per_load.append(round(os.getloadavg()[0], 2))
             per_gc.append(gc_time_ms(spark) - gc0)
+            per_steal.append(host_steal_jiffies() - steal0)
             if i == 0:
                 counters[name] = counters_delta(executor_counters(spark), before)
                 # Which side of each local-vs-distributed guard this
@@ -265,7 +269,7 @@ def main() -> None:
                     env.setdefault(name, {})["paths"] = paths
             _reset(spark)
         env.setdefault(name, {}).update(
-            {"load1": per_load, "gc_ms": per_gc}
+            {"load1": per_load, "gc_ms": per_gc, "steal_j": per_steal}
         )
         walls[name] = per_pass
         timings[name] = round(statistics.median(per_pass), 3)
@@ -436,6 +440,9 @@ def main() -> None:
             if all_loads
             else 0.0,
             "gc_ms_total": sum(x for v in env.values() for x in v["gc_ms"]),
+            "steal_j_total": sum(
+                x for v in env.values() for x in v["steal_j"]
+            ),
         },
         "ingest": ingest,
         "sf": sf_val,

@@ -63,6 +63,23 @@ def gc_time_ms(spark: SparkSession) -> int:
     return int(total)
 
 
+def host_steal_jiffies() -> int:
+    """Cumulative hypervisor steal time (jiffies) from /proc/stat. On a
+    shared-host VM, steal is the smoking gun for 'identical counters,
+    inflated wall': the guest was runnable but the host ran someone
+    else. Recording the per-query delta beside the wall makes box
+    noise PROVABLE in the committed artifact (round-9/10 lesson:
+    carried scale queries ran 4-13x slower with byte-identical shuffle
+    and task counts while steal accumulated). Returns 0 where
+    /proc/stat is unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            fields = f.readline().split()
+        return int(fields[8])  # cpu  user nice system idle iowait irq softirq steal
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def counters_delta(after: dict, before: dict) -> dict:
     """Per-query counters: the difference of two cumulative snapshots.
     Clamped at 0 — the status store evicts old stages

@@ -82,9 +82,14 @@ def main() -> None:
     )
     n = findings.count()
 
-    from net_spider_spark.metrics import counters_delta, executor_counters
+    from net_spider_spark.metrics import (
+    counters_delta,
+    executor_counters,
+    host_steal_jiffies,
+)
 
     timings: dict[str, float] = {}
+    env: dict[str, dict] = {}
     counters: dict[str, dict] = {}
     # SPARK_GRAFT_SCALE_ONLY=a,b,c times just the named rows (their
     # inputs still build); anything a skipped row would have produced
@@ -99,10 +104,17 @@ def main() -> None:
                 fn()
             return
         before = executor_counters(spark)
+        steal0 = host_steal_jiffies()
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
         counters[name] = counters_delta(executor_counters(spark), before)
+        # steal delta + load: on a shared-host VM, "identical counters,
+        # inflated wall" is hypervisor steal — commit the evidence.
+        env[name] = {
+            "steal_j": host_steal_jiffies() - steal0,
+            "load1": round(os.getloadavg()[0], 2),
+        }
 
     _FEEDS = {"text_bpe_learned_256", "text_wordpiece_vocab"}
 
@@ -448,6 +460,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "counters": counters,
+                "env": env,
                 "rows": n,
                 "mixture_max_bucket_rows": mixture_max_bucket,
                 "docs": n_docs,
