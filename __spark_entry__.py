@@ -3663,74 +3663,20 @@ def q_stream_rpl_dio_merged(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered stalest-evidence-first for the time-budgeted driver gate
-    # (first ~50 keys). Recomputed at r10 open by tools/attestation.py
+    # (first ~50 keys). Recomputed at r11 open by tools/attestation.py
     # from the CORRECTNESS_r{N}.json history; see ATTESTATION.md. The
-    # r10 gate lands on the 49 last-green-r7 queries plus the cheapest
-    # r8 query; r8-green next, r9-green last — cheapest-first within
+    # r11 gate lands on the 49 last-green-r8 queries plus the cheapest
+    # r9 query; r9-green next, r10-green last — cheapest-first within
     # each group.
     return {
-        # --- last driver-green r7 ---
-        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
-        "sketch_cms_counts": q_sketch_cms_counts,
-        "curate_decontaminate": q_curate_decontaminate,
-        "sketch_bloom_membership": q_sketch_bloom_membership,
-        "a10_degree": q_a10_degree,
-        "c1_timestamp_format": q_c1_timestamp_format,
-        "c8_direction_resolution": q_c8_direction_resolution,
-        "cluster_kmeans": q_cluster_kmeans,
-        "curate_mixture_sample": q_curate_mixture_sample,
-        "curate_temperature_mixture": q_curate_temperature_mixture,
-        "curate_topk_per_source": q_curate_topk_per_source,
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "embed_truncate": q_embed_truncate,
-        "events_quantiles_sketch": q_events_quantiles_sketch,
-        "j6_boundary_nodes": q_j6_boundary_nodes,
-        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
-        "multimodal_media_metadata": q_multimodal_media_metadata,
-        "sim_pq_topk": q_sim_pq_topk,
-        "snapshot_links_append_interval": q_snapshot_links_append_interval,
-        "snapshot_links_multilink": q_snapshot_links_multilink,
-        "stream_cms_cells": q_stream_cms_cells,
-        "stream_dedup_digests": q_stream_dedup_digests,
-        "stream_latest_per_node": q_stream_latest_per_node,
-        "stream_sessionize": q_stream_sessionize,
-        "text_fingerprint": q_text_fingerprint,
-        "text_lm_score": q_text_lm_score,
-        "typed_attrs_links": q_typed_attrs_links,
-        "layout_zorder": q_layout_zorder,
-        "dedup_span_removal": q_dedup_span_removal,
-        "temporal_rollup": q_temporal_rollup,
-        "temporal_gap_fill": q_temporal_gap_fill,
-        "a4_pair_group_stats": q_a4_pair_group_stats,
-        "text_divergence": q_text_divergence,
-        "events_retention": q_events_retention,
-        "tpch_q3_topk": q_tpch_q3_topk,
-        "curate_mixture_repeat": q_curate_mixture_repeat,
-        "snapshot_timeline": q_snapshot_timeline,
-        "multimodal_audio_decode": q_multimodal_audio_decode,
-        "sketch_kmv_setops": q_sketch_kmv_setops,
-        "graph_sssp": q_graph_sssp,
-        "graph_kcore": q_graph_kcore,
-        "dedup_embedding": q_dedup_embedding,
-        "graph_components": q_graph_components,
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_jaccard": q_dedup_jaccard,
-        "graph_pagerank": q_graph_pagerank,
-        "snapshot_links_append": q_snapshot_links_append,
-        "stream_windowed_stats": q_stream_windowed_stats,
-        "dedup_representatives": q_dedup_representatives,
-        # --- last driver-green r8 ---
-        "curate_shuffle_shards": q_curate_shuffle_shards,
         "curate_pii_scrub": q_curate_pii_scrub,
-        "events_sessionize": q_events_sessionize,
-        "dedup_exact": q_dedup_exact,
         "text_quality": q_text_quality,
-        "curate_pack": q_curate_pack,
         "text_token_stats": q_text_token_stats,
-        "embed_quantize_int8": q_embed_quantize_int8,
-        "curate_repetition": q_curate_repetition,
-        "temporal_asof": q_temporal_asof,
+        "curate_pack": q_curate_pack,
+        "dedup_exact": q_dedup_exact,
+        "events_sessionize": q_events_sessionize,
         "tpch_q1": q_tpch_q1,
+        "curate_repetition": q_curate_repetition,
         "a1_latest_finding_per_node": q_a1_latest_finding_per_node,
         "a7_graph_timestamp": q_a7_graph_timestamp,
         "curate_hash_sample": q_curate_hash_sample,
@@ -3765,62 +3711,113 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_filter": q_text_quality_filter,
         "tpch_q9_nation_profit": q_tpch_q9_nation_profit,
         "u2_union_links": q_u2_union_links,
+        "temporal_asof": q_temporal_asof,
+        "embed_quantize_int8": q_embed_quantize_int8,
         "sim_knn_join": q_sim_knn_join,
-        "graph_triangles": q_graph_triangles,
+        "j5_reachability": q_j5_reachability,
         "rpl_dio_merged": q_rpl_dio_merged,
         "sim_ivf_topk": q_sim_ivf_topk,
-        "j5_reachability": q_j5_reachability,
-        # --- last driver-green r9 ---
+        "graph_triangles": q_graph_triangles,
         "curate_sitemap_urls": q_curate_sitemap_urls,
         "curate_chunks": q_curate_chunks,
-        "text_c4_clean": q_text_c4_clean,
-        "sketch_hll_sparse": q_sketch_hll_sparse,
-        "text_lang_id": q_text_lang_id,
-        "sketch_hll_distinct": q_sketch_hll_distinct,
-        "text_corpus_stats": q_text_corpus_stats,
         "curate_host_quota": q_curate_host_quota,
+        "text_lang_id": q_text_lang_id,
         "text_gopher_rules": q_text_gopher_rules,
-        "text_length_histogram": q_text_length_histogram,
-        "dedup_embedding_incremental": q_dedup_embedding_incremental,
         "graph_host_links": q_graph_host_links,
-        "curate_robots_filter": q_curate_robots_filter,
-        "curate_robots_rules": q_curate_robots_rules,
+        "text_corpus_stats": q_text_corpus_stats,
         "multimodal_warc_extract": q_multimodal_warc_extract,
-        "text_bpe_encode": q_text_bpe_encode,
-        "curate_pack_bpe": q_curate_pack_bpe,
-        "curate_decontaminate_fuzzy": q_curate_decontaminate_fuzzy,
+        "text_length_histogram": q_text_length_histogram,
+        "curate_robots_rules": q_curate_robots_rules,
         "text_wordpiece_vocab": q_text_wordpiece_vocab,
-        "temporal_interval_join": q_temporal_interval_join,
-        "text_bpe_encode_arrow": q_text_bpe_encode_arrow,
+        "curate_robots_filter": q_curate_robots_filter,
+        "dedup_embedding_incremental": q_dedup_embedding_incremental,
         "curate_url_dedup": q_curate_url_dedup,
-        "events_funnel": q_events_funnel,
-        "dedup_simhash": q_dedup_simhash,
-        "text_bpe_learned": q_text_bpe_learned,
-        "stream_warc_extract": q_stream_warc_extract,
-        "stream_c4_clean": q_stream_c4_clean,
-        "tpch_q18": q_tpch_q18,
+        "sketch_hll_distinct": q_sketch_hll_distinct,
+        "sketch_hll_sparse": q_sketch_hll_sparse,
+        "text_bpe_encode": q_text_bpe_encode,
+        "text_c4_clean": q_text_c4_clean,
+        "temporal_interval_join": q_temporal_interval_join,
         "sim_topk": q_sim_topk,
-        "text_bpe_learned_dist": q_text_bpe_learned_dist,
-        "pipeline_crawl_frontier": q_pipeline_crawl_frontier,
-        "text_wordpiece_encode": q_text_wordpiece_encode,
-        "sketch_kmv_distinct": q_sketch_kmv_distinct,
-        "graph_host_rank": q_graph_host_rank,
+        "dedup_simhash": q_dedup_simhash,
+        "curate_decontaminate_fuzzy": q_curate_decontaminate_fuzzy,
+        "curate_pack_bpe": q_curate_pack_bpe,
+        "events_funnel": q_events_funnel,
+        "stream_warc_extract": q_stream_warc_extract,
+        "text_bpe_encode_arrow": q_text_bpe_encode_arrow,
+        "text_bpe_learned": q_text_bpe_learned,
+        "tpch_q18": q_tpch_q18,
         "tpch_region_revenue": q_tpch_region_revenue,
-        "multimodal_png_decode": q_multimodal_png_decode,
-        "snapshot_nodes_overwrite": q_snapshot_nodes_overwrite,
-        "text_quality_model": q_text_quality_model,
         "dedup_minhash": q_dedup_minhash,
-        "stream_url_dedup": q_stream_url_dedup,
-        "pipeline_curation": q_pipeline_curation,
-        "stream_hll_distinct": q_stream_hll_distinct,
-        "stream_dedup_phash_near": q_stream_dedup_phash_near,
-        "layout_bucketed_join": q_layout_bucketed_join,
+        "snapshot_nodes_overwrite": q_snapshot_nodes_overwrite,
+        "multimodal_png_decode": q_multimodal_png_decode,
         "snapshot_links_overwrite": q_snapshot_links_overwrite,
+        "text_quality_model": q_text_quality_model,
+        "text_bpe_learned_dist": q_text_bpe_learned_dist,
+        "sketch_kmv_distinct": q_sketch_kmv_distinct,
+        "pipeline_curation": q_pipeline_curation,
+        "pipeline_crawl_frontier": q_pipeline_crawl_frontier,
         "dedup_image_phash": q_dedup_image_phash,
+        "stream_url_dedup": q_stream_url_dedup,
+        "stream_hll_distinct": q_stream_hll_distinct,
+        "stream_c4_clean": q_stream_c4_clean,
+        "stream_dedup_phash_near": q_stream_dedup_phash_near,
+        "text_wordpiece_encode": q_text_wordpiece_encode,
         "stream_dedup_phash": q_stream_dedup_phash,
-        "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "graph_host_rank": q_graph_host_rank,
+        "layout_bucketed_join": q_layout_bucketed_join,
         "sim_ivfpq_add": q_sim_ivfpq_add,
+        "sim_ivfpq_topk": q_sim_ivfpq_topk,
         "sim_ivfpq_residual": q_sim_ivfpq_residual,
+        "curate_shuffle_shards": q_curate_shuffle_shards,
+        "sketch_cms_counts": q_sketch_cms_counts,
+        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
+        "a4_pair_group_stats": q_a4_pair_group_stats,
+        "sketch_bloom_membership": q_sketch_bloom_membership,
+        "curate_decontaminate": q_curate_decontaminate,
+        "layout_zorder": q_layout_zorder,
+        "a10_degree": q_a10_degree,
+        "c1_timestamp_format": q_c1_timestamp_format,
+        "c8_direction_resolution": q_c8_direction_resolution,
+        "cluster_kmeans": q_cluster_kmeans,
+        "curate_mixture_sample": q_curate_mixture_sample,
+        "curate_temperature_mixture": q_curate_temperature_mixture,
+        "curate_topk_per_source": q_curate_topk_per_source,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "embed_truncate": q_embed_truncate,
+        "events_quantiles_sketch": q_events_quantiles_sketch,
+        "j6_boundary_nodes": q_j6_boundary_nodes,
+        "multimodal_jpeg_progressive": q_multimodal_jpeg_progressive,
+        "multimodal_media_metadata": q_multimodal_media_metadata,
+        "sim_pq_topk": q_sim_pq_topk,
+        "snapshot_links_append_interval": q_snapshot_links_append_interval,
+        "snapshot_links_multilink": q_snapshot_links_multilink,
+        "stream_cms_cells": q_stream_cms_cells,
+        "stream_dedup_digests": q_stream_dedup_digests,
+        "stream_latest_per_node": q_stream_latest_per_node,
+        "stream_sessionize": q_stream_sessionize,
+        "text_fingerprint": q_text_fingerprint,
+        "text_lm_score": q_text_lm_score,
+        "typed_attrs_links": q_typed_attrs_links,
+        "text_divergence": q_text_divergence,
+        "temporal_gap_fill": q_temporal_gap_fill,
+        "dedup_span_removal": q_dedup_span_removal,
+        "events_retention": q_events_retention,
+        "tpch_q3_topk": q_tpch_q3_topk,
+        "temporal_rollup": q_temporal_rollup,
+        "curate_mixture_repeat": q_curate_mixture_repeat,
+        "snapshot_timeline": q_snapshot_timeline,
+        "graph_sssp": q_graph_sssp,
+        "sketch_kmv_setops": q_sketch_kmv_setops,
+        "graph_components": q_graph_components,
+        "multimodal_audio_decode": q_multimodal_audio_decode,
+        "dedup_embedding": q_dedup_embedding,
+        "snapshot_links_append": q_snapshot_links_append,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_jaccard": q_dedup_jaccard,
+        "graph_pagerank": q_graph_pagerank,
+        "dedup_representatives": q_dedup_representatives,
+        "stream_windowed_stats": q_stream_windowed_stats,
+        "graph_kcore": q_graph_kcore,
     }
 
 def _bpe_oracle_ctes(n: int) -> str:
