@@ -161,6 +161,7 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
                  seed: str = "s42", prefix: str = "",
                  vec_sql: str = "CAST(embedding AS DOUBLE[])",
                  from_sql: str = "embeddings",
+                 train_limit: int | None = None,
                  ) -> tuple[list[str], str, str]:
     """DuckDB twin of pipeline.cluster.kmeans_fit: the unrolled Lloyd's
     iteration as a list of CTE definitions (prefixed so several chains
@@ -171,21 +172,39 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
 
     Mirrors the Spark path step for step: bottom-k-by-md5 init, squared
     L2 argmin with (dist, cid) tie-break, element-wise mean update with
-    empty clusters keeping their previous centroid."""
+    empty clusters keeping their previous centroid. ``train_limit``
+    replays the bounded-sample training (kmeans_fit/pq_train train_n):
+    seeds and every Lloyd's update read the bottom-train_limit rows by
+    ``md5(seed:sample:id)``; only the FINAL frozen-centroid assignment
+    covers the full table."""
     P = prefix
     parts = [
         f"{P}emb AS (SELECT vec_id, {vec_sql} AS v FROM {from_sql})",
+    ]
+    train = f"{P}emb"
+    if train_limit is not None:
+        parts.append(
+            f"{P}tr AS (SELECT * FROM {P}emb ORDER BY"
+            f" md5('{seed}:sample:' || CAST(vec_id AS VARCHAR)),"
+            f" vec_id LIMIT {train_limit})"
+        )
+        train = f"{P}tr"
+    parts += [
         f"{P}seeds AS (SELECT v, row_number() OVER (ORDER BY"
         f" md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn"
-        f" FROM {P}emb)",
+        f" FROM {train})",
         f"{P}c0 AS (SELECT rn - 1 AS cid, v AS cv FROM {P}seeds"
         f" WHERE rn <= {k})",
         f"{P}pos AS (SELECT unnest(generate_series(1, {dim})) AS p)",
     ]
     for i in range(iters + 1):
+        # Lloyd's updates see the training sample; the final (i ==
+        # iters) assignment — the one downstream CTEs consume — always
+        # covers the full table, mirroring the Spark path.
+        src = train if i < iters else f"{P}emb"
         parts.append(
             f"{P}el{i} AS (SELECT e.vec_id, c.cid, unnest(e.v) AS ev,"
-            f" unnest(c.cv) AS cv FROM {P}emb e CROSS JOIN {P}c{i} c)"
+            f" unnest(c.cv) AS cv FROM {src} e CROSS JOIN {P}c{i} c)"
         )
         parts.append(
             f"{P}d{i} AS (SELECT vec_id, cid,"
@@ -220,40 +239,134 @@ def _kmeans_cte_sql(k: int = 8, iters: int = 2, dim: int = 64,
     return "WITH " + ",\n".join(parts), assign
 
 
-def _pq_score_parts(m: int, k: int, iters: int, dim: int,
-                    seed: str) -> list[str]:
-    """The shared PQ scoring CTEs: per-subspace Lloyd's chains (the
-    codebooks), corpus codes = each chain's final assignment, queries'
-    ADC lookup tables, and ``pq_scored`` = summed lookup distances per
-    (query, neighbor). Used by both the flat-ADC and the IVF-PQ
-    oracle builders, so the code/LUT algebra is one definition."""
-    sub_dim = dim // m
-    parts: list[str] = []
-    score_ctes = []
-    for s in range(m):
-        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
-        sub_parts, assign, cents = _kmeans_ctes(
-            k=k, iters=iters, dim=sub_dim, seed=seed, prefix=f"s{s}_",
-            vec_sql=f"CAST(embedding AS DOUBLE[])[{lo}:{hi}]",
-        )
-        parts.extend(sub_parts)
+def _pq_chain_parts(m: int, k: int, iters: int, dim: int, seed: str,
+                    prefix: str = "s_",
+                    vec_sql: str = "CAST(embedding AS DOUBLE[])",
+                    from_sql: str = "embeddings",
+                    train_limit: int | None = None,
+                    emit_codes: bool = True,
+                    ) -> tuple[list[str], str, str]:
+    """Fused DuckDB twin of pq_train (+ pq_encode when ``emit_codes``):
+    ONE Lloyd's chain with the subspace index ``s`` as a grouping key —
+    exactly the Spark shape, where ``sub`` is just another groupBy
+    column. The previous builder unrolled m SEPARATE per-subspace
+    chains; at m=32 that was ~10 CTEs x 32 subspaces and the
+    materialized-CTE count itself became the oracle wall
+    (sim_ivfpq_residual: 172.6 s of the 149-query sf0.01 sweep).
+    Value-identical: same bottom-k-by-md5 seeds (slices of the same k
+    rows), same (dist, cid) argmin tie-break, same per-(s, cid, pos)
+    mean update with empty cells keeping their centroid.
+
+    Returns (parts, codes_cte, books_cte): codes_cte holds
+    (vec_id, s, cid) — the frozen-book argmin of EVERY from_sql row —
+    and books_cte (s, cid, cv). ``train_limit`` replays pq_train's
+    bounded md5 sample; Lloyd's updates see only the sample, the codes
+    always cover the full table."""
+    sd = dim // m
+    P = prefix
+    parts = [f"{P}emb AS (SELECT vec_id, {vec_sql} AS v FROM {from_sql})"]
+    train = f"{P}emb"
+    if train_limit is not None:
         parts.append(
-            f"s{s}_lel AS (SELECT q.vec_id AS query_id, c.cid AS code,"
-            " unnest(q.v) AS x, unnest(c.cv) AS y"
-            f" FROM s{s}_emb q CROSS JOIN {cents} c WHERE q.vec_id < 5)"
+            f"{P}tr AS (SELECT * FROM {P}emb ORDER BY"
+            f" md5('{seed}:sample:' || CAST(vec_id AS VARCHAR)),"
+            f" vec_id LIMIT {train_limit})"
         )
-        parts.append(
-            f"s{s}_lut AS (SELECT query_id, code,"
-            f" sum((x - y) * (x - y)) AS d FROM s{s}_lel GROUP BY 1, 2)"
-        )
-        parts.append(
-            f"s{s}_sc AS (SELECT l.query_id, a.vec_id AS neighbor_id, l.d"
-            f" FROM {assign} a JOIN s{s}_lut l ON l.code = a.cid)"
-        )
-        score_ctes.append(f"SELECT * FROM s{s}_sc")
+        train = f"{P}tr"
     parts.append(
-        "pq_scored AS (SELECT query_id, neighbor_id, sum(d) AS adist"
-        f" FROM ({' UNION ALL '.join(score_ctes)}) GROUP BY 1, 2)"
+        f"{P}sub AS (SELECT unnest(generate_series(0, {m - 1})) AS s)"
+    )
+    parts.append(
+        f"{P}semb AS (SELECT vec_id, s,"
+        f" array_slice(v, s * {sd} + 1, s * {sd} + {sd}) AS sv"
+        f" FROM {P}emb CROSS JOIN {P}sub)"
+    )
+    strain = f"{P}semb"
+    if train_limit is not None:
+        parts.append(
+            f"{P}strain AS (SELECT vec_id, s,"
+            f" array_slice(v, s * {sd} + 1, s * {sd} + {sd}) AS sv"
+            f" FROM {train} CROSS JOIN {P}sub)"
+        )
+        strain = f"{P}strain"
+    parts += [
+        f"{P}seedids AS (SELECT vec_id, row_number() OVER (ORDER BY"
+        f" md5('{seed}:' || CAST(vec_id AS VARCHAR)), vec_id) AS rn"
+        f" FROM {train})",
+        f"{P}c0 AS (SELECT t.s, i.rn - 1 AS cid, t.sv AS cv"
+        f" FROM {strain} t JOIN {P}seedids i USING (vec_id)"
+        f" WHERE i.rn <= {k})",
+        f"{P}pos AS (SELECT unnest(generate_series(1, {sd})) AS p)",
+    ]
+    last = iters if emit_codes else iters - 1
+    for i in range(last + 1):
+        src = strain if i < iters else f"{P}semb"
+        parts.append(
+            f"{P}el{i} AS (SELECT e.vec_id, e.s, c.cid, unnest(e.sv) AS"
+            f" ev, unnest(c.cv) AS cv FROM {src} e"
+            f" JOIN {P}c{i} c ON c.s = e.s)"
+        )
+        parts.append(
+            f"{P}d{i} AS (SELECT vec_id, s, cid,"
+            " sum((ev - cv) * (ev - cv)) AS dist"
+            f" FROM {P}el{i} GROUP BY 1, 2, 3)"
+        )
+        if i < iters:
+            # training argmin carries sv along for the mean update
+            parts.append(
+                f"{P}a{i} AS (SELECT vec_id, s, cid, sv FROM ("
+                "SELECT d.vec_id, d.s, d.cid, e.sv, row_number() OVER ("
+                "PARTITION BY d.vec_id, d.s ORDER BY d.dist, d.cid) AS rn"
+                f" FROM {P}d{i} d JOIN {src} e USING (vec_id, s)) t"
+                " WHERE rn = 1)"
+            )
+            parts.append(
+                f"{P}m{i} AS (SELECT a.s, a.cid, p.p, avg(a.sv[p.p]) AS m"
+                f" FROM {P}a{i} a CROSS JOIN {P}pos p GROUP BY 1, 2, 3)"
+            )
+            parts.append(
+                f"{P}u{i} AS (SELECT s, cid, list(m ORDER BY p) AS cv"
+                f" FROM {P}m{i} GROUP BY 1, 2)"
+            )
+            parts.append(
+                f"{P}c{i + 1} AS (SELECT c.s, c.cid,"
+                " COALESCE(u.cv, c.cv) AS cv"
+                f" FROM {P}c{i} c LEFT JOIN {P}u{i} u USING (s, cid))"
+            )
+        else:
+            parts.append(
+                f"{P}a{i} AS (SELECT vec_id, s, cid FROM ("
+                "SELECT vec_id, s, cid, row_number() OVER ("
+                "PARTITION BY vec_id, s ORDER BY dist, cid) AS rn"
+                f" FROM {P}d{i}) t WHERE rn = 1)"
+            )
+    return parts, f"{P}a{iters}", f"{P}c{iters}"
+
+
+def _pq_score_parts(m: int, k: int, iters: int, dim: int,
+                    seed: str, train_limit: int | None = None) -> list[str]:
+    """The shared PQ scoring CTEs: the fused codebook/codes chain
+    (:func:`_pq_chain_parts`), the queries' ADC lookup table, and
+    ``pq_scored`` = summed lookup distances per (query, neighbor).
+    Used by both the flat-ADC and the IVF-PQ oracle builders, so the
+    code/LUT algebra is one definition."""
+    parts, codes, books = _pq_chain_parts(
+        m, k, iters, dim, seed, prefix="s_", train_limit=train_limit,
+    )
+    parts = list(parts)
+    parts.append(
+        "s_lel AS (SELECT q.vec_id AS query_id, q.s, c.cid AS code,"
+        " unnest(q.sv) AS x, unnest(c.cv) AS y"
+        f" FROM s_semb q JOIN {books} c ON c.s = q.s WHERE q.vec_id < 5)"
+    )
+    parts.append(
+        "s_lut AS (SELECT query_id, s, code,"
+        " sum((x - y) * (x - y)) AS d FROM s_lel GROUP BY 1, 2, 3)"
+    )
+    parts.append(
+        "pq_scored AS (SELECT l.query_id, a.vec_id AS neighbor_id,"
+        f" sum(l.d) AS adist FROM {codes} a"
+        " JOIN s_lut l ON l.s = a.s AND l.code = a.cid GROUP BY 1, 2)"
     )
     return parts
 
@@ -268,23 +381,28 @@ WHERE rank <= {n}
 """
 
 
-def _materialize_ctes(sql: str) -> str:
-    """Mark every CTE MATERIALIZED: DuckDB inlines CTEs referenced
-    more than once, so the chained Lloyd's-iteration CTEs re-execute
-    multiplicatively with depth — the m=32/iters=2 residual oracle ran
-    >570 s inlined vs 23 s materialized at sf0.01. Materialization is
-    semantically transparent; every reference reads the same rows."""
-    return sql.replace(" AS (", " AS MATERIALIZED (")
+def _with_materialized(parts: list[str], tail: str) -> str:
+    """Assemble ``WITH <parts> <tail>`` with every CTE head marked
+    MATERIALIZED: DuckDB inlines CTEs referenced more than once, so
+    the chained Lloyd's-iteration CTEs re-execute multiplicatively
+    with depth — the residual oracle ran >570 s inlined vs 23 s
+    materialized at sf0.01. Materialization is semantically
+    transparent; every reference reads the same rows. Each ``parts``
+    entry is exactly one CTE definition, so rewriting only its FIRST
+    ``' AS ('`` is anchored to the head — a blanket string replace
+    over the whole SQL could corrupt a literal or alias that happens
+    to contain the token."""
+    marked = [p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts]
+    return "WITH " + ",\n".join(marked) + tail
 
 
 def _pq_topk_sql(m: int = 32, k: int = 256, iters: int = 1, dim: int = 64,
-                 n_neighbors: int = 3, seed: str = "s42") -> str:
+                 n_neighbors: int = 3, seed: str = "s42",
+                 train_limit: int | None = None) -> str:
     """DuckDB twin of pipeline.pq.pq_topk: flat ADC over every code."""
-    parts = _pq_score_parts(m, k, iters, dim, seed)
-    return _materialize_ctes(
-        "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
-            src="pq_scored", n=n_neighbors
-        )
+    parts = _pq_score_parts(m, k, iters, dim, seed, train_limit)
+    return _with_materialized(
+        parts, _PQ_TOPK_TAIL.format(src="pq_scored", n=n_neighbors)
     )
 
 
@@ -292,7 +410,8 @@ def _ivfpq_topk_sql(m: int = 32, k: int = 256, iters: int = 1,
                     dim: int = 64, n_neighbors: int = 3,
                     n_cells: int = 8, coarse_iters: int = 2,
                     n_probe: int = 6, seed: str = "s42",
-                    residual: bool = False) -> str:
+                    residual: bool = False,
+                    train_limit: int | None = None) -> str:
     """DuckDB twin of pipeline.pq.ivfpq_topk: the coarse Lloyd's chain
     assigns every corpus vector a cell, each query keeps its n_probe
     nearest final centroids ((dist, cell) tie-break, exactly the Spark
@@ -306,6 +425,7 @@ def _ivfpq_topk_sql(m: int = 32, k: int = 256, iters: int = 1,
     probed cell) against the query's residual to that cell."""
     parts, cassign, ccents = _kmeans_ctes(
         k=n_cells, iters=coarse_iters, dim=dim, seed=seed, prefix="cq_",
+        train_limit=train_limit,
     )
     parts = list(parts)
     parts.append(
@@ -328,17 +448,15 @@ def _ivfpq_topk_sql(m: int = 32, k: int = 256, iters: int = 1,
         f" FROM {cassign})"
     )
     if not residual:
-        parts.extend(_pq_score_parts(m, k, iters, dim, seed))
+        parts.extend(_pq_score_parts(m, k, iters, dim, seed, train_limit))
         parts.append(
             "ivf_scored AS (SELECT s.query_id, s.neighbor_id, s.adist"
             " FROM pq_scored s JOIN cellof c USING (neighbor_id)"
             " JOIN probes p ON p.query_id = s.query_id"
             " AND p.cell = c.cell)"
         )
-        return _materialize_ctes(
-            "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
-                src="ivf_scored", n=n_neighbors
-            )
+        return _with_materialized(
+            parts, _PQ_TOPK_TAIL.format(src="ivf_scored", n=n_neighbors)
         )
 
     sub_dim = dim // m
@@ -355,37 +473,30 @@ def _ivfpq_topk_sql(m: int = 32, k: int = 256, iters: int = 1,
         " FROM probes p JOIN cq_emb e ON e.vec_id = p.query_id"
         f" JOIN {ccents} c ON c.cid = p.cell)"
     )
-    score_ctes = []
-    for s in range(m):
-        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
-        sub_parts, assign, cents = _kmeans_ctes(
-            k=k, iters=iters, dim=sub_dim, seed=seed, prefix=f"r{s}_",
-            vec_sql=f"v[{lo}:{hi}]", from_sql="res_emb",
-        )
-        parts.extend(sub_parts)
-        parts.append(
-            f"r{s}_lel AS (SELECT q.query_id, q.cell, c.cid AS code,"
-            f" unnest(q.v[{lo}:{hi}]) AS x, unnest(c.cv) AS y"
-            f" FROM qres q CROSS JOIN {cents} c)"
-        )
-        parts.append(
-            f"r{s}_lut AS (SELECT query_id, cell, code,"
-            f" sum((x - y) * (x - y)) AS d FROM r{s}_lel GROUP BY 1, 2, 3)"
-        )
-        parts.append(
-            f"r{s}_sc AS (SELECT l.query_id, a.vec_id AS neighbor_id, l.d"
-            f" FROM {assign} a JOIN cellof cf ON cf.neighbor_id = a.vec_id"
-            f" JOIN r{s}_lut l ON l.code = a.cid AND l.cell = cf.cell)"
-        )
-        score_ctes.append(f"SELECT * FROM r{s}_sc")
-    parts.append(
-        "rpq_scored AS (SELECT query_id, neighbor_id, sum(d) AS adist"
-        f" FROM ({' UNION ALL '.join(score_ctes)}) GROUP BY 1, 2)"
+    chain_parts, codes, books = _pq_chain_parts(
+        m, k, iters, dim, seed, prefix="r_", vec_sql="v",
+        from_sql="res_emb", train_limit=train_limit,
     )
-    return _materialize_ctes(
-        "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
-            src="rpq_scored", n=n_neighbors
-        )
+    parts.extend(chain_parts)
+    parts.append(
+        "r_lel AS (SELECT q.query_id, q.cell, c.s, c.cid AS code,"
+        f" unnest(array_slice(q.v, c.s * {sub_dim} + 1,"
+        f" c.s * {sub_dim} + {sub_dim})) AS x, unnest(c.cv) AS y"
+        f" FROM qres q CROSS JOIN {books} c)"
+    )
+    parts.append(
+        "r_lut AS (SELECT query_id, cell, s, code,"
+        " sum((x - y) * (x - y)) AS d FROM r_lel GROUP BY 1, 2, 3, 4)"
+    )
+    parts.append(
+        "rpq_scored AS (SELECT l.query_id, a.vec_id AS neighbor_id,"
+        f" sum(l.d) AS adist FROM {codes} a"
+        " JOIN cellof cf ON cf.neighbor_id = a.vec_id"
+        " JOIN r_lut l ON l.s = a.s AND l.code = a.cid"
+        " AND l.cell = cf.cell GROUP BY 1, 2)"
+    )
+    return _with_materialized(
+        parts, _PQ_TOPK_TAIL.format(src="rpq_scored", n=n_neighbors)
     )
 
 
@@ -393,17 +504,20 @@ def _ivfpq_add_sql(m: int = 32, k: int = 256, iters: int = 1,
                    dim: int = 64, n_neighbors: int = 3,
                    n_cells: int = 8, coarse_iters: int = 2,
                    n_probe: int = 6, seed: str = "s42",
-                   train_pred: str = "vec_id % 2 = 0") -> str:
+                   train_pred: str = "vec_id % 2 = 0",
+                   train_limit: int | None = None) -> str:
     """DuckDB twin of ivfpq_build(train half) + ivfpq_add(rest) +
     ivfpq_search: the coarse and subspace Lloyd's chains train ONLY on
-    ``train_pred`` rows (via from_sql), then the FULL corpus is
-    assigned and encoded against those frozen final centroids /
-    codebooks — exactly the union the Spark incremental add produces,
-    since both halves end up argmin'd against the same parameters."""
+    ``train_pred`` rows (via from_sql; ``train_limit`` additionally
+    replays the bounded md5 sample within that half), then the FULL
+    corpus is assigned and encoded against those frozen final
+    centroids / codebooks — exactly the union the Spark incremental
+    add produces, since both halves end up argmin'd against the same
+    parameters."""
     train_sql = f"(SELECT * FROM embeddings WHERE {train_pred})"
     parts, _, ccents = _kmeans_ctes(
         k=n_cells, iters=coarse_iters, dim=dim, seed=seed, prefix="cq_",
-        from_sql=train_sql,
+        from_sql=train_sql, train_limit=train_limit,
     )
     parts = list(parts)
     parts.append(
@@ -441,57 +555,54 @@ def _ivfpq_add_sql(m: int = 32, k: int = 256, iters: int = 1,
         f" WHERE pr <= {n_probe})"
     )
     sub_dim = dim // m
-    score_ctes = []
-    for s in range(m):
-        lo, hi = s * sub_dim + 1, (s + 1) * sub_dim
-        sub_parts, _, cents = _kmeans_ctes(
-            k=k, iters=iters, dim=sub_dim, seed=seed, prefix=f"s{s}_",
-            vec_sql=f"CAST(embedding AS DOUBLE[])[{lo}:{hi}]",
-            from_sql=train_sql,
-        )
-        parts.extend(sub_parts)
-        # frozen-codebook codes for the FULL corpus
-        parts.append(
-            f"f{s}_el AS (SELECT e.vec_id, c.cid,"
-            f" unnest(e.v[{lo}:{hi}]) AS x, unnest(c.cv) AS y"
-            f" FROM full_emb e CROSS JOIN {cents} c)"
-        )
-        parts.append(
-            f"f{s}_d AS (SELECT vec_id, cid,"
-            " sum((x - y) * (x - y)) AS dist"
-            f" FROM f{s}_el GROUP BY 1, 2)"
-        )
-        parts.append(
-            f"f{s}_a AS (SELECT vec_id, cid FROM ("
-            "SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id"
-            f" ORDER BY dist, cid) AS rn FROM f{s}_d) t WHERE rn = 1)"
-        )
-        parts.append(
-            f"s{s}_qlel AS (SELECT e.vec_id AS query_id, c.cid AS code,"
-            f" unnest(e.v[{lo}:{hi}]) AS x, unnest(c.cv) AS y"
-            f" FROM full_emb e CROSS JOIN {cents} c WHERE e.vec_id < 5)"
-        )
-        parts.append(
-            f"s{s}_qlut AS (SELECT query_id, code,"
-            f" sum((x - y) * (x - y)) AS d FROM s{s}_qlel GROUP BY 1, 2)"
-        )
-        parts.append(
-            f"s{s}_fsc AS (SELECT l.query_id, a.vec_id AS neighbor_id,"
-            f" l.d FROM f{s}_a a JOIN s{s}_qlut l ON l.code = a.cid)"
-        )
-        score_ctes.append(f"SELECT * FROM s{s}_fsc")
+    # fused codebook chain on the train half (emit_codes=False: the
+    # frozen encode below covers the FULL corpus, so the chain's own
+    # train-half codes would be dead weight)
+    chain_parts, _, books = _pq_chain_parts(
+        m, k, iters, dim, seed, prefix="s_", from_sql=train_sql,
+        train_limit=train_limit, emit_codes=False,
+    )
+    parts.extend(chain_parts)
     parts.append(
-        "add_scored AS (SELECT s.query_id, s.neighbor_id,"
-        " sum(s.d) AS adist"
-        f" FROM ({' UNION ALL '.join(score_ctes)}) s"
-        " JOIN cellof c USING (neighbor_id)"
-        " JOIN probes p ON p.query_id = s.query_id AND p.cell = c.cell"
+        "full_semb AS (SELECT vec_id, s,"
+        f" array_slice(v, s * {sub_dim} + 1, s * {sub_dim} + {sub_dim})"
+        " AS sv FROM full_emb CROSS JOIN s_sub)"
+    )
+    # frozen-codebook codes for the FULL corpus (both halves)
+    parts.append(
+        "f_el AS (SELECT e.vec_id, e.s, c.cid, unnest(e.sv) AS x,"
+        f" unnest(c.cv) AS y FROM full_semb e"
+        f" JOIN {books} c ON c.s = e.s)"
+    )
+    parts.append(
+        "f_d AS (SELECT vec_id, s, cid, sum((x - y) * (x - y)) AS dist"
+        " FROM f_el GROUP BY 1, 2, 3)"
+    )
+    parts.append(
+        "f_a AS (SELECT vec_id, s, cid FROM ("
+        "SELECT vec_id, s, cid, row_number() OVER (PARTITION BY vec_id,"
+        " s ORDER BY dist, cid) AS rn FROM f_d) t WHERE rn = 1)"
+    )
+    parts.append(
+        "s_qlel AS (SELECT e.vec_id AS query_id, e.s, c.cid AS code,"
+        " unnest(e.sv) AS x, unnest(c.cv) AS y"
+        f" FROM full_semb e JOIN {books} c ON c.s = e.s"
+        " WHERE e.vec_id < 5)"
+    )
+    parts.append(
+        "s_qlut AS (SELECT query_id, s, code,"
+        " sum((x - y) * (x - y)) AS d FROM s_qlel GROUP BY 1, 2, 3)"
+    )
+    parts.append(
+        "add_scored AS (SELECT l.query_id, a.vec_id AS neighbor_id,"
+        " sum(l.d) AS adist FROM f_a a"
+        " JOIN s_qlut l ON l.s = a.s AND l.code = a.cid"
+        " JOIN cellof c ON c.neighbor_id = a.vec_id"
+        " JOIN probes p ON p.query_id = l.query_id AND p.cell = c.cell"
         " GROUP BY 1, 2)"
     )
-    return _materialize_ctes(
-        "WITH " + ",\n".join(parts) + _PQ_TOPK_TAIL.format(
-            src="add_scored", n=n_neighbors
-        )
+    return _with_materialized(
+        parts, _PQ_TOPK_TAIL.format(src="add_scored", n=n_neighbors)
     )
 
 
@@ -2139,14 +2250,16 @@ def q_sim_pq_topk(spark, sf_dir):
     # Product quantization ANN: per-subspace deterministic k-means
     # codebooks, 32-byte codes, ADC top-3. Every training/encode/score
     # step is deterministic, so the compressed index has an exact
-    # oracle (per-subspace unrolled Lloyd's chains + lookup-table sum).
-    # m=32/k=256 are the recall-first defaults (recall@10 = 0.82 on
+    # oracle (ONE fused Lloyd's chain with the subspace as a grouping
+    # key + lookup-table sum).
+    # m=32/k=256 are the recall-first defaults (recall@10 = 0.83 on
     # the isotropic test corpus vs 0.16 at the old m=4/k=16 demo
-    # params — RECALL_r10.json).
+    # params — RECALL_r11.json); train_n=1024 bounds codebook training
+    # to the deterministic md5 sample the oracle replays.
     from net_spider_spark.pipeline import pq as PQ
 
     emb = demo.read_table(spark, sf_dir, "embeddings")
-    books = PQ.pq_train(emb, dim=64, m=32, k=256, iters=1)
+    books = PQ.pq_train(emb, dim=64, m=32, k=256, iters=1, train_n=1024)
     codes = PQ.pq_encode(emb, books)
     return PQ.pq_topk(emb.where(F.col("vec_id") < 5), codes, books, k=3)
 
@@ -2157,17 +2270,19 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     # fine quantizer the PQ subspace codebooks, so the ENTIRE index —
     # cells, codes, probes, ADC sums — replays exactly in DuckDB
     # (unlike sim_ivf_topk, whose MLlib coarse step forces exhaustive
-    # probing in its oracle). n_probe=6 of 8 cells: the oracle attests
-    # the pruning itself, not just the scoring. Defaults are the
-    # recall-first config (recall@10 = 0.80 vs 0.16 at the old
-    # m=4/k=16/probe-2 demo params — RECALL_r10.json).
+    # probing in its oracle). n_probe=7 of 8 cells: the oracle attests
+    # the pruning itself, not just the scoring. train_n=1024 trains
+    # both quantizers on the bounded md5 sample (the FAISS recipe; the
+    # oracle replays the same sample), and the config holds recall@10
+    # = 0.80 (RECALL_r11.json; 0.16 at the old m=4/k=16/probe-2 demo
+    # params).
     from net_spider_spark.pipeline import pq as PQ
 
     emb = demo.read_table(spark, sf_dir, "embeddings")
     return PQ.ivfpq_topk(
         emb.where(F.col("vec_id") < 5), emb, dim=64, k=3,
-        n_cells=8, n_probe=6, coarse_iters=2, m=32, k_codes=256,
-        pq_iters=1,
+        n_cells=8, n_probe=7, coarse_iters=2, m=32, k_codes=256,
+        pq_iters=1, train_n=1024,
     )
 
 
@@ -2179,16 +2294,17 @@ def q_sim_ivfpq_residual(spark, sf_dir):
     # table, the residual-trained subspace chains, and the
     # (query, cell)-keyed ADC exactly. pq_iters=2: residual codebooks
     # start from raw-vector slices, so they need one extra Lloyd
-    # iteration to center on the residual distribution (recall@10 =
-    # 0.81 at these defaults vs 0.15 at the old m=4/k=16/probe-2 —
-    # RECALL_r10.json).
+    # iteration to center on the residual distribution. train_n=1024
+    # bounds both quantizers' training to the md5 sample; recall@10 =
+    # 0.80 at these defaults (RECALL_r11.json; 0.15 at the old
+    # m=4/k=16/probe-2 demo params).
     from net_spider_spark.pipeline import pq as PQ
 
     emb = demo.read_table(spark, sf_dir, "embeddings")
     return PQ.ivfpq_topk(
         emb.where(F.col("vec_id") < 5), emb, dim=64, k=3,
-        n_cells=8, n_probe=6, coarse_iters=2, m=32, k_codes=256,
-        pq_iters=2, residual=True,
+        n_cells=8, n_probe=7, coarse_iters=2, m=32, k_codes=256,
+        pq_iters=2, residual=True, train_n=1024,
     )
 
 
@@ -2205,11 +2321,11 @@ def q_sim_ivfpq_add(spark, sf_dir):
     emb = demo.read_table(spark, sf_dir, "embeddings")
     idx = PQ.ivfpq_build(
         emb.where(F.col("vec_id") % 2 == 0), dim=64, n_cells=8,
-        coarse_iters=2, m=32, k_codes=256, pq_iters=1,
+        coarse_iters=2, m=32, k_codes=256, pq_iters=1, train_n=1024,
     )
     idx = PQ.ivfpq_add(idx, emb.where(F.col("vec_id") % 2 == 1))
     return PQ.ivfpq_search(
-        idx, emb.where(F.col("vec_id") < 5), k=3, n_probe=6
+        idx, emb.where(F.col("vec_id") < 5), k=3, n_probe=7
     )
 
 
@@ -5742,17 +5858,20 @@ FROM {_kmeans_cte_sql(k=8, iters=2)[1]} a LEFT JOIN dups d USING (vec_id)
 """
         ),
         "sim_pq_topk": _pq_topk_sql(m=32, k=256, iters=1, dim=64,
-                                    n_neighbors=3),
+                                    n_neighbors=3, train_limit=1024),
         "sim_ivfpq_topk": _ivfpq_topk_sql(m=32, k=256, iters=1, dim=64,
                                           n_neighbors=3, n_cells=8,
-                                          coarse_iters=2, n_probe=6),
+                                          coarse_iters=2, n_probe=7,
+                                          train_limit=1024),
         "sim_ivfpq_residual": _ivfpq_topk_sql(m=32, k=256, iters=2,
                                               dim=64, n_neighbors=3,
                                               n_cells=8, coarse_iters=2,
-                                              n_probe=6, residual=True),
+                                              n_probe=7, residual=True,
+                                              train_limit=1024),
         "sim_ivfpq_add": _ivfpq_add_sql(m=32, k=256, iters=1, dim=64,
                                         n_neighbors=3, n_cells=8,
-                                        coarse_iters=2, n_probe=6),
+                                        coarse_iters=2, n_probe=7,
+                                        train_limit=1024),
         # warc extract: the archive round-trips the text, so every
         # output is an analytic function of the documents columns;
         # the text chain replays html_to_text minus the script/style

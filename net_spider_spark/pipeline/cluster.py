@@ -98,26 +98,40 @@ def kmeans_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "s42",
+    train_n: int | None = None,
 ) -> tuple[list[tuple[int, list[float]]], DataFrame]:
     """Run deterministic Lloyd's; return (final centroids, assignment).
 
     ``iters`` counts centroid UPDATE steps: the returned assignment is
     against the centroids after ``iters`` updates (iters=0 assigns
     against the raw bottom-k-by-hash seeds).
+
+    ``train_n`` bounds seed selection and every Lloyd's iteration to a
+    deterministic bottom-train_n-by-``md5(seed:sample:id)`` sample
+    (same device as :func:`net_spider_spark.pipeline.pq._train_sample`)
+    — centroid estimation needs a distribution sample, not the corpus.
+    The RETURNED assignment always covers the full ``df``: one final
+    frozen-centroid argmin over everything, the only corpus-sized pass.
     """
     vecs = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     )
+    train = vecs
+    if train_n is not None:
+        h = F.md5(
+            F.concat(F.lit(seed + ":sample:"), F.col("_id").cast("string"))
+        )
+        train = vecs.orderBy(h, "_id").limit(train_n)
     seed_rows = (
-        vecs.withColumn("_h", _hash_expr("_id", seed))
+        train.withColumn("_h", _hash_expr("_id", seed))
         .orderBy("_h", "_id")
         .limit(k)
         .collect()
     )
     centroids = [(cid, list(r["_v"])) for cid, r in enumerate(seed_rows)]
 
-    assigned = _assign(vecs, centroids)
+    assigned = _assign(train, centroids)
     for _ in range(iters):
         means = (
             assigned.select("cluster_id", F.posexplode("_v").alias("pos", "x"))
@@ -138,6 +152,8 @@ def kmeans_fit(
             )
             for cid, vec in centroids
         ]
+        assigned = _assign(train, centroids)
+    if train_n is not None:
         assigned = _assign(vecs, centroids)
     return centroids, assigned
 

@@ -28,6 +28,11 @@ Scale shapes:
   :func:`net_spider_spark.pipeline.cluster.kmeans_fit` over sliced
   subvectors (broadcast argmin + one posexplode-mean shuffle per
   iteration; nothing driver-sized but the k*dim/m centroid table).
+  Training is bounded by default to a deterministic md5 sample
+  (``train_n=100_000`` — the FAISS recipe: codebooks estimate a
+  distribution, so per-iteration work is capped at train_n*m*k
+  regardless of corpus size; only the one-shot encode touches every
+  row).
 * **encode** — one broadcast hash-join of the exploded (id, sub,
   subvector) table against the m*k codebook, two-phase primitive-
   hash-aggregate argmin (see :func:`_argmin_codes` — no window, no
@@ -77,16 +82,32 @@ def _subslice(vec, sub: int, sub_dim: int):
 def _explode_subvectors(df: DataFrame, m: int, sub_dim: int,
                         id_col: str, vec_col: str,
                         out_id: str = "_id") -> DataFrame:
-    """(out_id, sub, sv): every vector split into its m subvectors."""
+    """(out_id, sub, sv): every vector split into its m subvectors.
+
+    The output feeds a x m explode then a x k broadcast join — a
+    m*k-fold row multiplication that happens IN PLACE, in whatever
+    partitions the input scan produced. A small input (one parquet
+    footer, a TakeOrderedAndProject sample) arrives as 1 partition, and
+    the multiplied stream then evaluates single-threaded: measured
+    23 s/TASK for the m=32,k=256 argmin pass over a 1-partition
+    2000-vector table on local[32], vs <1 s spread. So when the input
+    has fewer partitions than cores, repartition the NARROW (id, vec)
+    projection first — a shuffle of 1x data guarding a m*k-fold
+    expansion. Inputs that already arrive wide (any real corpus scan)
+    skip the shuffle entirely."""
     v = F.col(vec_col).cast("array<double>")
-    return df.select(
-        F.col(id_col).alias(out_id),
+    proj = df.select(F.col(id_col).alias(out_id), v.alias("_v"))
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < target:
+        proj = proj.repartition(target, out_id)
+    return proj.select(
+        F.col(out_id),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(s).alias("sub"),
-                        _subslice(v, s, sub_dim).alias("sv"),
+                        _subslice(F.col("_v"), s, sub_dim).alias("sv"),
                     )
                     for s in range(m)
                 ]
@@ -169,6 +190,23 @@ def _argmin_codes(
     )
 
 
+def _train_sample(df: DataFrame, train_n: int | None,
+                  id_col: str, seed: str) -> DataFrame:
+    """Bounded deterministic training sample: the ``train_n`` rows with
+    the smallest ``md5(seed:sample:id)``. ``orderBy(hash).limit(n)``
+    plans as TakeOrderedAndProject — per-partition top-n, only n rows
+    cross the wire — so at 100 TB the sample costs one scan, never a
+    sort. The hash device is the same portable bottom-k-by-md5 used for
+    centroid seeds (different key string, so sample membership and seed
+    rank are independent draws), and DuckDB replays it verbatim."""
+    if train_n is None:
+        return df
+    h = F.md5(
+        F.concat(F.lit(seed + ":sample:"), F.col(id_col).cast("string"))
+    )
+    return df.orderBy(h, id_col).limit(train_n)
+
+
 def pq_train(
     df: DataFrame,
     dim: int,
@@ -178,6 +216,7 @@ def pq_train(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "s42",
+    train_n: int | None = 100_000,
 ) -> list[tuple[int, int, list[float]]]:
     """Train one deterministic k-means codebook per subspace.
 
@@ -190,11 +229,21 @@ def pq_train(
     seeds are the s-th slices of the same k seed rows (identical to
     training each subspace independently — pinned by the numpy parity
     test and the per-subspace oracle chains).
+
+    ``train_n`` bounds the Lloyd's iterations to a deterministic
+    bottom-train_n-by-md5 sample (:func:`_train_sample`): codebook
+    QUALITY needs a distribution estimate, not the corpus — k-means on
+    a 100k sample is the standard billion-scale recipe (FAISS trains
+    IVF-PQ the same way), and it caps the per-iteration argmin work at
+    train_n*m*k regardless of corpus size. Encoding (the corpus-sized
+    pass) happens once, in :func:`pq_encode`, against the frozen
+    books. ``train_n=None`` trains on everything.
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
     spark = df.sparkSession
+    df = _train_sample(df, train_n, id_col, seed)
     seed_rows = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -337,6 +386,7 @@ def ivfpq_topk(
     vec_col: str = "embedding",
     seed: str = "s42",
     residual: bool = False,
+    train_n: int | None = 100_000,
 ) -> DataFrame:
     """IVF-PQ ANN — the standard billion-scale index shape (Jégou et
     al. 2011), composed from the two deterministic pieces this engine
@@ -381,6 +431,7 @@ def ivfpq_topk(
         corpus, dim=dim, n_cells=n_cells, coarse_iters=coarse_iters,
         m=m, k_codes=k_codes, pq_iters=pq_iters,
         id_col=id_col, vec_col=vec_col, seed=seed, residual=residual,
+        train_n=train_n,
     )
     return ivfpq_search(
         index, queries, k=k, n_probe=n_probe,
@@ -416,15 +467,23 @@ def ivfpq_build(
     vec_col: str = "embedding",
     seed: str = "s42",
     residual: bool = False,
+    train_n: int | None = 100_000,
 ) -> IvfPqIndex:
     """Build the IVF-PQ index over ``corpus`` (see :func:`ivfpq_topk`
     for the algorithm and scale shape). One-time cost; the returned
-    index serves any number of :func:`ivfpq_search` calls."""
+    index serves any number of :func:`ivfpq_search` calls.
+
+    ``train_n`` bounds BOTH quantizers' Lloyd's iterations to the same
+    deterministic md5 sample (the FAISS recipe — codebooks estimate a
+    distribution; only cell assignment and encoding touch the corpus,
+    once each, against frozen parameters). In residual mode the sample
+    is drawn from the residual table by the same ids, so the two
+    quantizers see consistent rows."""
     from net_spider_spark.pipeline import cluster as CL
 
     cents, assigned = CL.kmeans_fit(
         corpus, k=n_cells, iters=coarse_iters,
-        id_col=id_col, vec_col=vec_col, seed=seed,
+        id_col=id_col, vec_col=vec_col, seed=seed, train_n=train_n,
     )
     cells = assigned.select(
         F.col("_id").alias("neighbor_id"),
@@ -440,7 +499,7 @@ def ivfpq_build(
         )
         books = pq_train(
             res, dim=dim, m=m, k=k_codes, iters=pq_iters,
-            id_col="_id", vec_col="_rv", seed=seed,
+            id_col="_id", vec_col="_rv", seed=seed, train_n=train_n,
         )
         codes = pq_encode(res, books, id_col="_id", vec_col="_rv").select(
             F.col("_id").alias("neighbor_id"), "codes"
@@ -448,7 +507,7 @@ def ivfpq_build(
     else:
         books = pq_train(
             corpus, dim=dim, m=m, k=k_codes, iters=pq_iters,
-            id_col=id_col, vec_col=vec_col, seed=seed,
+            id_col=id_col, vec_col=vec_col, seed=seed, train_n=train_n,
         )
         codes = pq_encode(
             corpus, books, id_col=id_col, vec_col=vec_col

@@ -135,3 +135,25 @@ def test_kmeans_plan_is_catalyst_only(emb):
     plan = CL.kmeans_assign(emb, k=4, iters=1)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_kmeans_fit_train_n_assigns_full_corpus(spark):
+    # Sampled training must still assign EVERY input row (one frozen-
+    # centroid argmin over the full table), and the centroids must
+    # differ only through the sample — train_n >= corpus reproduces
+    # unbounded training exactly.
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (int(i), [float(x) for x in rng.normal(size=4)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents, assigned = CL.kmeans_fit(df, k=3, iters=1, train_n=20)
+    got = assigned.select("_id").distinct().count()
+    assert got == 60
+    cents_full, _ = CL.kmeans_fit(df, k=3, iters=1, train_n=None)
+    cents_cap, _ = CL.kmeans_fit(df, k=3, iters=1, train_n=10_000)
+    for (c1, v1), (c2, v2) in zip(cents_full, cents_cap):
+        assert c1 == c2
+        np.testing.assert_allclose(v1, v2, rtol=0)

@@ -326,3 +326,36 @@ def test_ivfpq_add_frozen_codebooks(emb):
     self_rows = [r for r in got if r["neighbor_id"] == 50]
     assert self_rows, "planted vector missing from its own cell"
     assert self_rows[0]["adist"] == min(r["adist"] for r in got)
+
+
+def test_train_n_replays_the_md5_sample(emb):
+    # Bounded-sample training (the FAISS recipe pq_train defaults to):
+    # codebooks trained with train_n=n must equal the numpy spec run on
+    # the bottom-n rows by md5('s42:sample:' || id) — the same portable
+    # device the DuckDB oracles replay — and a train_n >= corpus must
+    # be a no-op versus unbounded training.
+    rows = emb.collect()
+    ids = [r["vec_id"] for r in rows]
+    vecs = [np.array(r["embedding"], dtype=float) for r in rows]
+    n = 32
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5(f"s42:sample:{ids[i]}".encode()).hexdigest(),
+            ids[i],
+        ),
+    )
+    keep = sorted(order[:n])
+    got = PQ.pq_train(emb, dim=8, m=4, k=4, iters=1, train_n=n)
+    ref = _np_pq(
+        [ids[i] for i in keep], [vecs[i] for i in keep],
+        dim=8, m=4, k=4, iters=1,
+    )
+    for s, cid, cv in got:
+        np.testing.assert_allclose(cv, ref[s][0][cid], rtol=1e-12)
+
+    full = PQ.pq_train(emb, dim=8, m=4, k=4, iters=1, train_n=None)
+    capped = PQ.pq_train(emb, dim=8, m=4, k=4, iters=1, train_n=10_000)
+    assert [(s, c, [round(x, 12) for x in v]) for s, c, v in full] == [
+        (s, c, [round(x, 12) for x in v]) for s, c, v in capped
+    ]

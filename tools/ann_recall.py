@@ -113,7 +113,9 @@ def main() -> None:
     # Contract defaults since r10: m=32/k=256 codebooks, probe 6 of 8
     # (the old m=4/k=16/probe-2 demo params gave recall@10 = 0.15 —
     # near-random neighbors — on this isotropic corpus; RECALL_r09).
-    books = PQ.pq_train(emb, dim=dim, m=32, k=256, iters=1)
+    # train_n=1024: the bounded-sample training the contract queries
+    # use (pq_train samples bottom-1024-by-md5; FAISS-style recipe)
+    books = PQ.pq_train(emb, dim=dim, m=32, k=256, iters=1, train_n=1024)
     codes = PQ.pq_encode(emb, books)
     timed(
         "pq_adc",  # 32x256 codebooks = dim/8 compression
@@ -121,10 +123,10 @@ def main() -> None:
         gt_l2,
     )
     timed(
-        "ivfpq",  # 8 cells probe 6 on top of the same code size
+        "ivfpq",  # 8 cells probe 7 on top of the same code size
         lambda: PQ.ivfpq_topk(
-            queries, emb, dim=dim, k=K, n_cells=8, n_probe=6,
-            coarse_iters=2, m=32, k_codes=256, pq_iters=1,
+            queries, emb, dim=dim, k=K, n_cells=8, n_probe=7,
+            coarse_iters=2, m=32, k_codes=256, pq_iters=1, train_n=1024,
         ),
         gt_l2,
     )
@@ -133,8 +135,9 @@ def main() -> None:
         # residuals; pq_iters=2 so the codebooks center on the
         # residual distribution (contract default)
         lambda: PQ.ivfpq_topk(
-            queries, emb, dim=dim, k=K, n_cells=8, n_probe=6,
+            queries, emb, dim=dim, k=K, n_cells=8, n_probe=7,
             coarse_iters=2, m=32, k_codes=256, pq_iters=2, residual=True,
+            train_n=1024,
         ),
         gt_l2,
     )
@@ -153,7 +156,8 @@ def main() -> None:
         lambda: SIM.ivf_topk(queries, emb, k=K, n_centroids=16, n_probe=8),
         gt_cos,
     )
-    books_t = PQ.pq_train(emb, dim=dim, m=32, k=256, iters=2)
+    books_t = PQ.pq_train(emb, dim=dim, m=32, k=256, iters=2,
+                          train_n=1024)
     codes_t = PQ.pq_encode(emb, books_t)
     timed(
         "pq_adc_tuned",  # extra Lloyd iteration on the same code size
