@@ -2476,8 +2476,9 @@ def q_curate_url_dedup(spark, sf_dir):
 def _robots_corpus(spark, sf_dir):
     # One robots.txt per synthesized host (doc_id % 5): hosts 0-3 carry
     # a badbot group (must be ignored for agent '*'), a '*' group with
-    # disallow/allow/disallow rules plus two RFC 9309 wildcard rules
-    # (mid-pattern * and $ anchors), an inline comment, an EMPTY
+    # disallow/allow/disallow rules plus three RFC 9309 wildcard rules
+    # (mid-pattern *, a $ anchor, and a query-targeting /*?sid=), an
+    # inline comment, an EMPTY
     # Disallow (must be dropped: empty = allow all), and a Crawl-delay
     # line (not a rule); host 4 has ONLY the badbot group, so every
     # URL on it falls through to allowed-by-default.
@@ -2493,7 +2494,7 @@ def _robots_corpus(spark, sf_dir):
             "User-Agent: *\nDisallow: /private/   # staff only\n"
             "Allow: /private/ok/\nDisallow: /tmp\nDisallow:\n"
             "Disallow: /*.json$\nDisallow: /sea*rch$\n"
-            "Crawl-delay: 3"
+            "Disallow: /*?sid=\nCrawl-delay: 3"
         )
     )
     return hosts.select(
@@ -2519,11 +2520,13 @@ def q_curate_robots_filter(spark, sf_dir):
     # frontier: /doc/ no rule match, /private/ disallowed,
     # /private/ok/ re-allowed by the LONGER allow rule, /tmp
     # disallowed, *.json$ disallowed by the wildcard-anchor rule,
-    # .jsonx NOT matched (the $ anchor holds), /search?q= disallowed
-    # by the mid-pattern wildcard after query stripping, the bare
-    # authority matched as the root path '/', and every URL on the
-    # rule-less host 4 allowed by default. The oracle predicts
-    # allowed analytically per doc_id.
+    # .jsonx NOT matched (the $ anchor holds), /search?q= ALLOWED —
+    # patterns match path+query, so the $-anchored /sea*rch$ must NOT
+    # match once the query is kept — /item?sid= disallowed by the
+    # query-targeting /*?sid= wildcard, the bare authority matched as
+    # the root path '/', and every URL on the rule-less host 4
+    # allowed by default. The oracle predicts allowed analytically
+    # per doc_id.
     from net_spider_spark.pipeline import url as URL
 
     docs = demo.read_table(spark, sf_dir, "documents")
@@ -2537,7 +2540,9 @@ def q_curate_robots_filter(spark, sf_dir):
                                    F.lit(".json")))
         .when(d % 8 == 5, F.concat(F.lit("/files/f"), d.cast("string"),
                                    F.lit(".jsonx")))
-        .when(d % 8 == 6, F.concat(F.lit("/search?q="), d.cast("string")))
+        .when(d % 16 == 6, F.concat(F.lit("/search?q="), d.cast("string")))
+        .when(d % 16 == 14, F.concat(F.lit("/item"), d.cast("string"),
+                                     F.lit("?sid=track")))
         .otherwise(F.lit(""))  # bare authority: path must match as '/'
     )
     urls = docs.select(
@@ -5934,7 +5939,7 @@ WITH h AS (
 ),
 r(allow, path_prefix) AS (
   VALUES (false, '/private/'), (true, '/private/ok/'), (false, '/tmp'),
-         (false, '/*.json$'), (false, '/sea*rch$')
+         (false, '/*.json$'), (false, '/sea*rch$'), (false, '/*?sid=')
 )
 SELECT 'host' || CAST(h AS VARCHAR) || '.test' AS host,
        allow, path_prefix
@@ -5942,8 +5947,10 @@ FROM h CROSS JOIN r
 """,
         # robots filter: allowed is an analytic function of doc_id —
         # host 4 has no '*' rules (default allow); elsewhere /doc/ has
-        # no matching prefix, /private/ok/ wins by longest match, and
-        # /private/ + /tmp are disallowed.
+        # no matching prefix, /private/ok/ wins by longest match,
+        # /private/ + /tmp are disallowed, and patterns match
+        # path+query (the kept ?q= defeats the $ anchor; ?sid= is
+        # caught by the query-targeting wildcard).
         "curate_robots_filter": """
 SELECT doc_id,
        'http://host' || CAST(doc_id % 5 AS VARCHAR) || '.test'
@@ -5953,13 +5960,17 @@ SELECT doc_id,
                  WHEN doc_id % 8 = 3 THEN '/tmp' || CAST(doc_id AS VARCHAR)
                  WHEN doc_id % 8 = 4 THEN '/data/' || CAST(doc_id AS VARCHAR) || '.json'
                  WHEN doc_id % 8 = 5 THEN '/files/f' || CAST(doc_id AS VARCHAR) || '.jsonx'
-                 WHEN doc_id % 8 = 6 THEN '/search?q=' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 16 = 6 THEN '/search?q=' || CAST(doc_id AS VARCHAR)
+                 WHEN doc_id % 16 = 14 THEN '/item' || CAST(doc_id AS VARCHAR) || '?sid=track'
                  ELSE '' END AS url,
        'host' || CAST(doc_id % 5 AS VARCHAR) || '.test' AS host,
        -- host 4: no '*' rules at all; cases 0/5/7 match no rule except
-       -- host0's Disallow '/'; case 2's long Allow wins everywhere
+       -- host0's Disallow '/'; case 2's long Allow wins everywhere;
+       -- case 6 (mod 16): /sea*rch$ must NOT match path+query, so
+       -- allowed off host0; case 14 (mod 16): /*?sid= disallows
        (doc_id % 5 = 4) OR (doc_id % 8 = 2)
-         OR (doc_id % 8 IN (0, 5, 7) AND doc_id % 5 <> 0) AS allowed
+         OR (doc_id % 8 IN (0, 5, 7) AND doc_id % 5 <> 0)
+         OR (doc_id % 16 = 6 AND doc_id % 5 <> 0) AS allowed
 FROM documents
 """,
         # host authority: the same unrolled integer power method as

@@ -230,15 +230,20 @@ def robots_filter(
     """Apply :func:`robots_rules` output to a URL frontier with RFC
     9309 longest-match-wins semantics (Allow wins length ties):
     returns (id_col, url, host, allowed). URLs with no matching rule —
-    or whose host has no rules at all — are allowed. A URL with no
-    path component matches as ``/`` (RFC 9309: the root path), so
-    ``Disallow: /`` blocks ``http://a.test`` too.
+    or whose host has no rules at all — are allowed. Patterns match
+    against PATH + QUERY (only the ``#fragment`` is stripped —
+    RFC 9309 / google/robotstxt's GetPathParamsQuery), so a
+    query-targeting rule like ``Disallow: /*?sid=`` works and a
+    ``$``-anchored rule must match through the query string. A URL
+    with no path component matches as ``/`` (the root path, so
+    ``Disallow: /`` blocks ``http://a.test``); a query with no path
+    (``http://a.test?q``) matches as ``/?q``.
 
     Rule paths support the full RFC 9309 pattern syntax: ``*`` matches
     any octet sequence and a trailing ``$`` anchors the end; matching
     compiles each pattern to a SQL LIKE (escape ``!``, translate ``*``
     to ``%``, append ``%`` unless anchored) — prefix rules are just
-    patterns without wildcards. Specificity stays the octet length of
+    patterns without wildcards. Specificity is the octet length of
     the RAW rule path (RFC 9309 2.2.2: most octets wins; ``*``/``$``
     count as octets, matching the reference google/robotstxt matcher).
 
@@ -249,16 +254,19 @@ def robots_filter(
     broadcasts when the rule table is small."""
     raw_path = F.regexp_replace(
         F.regexp_replace(F.col(url_col), _AUTHORITY_RE, ""),
-        "[?#].*$",
+        "#.*$",
         "",
     )
     u = urls.select(
         F.col(id_col),
         F.col(url_col).alias("url"),
         url_host(F.col(url_col)).alias("host"),
-        F.when(raw_path == "", F.lit("/")).otherwise(raw_path).alias(
-            "_path"
-        ),
+        F.when(raw_path == "", F.lit("/"))
+        .when(
+            raw_path.startswith("?"), F.concat(F.lit("/"), raw_path)
+        )
+        .otherwise(raw_path)
+        .alias("_path"),
     )
     anchored = F.col("path_prefix").endswith("$")
     body = F.when(
@@ -279,7 +287,7 @@ def robots_filter(
         .agg(
             F.max(
                 F.struct(
-                    F.length("path_prefix").alias("l"),
+                    F.octet_length("path_prefix").alias("l"),
                     F.col("allow").alias("allow"),
                 )
             ).alias("_best")

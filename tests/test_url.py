@@ -174,7 +174,8 @@ def test_robots_filter_longest_match_wins(spark):
         [
             (1, "http://a.test/private/x"),
             (2, "http://a.test/private/ok/y"),
-            (3, "http://a.test/doc/1?q=2"),     # query excluded from path
+            (3, "http://a.test/doc/1?q=2"),     # query kept; /doc allow
+                                                 # still longest match
             (4, "http://a.test/other"),          # '/' disallow catches
             (5, "http://b.test/anything"),       # no rules -> allowed
         ],
@@ -236,14 +237,19 @@ def test_extract_links_and_host_graph(spark):
 
 def test_robots_filter_rfc9309_wildcards(spark):
     # RFC 9309 pattern syntax: '*' spans any octets, trailing '$'
-    # anchors the end, specificity is raw-pattern octet length, and a
-    # URL with no path component matches as '/'.
+    # anchors the end, specificity is raw-pattern octet length, a URL
+    # with no path component matches as '/', and patterns match
+    # PATH + QUERY (google/robotstxt GetPathParamsQuery: only the
+    # fragment is stripped) — so a $ anchor must NOT match through a
+    # query string and a /*?sid= rule must catch tracking URLs.
     rules = spark.createDataFrame(
         [
             ("a.test", False, "/*.json$"),
             ("a.test", False, "/sea*rch$"),
             ("a.test", True, "/data/pub*"),
             ("a.test", False, "/"),
+            ("c.test", False, "/sea*rch$"),
+            ("c.test", False, "/*?sid="),
         ],
         "host string, allow boolean, path_prefix string",
     )
@@ -251,10 +257,23 @@ def test_robots_filter_rfc9309_wildcards(spark):
         [
             (1, "http://a.test/data/x.json"),       # *.json$ -> deny
             (2, "http://a.test/data/x.jsonx"),      # anchor holds -> '/' only
-            (3, "http://a.test/search?q=1"),        # query stripped -> deny
+            (3, "http://a.test/search?q=1"),        # '/' -> deny ($ rule
+                                                    # does NOT match: query
+                                                    # kept, no 'rch' suffix)
             (4, "http://a.test/data/pub/x.json"),   # allow (10) beats deny (8)
             (5, "http://a.test"),                   # bare authority = '/'
             (6, "http://b.test/anything"),          # no rules -> allow
+            (7, "http://c.test/search?q=1"),        # anchor fails on kept
+                                                    # query -> allow
+            (8, "http://c.test/sea/x/rch"),         # mid-* + $ -> deny
+            (9, "http://c.test/item?sid=4"),        # query-targeting
+                                                    # wildcard -> deny
+            (10, "http://c.test/item?x=1"),         # other query -> allow
+            (11, "http://c.test?sid=3"),            # no path + query =
+                                                    # '/?sid=3' -> deny
+            (12, "http://c.test/search#rch"),       # fragment stripped:
+                                                    # '/search' ends rch ->
+                                                    # deny
         ],
         "doc_id long, url string",
     )
@@ -263,7 +282,8 @@ def test_robots_filter_rfc9309_wildcards(spark):
         for r in U.robots_filter(urls, rules).collect()
     }
     assert got == {1: False, 2: False, 3: False, 4: True, 5: False,
-                   6: True}
+                   6: True, 7: True, 8: False, 9: False, 10: True,
+                   11: False, 12: False}
 
 
 def test_robots_filter_escapes_like_metachars(spark):
