@@ -386,19 +386,35 @@ def write_graphml(
     """Serialize (snapshot_nodes, snapshot_links) DataFrames to a GraphML
     document string (``writeGraphMLWith``). Struct-typed attr columns
     declare their ``attr.type`` straight from the schema (typed scalars,
-    GraphML/Attribute.hs:29-35); map attrs fall back to inference."""
+    GraphML/Attribute.hs:29-35); map attrs fall back to inference.
+
+    Sizing guard: below the driver byte budget both sides are collected
+    once (fastest); above it the document streams through
+    :func:`write_graphml_to`'s ``toLocalIterator`` path, so the only
+    driver-sized allocation is the returned string itself. A string
+    return is inherently driver-sized — for snapshots where even the
+    document doesn't fit, use :func:`write_graphml_file`."""
     import io
 
-    node_rows = nodes.collect()
-    link_rows = links.collect()
+    from net_spider_spark import sizing
+
     buf = io.StringIO()
-    _emit_graphml(
-        nodes,
-        links,
-        buf.write,
-        lambda df: node_rows if df is nodes else link_rows,
-        default_directed,
-    )
+    n_nodes = nodes.count()
+    n_links = links.count()
+    if sizing.fits_in_driver(
+        nodes, n_nodes, tag="graphml_nodes"
+    ) and sizing.fits_in_driver(links, n_links, tag="graphml_links"):
+        node_rows = nodes.collect()
+        link_rows = links.collect()
+        _emit_graphml(
+            nodes,
+            links,
+            buf.write,
+            lambda df: node_rows if df is nodes else link_rows,
+            default_directed,
+        )
+    else:
+        write_graphml_to(nodes, links, buf.write, default_directed)
     return buf.getvalue()
 
 

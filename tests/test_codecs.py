@@ -535,3 +535,40 @@ def test_timestamp_reference_spec_cases():
     for text, ms, off, name in cases:
         t = parse_timestamp(text)
         assert (t.epoch_ms, t.tz_offset_min, t.tz_name) == (ms, off, name), text
+
+
+def test_write_graphml_streams_above_driver_budget(spark, monkeypatch):
+    # Library entry point at the sizing guard boundary: when
+    # fits_in_driver says no, write_graphml must route through the
+    # toLocalIterator streaming writer — patch DataFrame.collect to
+    # fail so any collect on the oversized path is an error, and the
+    # document must still come out byte-identical to the small path.
+    from pyspark.sql import DataFrame
+
+    from net_spider_spark import sizing
+
+    findings = [
+        FoundNode("a", 1000, [FoundLink("b", "to_target", {"w": "1"})]),
+        FoundNode("b", 2000, [FoundLink("a", "to_subject", {})]),
+    ]
+    nodes, links = get_snapshot(findings_to_df(spark, findings), Query())
+    nodes, links = nodes.persist(), links.persist()
+    expected = write_graphml(nodes, links)
+
+    monkeypatch.setattr(
+        sizing, "fits_in_driver", lambda *a, **kw: False
+    )
+    real_collect = DataFrame.collect
+
+    def no_collect(self):
+        raise AssertionError(
+            "write_graphml collected a DataFrame above the driver budget"
+        )
+
+    monkeypatch.setattr(DataFrame, "collect", no_collect)
+    try:
+        got = write_graphml(nodes, links)
+    finally:
+        monkeypatch.setattr(DataFrame, "collect", real_collect)
+    assert got == expected
+    nodes.unpersist(); links.unpersist()
