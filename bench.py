@@ -203,7 +203,19 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:  # harness smoke: run a comma-separated subset
         names = {n.strip() for n in only.split(",")}
+        unknown = sorted(names - set(HEADLINE))
+        if unknown:
+            print(
+                "# WARNING: SPARK_GRAFT_BENCH_ONLY names not in the"
+                f" headline set (dropped): {', '.join(unknown)}",
+                file=sys.stderr,
+            )
         headline = [n for n in HEADLINE if n in names]
+        if not headline:
+            raise SystemExit(
+                "SPARK_GRAFT_BENCH_ONLY matched no headline query —"
+                " refusing to write an empty bench artifact"
+            )
     if not os.environ.get("SPARK_GRAFT_BENCH_COLD"):
         t0 = time.time()
         for name in headline:
@@ -227,6 +239,16 @@ def main() -> None:
     passes = max(
         1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", default_passes))
     )
+    # Steal gate: a pass whose hypervisor steal-time delta exceeds the
+    # threshold measured a contended host, not the query (round-10
+    # lesson: graph_kcore 26.1 s at 15,155 j vs 4.5 s clean, identical
+    # counters). Such a pass is discarded and re-run up to
+    # STEAL_RETRIES times; if every attempt is stolen the LAST attempt
+    # counts but the query is marked wall_untrusted in the artifact,
+    # so a contaminated wall can never masquerade as a clean one.
+    steal_gate = int(os.environ.get("SPARK_GRAFT_STEAL_GATE", "200"))
+    steal_retries = int(os.environ.get("SPARK_GRAFT_STEAL_RETRIES", "2"))
+
     timings: dict[str, float] = {}
     walls: dict[str, list[float]] = {}
     counters: dict[str, dict] = {}
@@ -237,6 +259,8 @@ def main() -> None:
         per_load: list[float] = []
         per_gc: list[int] = []
         per_steal: list[int] = []
+        retries_used = 0
+        untrusted = False
         n = 0
         for i in range(passes):
             # counters are a function of plan+data, identical across
@@ -244,37 +268,61 @@ def main() -> None:
             # Load average + GC-time deltas are captured around EVERY
             # pass: a wall spike with flat counters plus high load is
             # provable contention, a GC spike is memory pressure.
-            before = executor_counters(spark) if i == 0 else None
-            gc0 = gc_time_ms(spark)
-            steal0 = host_steal_jiffies()
-            if i == 0:
-                sizing.DECISION_LOG.clear()
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            per_pass.append(round(time.time() - t0, 3))
-            per_load.append(round(os.getloadavg()[0], 2))
-            per_gc.append(gc_time_ms(spark) - gc0)
-            per_steal.append(host_steal_jiffies() - steal0)
-            if i == 0:
-                counters[name] = counters_delta(executor_counters(spark), before)
-                # Which side of each local-vs-distributed guard this
-                # query landed on — committed so a path flip between
-                # rounds is visible in the artifact, never silent.
-                paths = [
-                    {"tag": d["tag"], "local": d["local"]}
-                    for d in sizing.DECISION_LOG
-                ]
-                if paths:
-                    env.setdefault(name, {})["paths"] = paths
-            _reset(spark)
+            for attempt in range(steal_retries + 1):
+                before = executor_counters(spark) if i == 0 else None
+                gc0 = gc_time_ms(spark)
+                steal0 = host_steal_jiffies()
+                if i == 0:
+                    sizing.DECISION_LOG.clear()
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                wall = round(time.time() - t0, 3)
+                load1 = round(os.getloadavg()[0], 2)
+                gc_delta = gc_time_ms(spark) - gc0
+                steal = host_steal_jiffies() - steal0
+                if i == 0:
+                    counters[name] = counters_delta(
+                        executor_counters(spark), before
+                    )
+                    # Which side of each local-vs-distributed guard
+                    # this query landed on — committed so a path flip
+                    # between rounds is visible, never silent.
+                    paths = [
+                        {"tag": d["tag"], "local": d["local"]}
+                        for d in sizing.DECISION_LOG
+                    ]
+                    if paths:
+                        env.setdefault(name, {})["paths"] = paths
+                _reset(spark)
+                if steal <= steal_gate or attempt == steal_retries:
+                    if steal > steal_gate:
+                        untrusted = True
+                    break
+                retries_used += 1
+                print(
+                    f"# {name}: pass {i} stolen ({steal} j >"
+                    f" {steal_gate} j gate), retrying"
+                    f" ({attempt + 1}/{steal_retries})",
+                    file=sys.stderr,
+                )
+            per_pass.append(wall)
+            per_load.append(load1)
+            per_gc.append(gc_delta)
+            per_steal.append(steal)
         env.setdefault(name, {}).update(
             {"load1": per_load, "gc_ms": per_gc, "steal_j": per_steal}
         )
+        if retries_used:
+            env[name]["steal_retries"] = retries_used
+        if untrusted:
+            env[name]["wall_untrusted"] = True
         walls[name] = per_pass
         timings[name] = round(statistics.median(per_pass), 3)
+        flag = " UNTRUSTED (steal on every attempt)" if untrusted else ""
         print(
-            f"# {name}: median {timings[name]}s of {per_pass} ({n} rows)",
+            f"# {name}: median {timings[name]}s of {per_pass}"
+            f" ({n} rows){flag}",
             file=sys.stderr,
         )
 
@@ -444,6 +492,9 @@ def main() -> None:
                 x for v in env.values() for x in v["steal_j"]
             ),
         },
+        "untrusted": sorted(
+            k for k, v in env.items() if v.get("wall_untrusted")
+        ),
         "ingest": ingest,
         "sf": sf_val,
         "n_queries": len(timings),
