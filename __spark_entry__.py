@@ -234,8 +234,11 @@ def _kmeans_ctes(k: int = 8, iters: int = 2, dim: int = 64,
 
 
 def _kmeans_cte_sql(k: int = 8, iters: int = 2, dim: int = 64,
-                    seed: str = "s42") -> tuple[str, str]:
-    parts, assign, _ = _kmeans_ctes(k=k, iters=iters, dim=dim, seed=seed)
+                    seed: str = "s42",
+                    train_limit: int | None = None) -> tuple[str, str]:
+    parts, assign, _ = _kmeans_ctes(
+        k=k, iters=iters, dim=dim, seed=seed, train_limit=train_limit
+    )
     return "WITH " + ",\n".join(parts), assign
 
 
@@ -2235,7 +2238,7 @@ def q_cluster_kmeans(spark, sf_dir):
     # so the approximate-looking operator has an EXACT DuckDB oracle
     # (the unrolled 2-iteration CTE chain in oracle_sql()).
     emb = demo.read_table(spark, sf_dir, "embeddings")
-    return CL.kmeans_assign(emb, k=8, iters=2)
+    return CL.kmeans_assign(emb, k=8, iters=2, train_n=1024)
 
 
 def q_dedup_semantic(spark, sf_dir):
@@ -2243,7 +2246,8 @@ def q_dedup_semantic(spark, sf_dir):
     # by a smaller-id same-cluster neighbor at cosine >= 0.3. The pair
     # space is the cluster-keyed self-join, never the full n^2.
     emb = demo.read_table(spark, sf_dir, "embeddings")
-    return CL.semantic_dedup(emb, k=8, iters=2, threshold=0.3)
+    return CL.semantic_dedup(emb, k=8, iters=2, threshold=0.3,
+                             train_n=1024)
 
 
 def q_sim_pq_topk(spark, sf_dir):
@@ -5831,21 +5835,23 @@ FROM q
         # cluster_kmeans / dedup_semantic: the Lloyd's chain is fully
         # deterministic (md5 init, (dist, cid) tie-break), so the
         # clustering has an EXACT oracle — the same iterations unrolled
-        # as CTEs by _kmeans_cte_sql.
+        # as CTEs by _kmeans_cte_sql, training on the same bounded
+        # md5 sample (train_n=1024) the Spark side uses; the final
+        # frozen-centroid assignment covers every row.
         "cluster_kmeans": (
-            _kmeans_cte_sql(k=8, iters=2)[0]
+            _kmeans_cte_sql(k=8, iters=2, train_limit=1024)[0]
             + f"""
 SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id
-FROM {_kmeans_cte_sql(k=8, iters=2)[1]}
+FROM {_kmeans_cte_sql(k=8, iters=2, train_limit=1024)[1]}
 """
         ),
         "dedup_semantic": (
-            _kmeans_cte_sql(k=8, iters=2)[0]
+            _kmeans_cte_sql(k=8, iters=2, train_limit=1024)[0]
             + f""",
 pairs AS (
   SELECT a.vec_id AS ida, b.vec_id AS idb, a.v AS va, b.v AS vb
-  FROM {_kmeans_cte_sql(k=8, iters=2)[1]} a
-  JOIN {_kmeans_cte_sql(k=8, iters=2)[1]} b
+  FROM {_kmeans_cte_sql(k=8, iters=2, train_limit=1024)[1]} a
+  JOIN {_kmeans_cte_sql(k=8, iters=2, train_limit=1024)[1]} b
     ON a.cid = b.cid AND b.vec_id < a.vec_id
 ),
 elp AS (

@@ -165,10 +165,14 @@ def kmeans_assign(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: str = "s42",
+    train_n: int | None = None,
 ) -> DataFrame:
-    """Deterministic k-means assignment: (id_col, cluster_id)."""
+    """Deterministic k-means assignment: (id_col, cluster_id).
+    ``train_n`` bounds centroid training to the md5 sample (see
+    :func:`kmeans_fit`); the assignment still covers every row."""
     _, assigned = kmeans_fit(
-        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed,
+        train_n=train_n,
     )
     return assigned.select(
         F.col("_id").alias(id_col), F.col("cluster_id").cast("long").alias("cluster_id")
@@ -184,9 +188,13 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: str = "s42",
     sub_bucket_planes: int = 0,
+    train_n: int | None = None,
 ) -> DataFrame:
     """SemDeDup: flag vectors dominated by a smaller-id same-cluster
-    neighbor with cosine >= threshold.
+    neighbor with cosine >= threshold. ``train_n`` bounds the
+    clustering step's centroid training to the deterministic md5
+    sample (:func:`kmeans_fit`) — block assignment and the in-block
+    comparisons still cover every row.
 
     Returns (id_col, cluster_id, is_dup). Keep rows with
     ``is_dup = false``; the dominated rule (ANY smaller-id neighbor
@@ -199,7 +207,8 @@ def semantic_dedup(
     are then not compared, so only the exact default is oracle-gated.
     """
     _, assigned = kmeans_fit(
-        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed
+        df, k=k, iters=iters, id_col=id_col, vec_col=vec_col, seed=seed,
+        train_n=train_n,
     )
     join_keys = ["cluster_id"]
     if sub_bucket_planes > 0:

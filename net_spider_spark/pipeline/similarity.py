@@ -104,6 +104,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     max_iter: int = 20,
+    train_n: int | None = 100_000,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: KMeans-partition the
     corpus, then each query scores only the ``n_probe`` nearest cells.
@@ -112,7 +113,10 @@ def ivf_topk(
     ``n_probe == n_centroids`` (exhaustive probing, e.g. as an exact
     verifier) the partitioning cannot change the result, so a small
     ``max_iter`` is free speed; when probing fewer cells, more
-    iterations buy recall.
+    iterations buy recall. ``train_n`` bounds the KMeans FIT to the
+    deterministic bottom-train_n-by-md5 sample (centroid estimation
+    needs a distribution, not the corpus — the FAISS recipe, same
+    device as ``pq_train``); cell ASSIGNMENT still covers every row.
 
     The scale path for ANN when bucket recall matters: compute drops
     from |Q| x |C| to |Q| x (n_probe/n_centroids) x |C|, and the
@@ -126,13 +130,19 @@ def ivf_topk(
     corpus_v = corpus.withColumn(
         "_fv", array_to_vector(F.col(vec_col).cast("array<double>"))
     )
+    fit_on = corpus_v
+    if train_n is not None:
+        h = F.md5(
+            F.concat(F.lit(f"s{seed}:sample:"), F.col(id_col).cast("string"))
+        )
+        fit_on = corpus_v.orderBy(h, id_col).limit(train_n)
     model = KMeans(
         k=n_centroids,
         seed=seed,
         maxIter=max_iter,
         featuresCol="_fv",
         predictionCol="_cell",
-    ).fit(corpus_v)
+    ).fit(fit_on)
     assigned = corpus_v.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_cv"),

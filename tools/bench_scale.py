@@ -73,8 +73,17 @@ def main() -> None:
 
     base = demo.events_findings(spark, sf_dir)
     rep = spark.range(factor).select(F.col("id").alias("_r"))
+    # Repartition BEFORE the replicating crossJoin: the local events
+    # table is ONE parquet file, so everything upstream of the first
+    # exchange runs as one task — and putting the exchange after the
+    # blow-up makes that one task derive AND shuffle-write all 51M
+    # rows (at 512x) while 31 cores idle. Exchanging the small base
+    # first costs a 100k-row shuffle and makes the x512 expansion
+    # data-parallel with no post-expansion shuffle at all. A real
+    # corpus gets this parallelism from the scan.
     findings = (
-        base.crossJoin(rep)
+        base.repartition(4 * int(cpus))
+        .crossJoin(rep)
         .withColumn("finding_id", F.col("finding_id") * factor + F.col("_r"))
         .withColumn("found_at", F.col("found_at") + F.col("_r"))
         .drop("_r")
@@ -143,20 +152,22 @@ def main() -> None:
     # gram set joins each gram OCCURRENCE against the distinct dup set
     # (never pairwise), so replication scales the gram table linearly
     # while driving duplication density up — the hostile-but-linear case.
-    # Repartition after replication: the local sf0.1 corpus is ONE
-    # small parquet file, so the replicated frame inherits 1-2 input
-    # partitions and every pre-shuffle map (the tokenizer especially —
-    # split inside higher-order filters is interpreted, not codegen)
-    # runs single-task. A real 100 TB corpus arrives as many files and
-    # gets this parallelism from the scan; locally we restore it
-    # explicitly. Measured before the fix: ONE task burned 18+ min of
-    # CPU tokenizing 3.2 M docs while 31 cores idled.
+    # Repartition BEFORE the replicating crossJoin: the local sf0.1
+    # corpus is ONE small parquet file, so the replicated frame
+    # inherits 1-2 input partitions and every pre-shuffle map (the
+    # tokenizer especially — split inside higher-order filters is
+    # interpreted, not codegen) runs single-task; exchanging the small
+    # base first also keeps the x-factor expansion from being shuffle-
+    # written by that one task. A real 100 TB corpus arrives as many
+    # files and gets this parallelism from the scan; locally we
+    # restore it explicitly. Measured before the fix: ONE task burned
+    # 18+ min of CPU tokenizing 3.2 M docs while 31 cores idled.
     docs = demo.read_table(spark, sf_dir, "documents")
     docs_rep = (
-        docs.crossJoin(rep)
+        docs.repartition(4 * int(cpus))
+        .crossJoin(rep)
         .withColumn("doc_id", F.col("doc_id") * factor + F.col("_r"))
         .drop("_r")
-        .repartition(4 * int(cpus))
         .persist()
     )
     n_docs = docs_rep.count()
