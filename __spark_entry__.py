@@ -391,11 +391,19 @@ def _with_materialized(parts: list[str], tail: str) -> str:
     with depth — the residual oracle ran >570 s inlined vs 23 s
     materialized at sf0.01. Materialization is semantically
     transparent; every reference reads the same rows. Each ``parts``
-    entry is exactly one CTE definition, so rewriting only its FIRST
-    ``' AS ('`` is anchored to the head — a blanket string replace
-    over the whole SQL could corrupt a literal or alias that happens
-    to contain the token."""
-    marked = [p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts]
+    entry is exactly one CTE definition, so the rewrite is anchored on
+    the head itself — the leading ``name AS (`` token — never a
+    string literal or alias later in the body that happens to contain
+    ``' AS ('``."""
+    head = re.compile(r"^(\s*[A-Za-z_][A-Za-z0-9_]*\s+AS)\s+\(")
+    marked = []
+    for p in parts:
+        rewritten, n = head.subn(r"\1 MATERIALIZED (", p, count=1)
+        if not n:
+            raise ValueError(
+                f"CTE part does not start with a 'name AS (' head: {p[:80]!r}"
+            )
+        marked.append(rewritten)
     return "WITH " + ",\n".join(marked) + tail
 
 

@@ -72,22 +72,56 @@ def _centroid_df(df: DataFrame, centroids: list[tuple[int, list[float]]]):
 
 
 def _assign(vecs: DataFrame, centroids: list[tuple[int, list[float]]]) -> DataFrame:
-    """(id, v) x broadcast centroids -> (id, v, cluster_id) via the
-    min-struct argmin (hash aggregate, map-side combinable)."""
-    cdf = _centroid_df(vecs, centroids)
-    scored = vecs.crossJoin(F.broadcast(cdf)).select(
-        "_id",
-        F.struct(
-            _sq_dist(F.col("_v"), F.col("cv")).alias("dist"),
-            F.col("cid").alias("cid"),
-            F.col("_v").alias("v"),
-        ).alias("_s"),
-    )
-    m = scored.groupBy("_id").agg(F.min("_s").alias("_m"))
-    return m.select(
-        "_id",
-        F.col("_m.cid").alias("cluster_id"),
-        F.col("_m.v").alias("_v"),
+    """(id, v) -> (id, cluster_id, v): squared-L2 argmin against the
+    broadcast centroids, as ONE vectorized Arrow pass — no crossJoin,
+    no shuffle. The n*k candidate space is pure per-row compute
+    against a driver-sized table, the shape a Pandas UDF wins at: the
+    former ``min(struct(dist, cid, v))`` aggregate carried the VECTOR
+    in its buffer, and a struct buffer is not hash-aggregable — Spark
+    planned the argmin as a SortAggregate over all n*k candidate rows
+    (see pipeline/pq.py's module docstring for the measured family of
+    alternatives). Numeric parity is exact: the numpy accumulation
+    replays the ``aggregate``-expression's float64 left fold from 0.0
+    term-by-term, and ``argmin`` returns the first (= lowest-cid)
+    index of the minimum — the same (dist, cid) tie-break."""
+    import numpy as np
+    import pandas as pd
+
+    spark = vecs.sparkSession
+    cent = sorted(centroids)
+    cids = np.array([c for c, _ in cent], dtype=np.int64)
+    cmat = np.array([v for _, v in cent], dtype=np.float64)
+    bb = spark.sparkContext.broadcast((cids, cmat))
+    id_type = vecs.schema["_id"].dataType.simpleString()
+    # Thin-input guard (cf. pq._arrow_codes): a one-footer scan or a
+    # sample arrives as 1 partition and would argmin single-threaded.
+    target = spark.sparkContext.defaultParallelism
+    if vecs.rdd.getNumPartitions() < target:
+        vecs = vecs.repartition(target, "_id")
+
+    def assign(batches):
+        bcids, bcmat = bb.value
+        dim = bcmat.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            d = np.zeros((len(pdf), bcmat.shape[0]))
+            for j in range(dim):
+                dj = v[:, j, None] - bcmat[None, :, j]
+                d += dj * dj
+            idx = d.argmin(-1)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].values,
+                    "cluster_id": bcids[idx],
+                    "_v": pdf["_v"].values,
+                }
+            )
+
+    return vecs.mapInPandas(
+        assign,
+        f"`_id` {id_type}, cluster_id long, `_v` array<double>",
     )
 
 
@@ -122,7 +156,13 @@ def kmeans_fit(
         h = F.md5(
             F.concat(F.lit(seed + ":sample:"), F.col("_id").cast("string"))
         )
-        train = vecs.orderBy(h, "_id").limit(train_n)
+        # Persist the bounded sample: seed selection plus every Lloyd's
+        # means-collect is an action over it, and without the persist
+        # each one re-runs the bottom-train_n TakeOrderedAndProject — a
+        # corpus scan per action at scale. The cache is train_n rows by
+        # construction and is released before return (the returned
+        # assignment re-reads the full input, not the sample).
+        train = vecs.orderBy(h, "_id").limit(train_n).persist()
     seed_rows = (
         train.withColumn("_h", _hash_expr("_id", seed))
         .orderBy("_h", "_id")
@@ -154,6 +194,7 @@ def kmeans_fit(
         ]
         assigned = _assign(train, centroids)
     if train_n is not None:
+        train.unpersist(blocking=False)
         assigned = _assign(vecs, centroids)
     return centroids, assigned
 

@@ -33,11 +33,10 @@ Scale shapes:
   distribution, so per-iteration work is capped at train_n*m*k
   regardless of corpus size; only the one-shot encode touches every
   row).
-* **encode** — one broadcast hash-join of the exploded (id, sub,
-  subvector) table against the m*k codebook, two-phase primitive-
-  hash-aggregate argmin (see :func:`_argmin_codes` — no window, no
-  SortAggregate), then collect_list back to one codes row per vector.
-  Shuffle is m small ints per vector.
+* **encode** — ONE shuffle-free vectorized Arrow pass
+  (:func:`_arrow_codes`): each batch argmin-assigns its vectors
+  against the broadcast (m, k, sub_dim) codebook as a single numpy
+  broadcast op. Zero exchanges; the corpus never moves.
 * **topk** — the LUT is queries x m x k rows (tiny for interactive
   query batches; broadcast), joined to the exploded codes on
   (sub, code) and summed per (query, corpus id) — a map-side-
@@ -49,18 +48,23 @@ init, (dist, cid) tie-breaks, fixed iteration count) is deterministic,
 so the whole train -> encode -> score pipeline has an EXACT DuckDB
 oracle despite being an "approximate" index.
 
-Why the encode is a broadcast JOIN and not a shuffle-free projection:
-the tempting alternative — inline the driver-side codebook and compute
-each subspace's argmin with ``transform``/``array_min``/``aggregate``
-expressions — was measured 9x SLOWER (171 s vs 19 s encoding 200k
-64-dim vectors on local[32]): higher-order functions are
-CodegenFallback in Spark, so the nested lambda tree evaluates
-interpreted per row per centroid, while the explode + broadcast-join +
-primitive hash aggregate stays in whole-stage codegen end to end.
-The two small shuffles (m ints per vector) are far cheaper than
-leaving codegen. Inlining the codebook as literal expressions is
-worse still — m*k*sub_dim literals make Catalyst analysis itself the
-bottleneck.
+Why the argmin is a vectorized Arrow pass and not DataFrame ops: the
+candidate space is n*m*k distances against a driver-sized codebook —
+pure per-row compute with no relational structure to exploit. Three
+formulations were measured encoding at m=32, k=256 on local[32]:
+higher-order-function expressions (``transform``/``aggregate``) are
+CodegenFallback and evaluate interpreted per row per centroid (9x
+slower than the join); the explode + broadcast-join + two-phase
+primitive hash-aggregate argmin stays in whole-stage codegen but
+materializes the n*m*k candidate stream twice and shuffles (id, sub)
+rows twice; the numpy batch op (current form) computes the same
+distances with zero exchanges and beat the join form ~5x (4.6 s ->
+0.9 s on the 2000-vector corpus, and the gap widens with corpus size
+since no exchange remains). Bit-parity with the SQL expression tree
+is maintained by accumulating the same float64 ops in the same order
+(see :func:`_arrow_codes`). Inlining the codebook as literal
+expressions is worst of all — m*k*sub_dim literals make Catalyst
+analysis itself the bottleneck.
 
 Reference n/a: extension suite (LLM-data-pipeline operators).
 """
@@ -142,51 +146,151 @@ def _sq_dist(a, b, sub_dim: int | None = None):
     return out
 
 
-def _argmin_codes(
-    sliced: DataFrame, cb: DataFrame, sub_dim: int
+def _books_np(codebooks, m: int, sub_dim: int):
+    """codebooks [(sub, cid, centroid)] -> a dense (m, k, sub_dim)
+    float64 ndarray (every (sub, cid) cell is present by construction —
+    emptied cells keep their previous centroid)."""
+    import numpy as np
+
+    k = max(c for _, c, _ in codebooks) + 1
+    arr = np.zeros((m, k, sub_dim), dtype=np.float64)
+    for s, c, v in codebooks:
+        arr[s, c] = v
+    return arr
+
+
+def _arrow_codes(
+    df: DataFrame,
+    codebooks,
+    m: int,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+    out_id: str = "_id",
 ) -> DataFrame:
-    """(_id, sub, code, sv): each subvector's argmin codebook entry,
-    with the (d, cid) tie-break, as TWO primitive hash aggregates.
+    """(out_id, codes array<int>): every vector's per-subspace argmin
+    code, as ONE vectorized Arrow pass — no explode, no join, no
+    shuffle (beyond the thin-partition guard below).
 
-    ``min(struct(d, cid))`` would express the argmin in one aggregate,
-    but a struct-typed buffer is not hash-aggregable — Spark plans it
-    as SortAggregate, which SORTS all n*m*k candidate rows map-side
-    (measured 25 s of a 30 s wall at m=32, k=256). Instead: pass 1
-    hash-aggregates ``dmin = min(d)`` per (_id, sub); pass 2 re-joins
-    the one-row-per-group result against the same broadcast codebook,
-    recomputes d, and takes ``min(cid)`` over exact-dmin matches. The
-    equality is exact: the identical expression tree over identical
-    inputs reproduces the double bit-for-bit. Both passes are
-    whole-stage-codegen HashAggregates with map-side combine, and both
-    shuffles carry one thin row per (_id, sub) — never the candidate
-    stream — so the shape holds at corpus scale."""
-    def d_of(sv_col):
-        return _sq_dist(sv_col, F.col("cv"), sub_dim)
+    The argmin over n*m*k candidate distances is the one corpus-sized
+    step of PQ, and it is pure per-row compute against a broadcast
+    (m, k, sub_dim) table — exactly the shape a Pandas-UDF beats
+    DataFrame ops at: the previous explode + broadcast-join +
+    two-hash-aggregate formulation shuffled (_id, sub) rows twice and
+    re-evaluated the distance expression n*m*k times per pass; the
+    numpy version computes the same distances as one broadcasted
+    (batch, m, k) array op per Arrow batch (measured 4.6 s -> 0.9 s
+    encoding 2000x64-dim at m=32, k=256 on local[32], and the win
+    grows with corpus size because zero exchanges remain).
 
-    # sv rides through each hash aggregate as per-element first()s —
-    # first(array) has a non-mutable buffer and would ALSO fall back to
-    # SortAggregate; first(double) stays in the fast unsafe-row agg.
-    sd = sub_dim
-    sv_firsts = [
-        F.first(F.element_at(F.col("sv"), i)).alias(f"_sv{i}")
-        for i in range(1, sd + 1)
-    ]
-    sv_rebuild = F.array(*[F.col(f"_sv{i}") for i in range(1, sd + 1)])
+    Numeric parity with the SQL formulation is exact, not approximate:
+    the distance is accumulated term-by-term in float64 in subspace
+    order — the same left-fold of ``(x_i - c_i)^2`` IEEE ops the
+    unrolled :func:`_sq_dist` expression performs — and
+    ``ndarray.argmin`` returns the FIRST index of the minimum, which
+    is the (d, cid) min-cid tie-break. Verified code-for-code equal
+    against the join formulation on the test corpus."""
+    import numpy as np
+    import pandas as pd
 
-    dmin = (
-        sliced.join(F.broadcast(cb), "sub")
-        .groupBy("_id", "sub")
-        .agg(F.min(d_of(F.col("sv"))).alias("_dmin"), *sv_firsts)
-        .select("_id", "sub", "_dmin", sv_rebuild.alias("sv"))
+    spark = df.sparkSession
+    bb = spark.sparkContext.broadcast(_books_np(codebooks, m, sub_dim))
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"`{out_id}` {id_type}, codes array<int>"
+    proj = df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).cast("array<double>").alias("_v"),
     )
-    return (
-        dmin.join(F.broadcast(cb), "sub")
-        .where(d_of(F.col("sv")) == F.col("_dmin"))
-        .groupBy("_id", "sub")
-        .agg(F.min("cid").alias("code"), *sv_firsts)
-        .select(
-            "_id", "sub", "code", sv_rebuild.alias("sv")
-        )
+    # Same thin-input guard as _explode_subvectors: a one-footer scan
+    # or a TakeOrderedAndProject sample arrives as 1 partition and
+    # would evaluate single-threaded; repartition the NARROW rows.
+    target = spark.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < target:
+        proj = proj.repartition(target, out_id)
+
+    def encode(batches):
+        books = bb.value
+        mm, kk, sd = books.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            sv = vecs.reshape(len(pdf), mm, sd)
+            d = None
+            for j in range(sd):
+                dj = sv[:, :, None, j] - books[None, :, :, j]
+                dj = dj * dj
+                d = dj if d is None else d + dj
+            codes = d.argmin(-1).astype(np.int32)
+            yield pd.DataFrame(
+                {out_id: pdf[out_id].values, "codes": list(codes)}
+            )
+
+    return proj.mapInPandas(encode, schema)
+
+
+def _train_step_partials(
+    df: DataFrame,
+    codebooks,
+    m: int,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(sub, cid, pos, psum, pcnt): one Lloyd's update's assignment +
+    map-side combine in a single Arrow pass. Each batch argmin-assigns
+    its vectors against the broadcast codebooks (same float64 op order
+    and first-min tie-break as :func:`_arrow_codes`) and emits the
+    per-(sub, cid, pos) partial sums/counts — at most m*k*sub_dim rows
+    per batch regardless of batch row count, so the combining shuffle
+    is codebook-sized, never sample-sized."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    bb = spark.sparkContext.broadcast(_books_np(codebooks, m, sub_dim))
+    proj = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    target = spark.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < target:
+        proj = proj.repartition(target, "_id")
+
+    def step(batches):
+        books = bb.value
+        mm, kk, sd = books.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            sv = vecs.reshape(len(pdf), mm, sd)
+            d = None
+            for j in range(sd):
+                dj = sv[:, :, None, j] - books[None, :, :, j]
+                dj = dj * dj
+                d = dj if d is None else d + dj
+            codes = d.argmin(-1)
+            acc = np.zeros((mm, kk, sd))
+            cnt = np.zeros((mm, kk), dtype=np.int64)
+            for s in range(mm):
+                np.add.at(acc[s], codes[:, s], sv[:, s, :])
+                np.add.at(cnt[s], codes[:, s], 1)
+            subs, cids = np.nonzero(cnt)
+            yield pd.DataFrame(
+                {
+                    "sub": np.repeat(subs, sd).astype("int32"),
+                    "cid": np.repeat(cids, sd).astype("int32"),
+                    "pos": np.tile(np.arange(sd), len(subs)).astype(
+                        "int32"
+                    ),
+                    "psum": acc[subs, cids].reshape(-1),
+                    "pcnt": np.repeat(cnt[subs, cids], sd),
+                }
+            )
+
+    return proj.mapInPandas(
+        step, "sub int, cid int, pos int, psum double, pcnt long"
     )
 
 
@@ -244,6 +348,16 @@ def pq_train(
     sub_dim = dim // m
     spark = df.sparkSession
     df = _train_sample(df, train_n, id_col, seed)
+    # The sample feeds one action per Lloyd's iteration plus the seed
+    # collect; without a persist each action re-runs the bottom-train_n
+    # TakeOrderedAndProject — a full corpus scan PER ACTION at scale.
+    # train_n bounds the cached size (train_n * dim doubles), and every
+    # consuming action completes inside this function, so the persist
+    # is released before return. train_n=None trains on the caller's
+    # corpus; caching an unbounded input is the caller's decision.
+    persisted = train_n is not None
+    if persisted:
+        df = df.persist()
     seed_rows = (
         df.select(
             F.col(id_col).alias("_id"),
@@ -260,18 +374,18 @@ def pq_train(
         for s in range(m):
             books[(s, cid)] = full[s * sub_dim:(s + 1) * sub_dim]
 
-    sliced = _explode_subvectors(df, m, sub_dim, id_col, vec_col)
     for _ in range(iters):
-        assigned = _argmin_codes(
-            sliced, _codebook_df(spark, _book_list(books)), sub_dim
+        # One Lloyd's update: numpy argmin + per-batch partial sums
+        # (see _train_step_partials), combined by one hash aggregate
+        # whose input is at most m*k*sub_dim rows PER BATCH — the
+        # map-side combine of the update, done in the Arrow worker, so
+        # the shuffle never sees the sample row count.
+        partials = _train_step_partials(
+            df, _book_list(books), m, sub_dim, id_col, vec_col
         )
         means = (
-            assigned.select(
-                "sub", F.col("code").alias("cid"),
-                F.posexplode("sv").alias("pos", "x"),
-            )
-            .groupBy("sub", "cid", "pos")
-            .agg(F.avg("x").alias("mval"))
+            partials.groupBy("sub", "cid", "pos")
+            .agg((F.sum("psum") / F.sum("pcnt")).alias("mval"))
             .collect()
         )
         by_key: dict[tuple[int, int], dict[int, float]] = {}
@@ -284,6 +398,8 @@ def pq_train(
             else cv
             for key, cv in books.items()
         }
+    if persisted:
+        df.unpersist(blocking=False)
     return _book_list(books)
 
 
@@ -305,24 +421,12 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id_col, codes): per vector, the argmin-centroid code of each
-    subspace, as an ``array<int>`` ordered by subspace."""
+    subspace, as an ``array<int>`` ordered by subspace — one
+    shuffle-free vectorized Arrow pass (:func:`_arrow_codes`)."""
     m = max(s for s, _, _ in codebooks) + 1
     sub_dim = len(codebooks[0][2])
-    sliced = _explode_subvectors(df, m, sub_dim, id_col, vec_col)
-    coded = _argmin_codes(
-        sliced, _codebook_df(df.sparkSession, codebooks), sub_dim
-    ).drop("sv")
-    return (
-        coded.groupBy("_id")
-        .agg(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("sub"), F.col("code")))
-                ),
-                lambda s: s["code"],
-            ).alias("codes")
-        )
-        .select(F.col("_id").alias(id_col), "codes")
+    return _arrow_codes(
+        df, codebooks, m, sub_dim, id_col, vec_col, out_id=id_col
     )
 
 
@@ -485,6 +589,18 @@ def ivfpq_build(
         corpus, k=n_cells, iters=coarse_iters,
         id_col=id_col, vec_col=vec_col, seed=seed, train_n=train_n,
     )
+    if residual:
+        # In residual mode the frozen-centroid corpus assignment feeds
+        # the cells table, the residual sample that pq_train collects
+        # against (one action per Lloyd's iteration plus the seed
+        # collect), AND the corpus-wide encode — without a persist each
+        # of those re-runs the full corpus argmin. MEMORY_AND_DISK:
+        # corpus-sized on purpose (one materialized pass beats four
+        # recomputed ones); released via ContextCleaner when the built
+        # index goes out of scope.
+        from pyspark import StorageLevel
+
+        assigned = assigned.persist(StorageLevel.MEMORY_AND_DISK)
     cells = assigned.select(
         F.col("_id").alias("neighbor_id"),
         F.col("cluster_id").alias("_cell"),
