@@ -417,6 +417,58 @@ def _pq_topk_sql(m: int = 32, k: int = 256, iters: int = 1, dim: int = 64,
     )
 
 
+def _ivf_topk_sql(n_cells: int = 8, iters: int = 2, dim: int = 64,
+                  n_probe: int = 6, n_neighbors: int = 3,
+                  seed: str = "s42",
+                  train_limit: int | None = 100_000) -> str:
+    """DuckDB twin of pipeline.similarity.ivf_topk since its coarse
+    quantizer became the deterministic md5-seeded Lloyd's: the chain
+    replays cell training and assignment over the corpus half
+    (vec_id >= 5), each query keeps its n_probe nearest final
+    centroids ((dist, cell) tie-break — the same Spark window), and
+    cosine top-k is computed WITHIN probed cells only, so the oracle
+    attests the inverted-file pruning itself (the previous MLlib
+    coarse step was engine-private, which forced n_probe=n_centroids
+    exhaustive probing and left the pruning untested)."""
+    parts, cassign, ccents = _kmeans_ctes(
+        k=n_cells, iters=iters, dim=dim, seed=seed, prefix="iv_",
+        from_sql="(SELECT vec_id, embedding FROM embeddings"
+                 " WHERE vec_id >= 5)",
+        train_limit=train_limit,
+    )
+    parts = list(parts)
+    parts += [
+        "iv_q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        " FROM embeddings WHERE vec_id < 5)",
+        "iv_qel AS (SELECT q.vec_id AS query_id, c.cid AS cell,"
+        " unnest(q.v) AS x, unnest(c.cv) AS y"
+        f" FROM iv_q q CROSS JOIN {ccents} c)",
+        "iv_qd AS (SELECT query_id, cell,"
+        " sum((x - y) * (x - y)) AS dist FROM iv_qel GROUP BY 1, 2)",
+        "iv_probes AS (SELECT query_id, cell FROM ("
+        "SELECT query_id, cell, row_number() OVER (PARTITION BY"
+        " query_id ORDER BY dist, cell) AS pr FROM iv_qd) t"
+        f" WHERE pr <= {n_probe})",
+        f"iv_cellof AS (SELECT vec_id AS neighbor_id, cid AS cell"
+        f" FROM {cassign})",
+        "iv_el AS (SELECT q.vec_id AS query_id, cf.neighbor_id,"
+        " unnest(q.v) AS qe, unnest(e.v) AS ce"
+        " FROM iv_q q JOIN iv_probes p ON p.query_id = q.vec_id"
+        " JOIN iv_cellof cf ON cf.cell = p.cell"
+        " JOIN iv_emb e ON e.vec_id = cf.neighbor_id)",
+        "iv_scored AS (SELECT query_id, neighbor_id,"
+        " sum(qe * ce) / (sqrt(sum(qe * qe)) * sqrt(sum(ce * ce)))"
+        " AS cos FROM iv_el GROUP BY 1, 2)",
+    ]
+    tail = (
+        " SELECT query_id, neighbor_id, rank FROM ("
+        "SELECT query_id, neighbor_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC)"
+        f" AS rank FROM iv_scored) t WHERE rank <= {n_neighbors}"
+    )
+    return _with_materialized(parts, tail)
+
+
 def _ivfpq_topk_sql(m: int = 32, k: int = 256, iters: int = 1,
                     dim: int = 64, n_neighbors: int = 3,
                     n_cells: int = 8, coarse_iters: int = 2,
@@ -2676,15 +2728,17 @@ def q_text_bpe_learned_dist(spark, sf_dir):
 
 
 def q_sim_ivf_topk(spark, sf_dir):
-    # IVF ANN (KMeans cells + probe search); rows-only driver check —
-    # recall vs brute force is pinned in tests/test_pipeline_ops.py.
+    # IVF ANN with the deterministic md5-seeded coarse quantizer
+    # (cluster.kmeans_fit — replaced MLlib KMeans, whose kmeans||
+    # init drifts run to run and forced the old oracle to probe
+    # exhaustively). n_probe=6 of 8: the oracle replays cells, probe
+    # ranking, and the PRUNED result exactly, so the driver gate
+    # attests the inverted-file pruning itself, like sim_ivfpq_topk.
     emb = demo.read_table(spark, sf_dir, "embeddings")
     queries_df = emb.where(F.col("vec_id") < 5)
     corpus = emb.where(F.col("vec_id") >= 5)
-    # n_probe == n_centroids -> exhaustive probing: results are exact
-    # whatever the clustering, so cap the KMeans training budget.
     return S.ivf_topk(
-        queries_df, corpus, k=3, n_centroids=8, n_probe=8, max_iter=4
+        queries_df, corpus, k=3, n_centroids=8, n_probe=6, iters=2
     )
 
 
@@ -5029,28 +5083,8 @@ SELECT e.vec_id,
 FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
 """,
         # IVF probing every cell is exact -> same oracle as brute force.
-        "sim_ivf_topk": """
-WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5),
-c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 5),
-el AS (
-  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         unnest(q.embedding) AS qe, unnest(c.embedding) AS ce
-  FROM q CROSS JOIN c
-),
-scored AS (
-  SELECT query_id, neighbor_id,
-         sum(CAST(qe AS DOUBLE) * CAST(ce AS DOUBLE))
-           / (sqrt(sum(CAST(qe AS DOUBLE) * CAST(qe AS DOUBLE)))
-              * sqrt(sum(CAST(ce AS DOUBLE) * CAST(ce AS DOUBLE)))) AS cos
-  FROM el GROUP BY 1, 2
-)
-SELECT query_id, neighbor_id, rank FROM (
-  SELECT query_id, neighbor_id,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cos DESC, neighbor_id ASC) AS rank
-  FROM scored) t
-WHERE rank <= 3
-""",
+        "sim_ivf_topk": _ivf_topk_sql(n_cells=8, iters=2, dim=64,
+                                      n_probe=6, n_neighbors=3),
         "text_bpe_tokens": f"""
 WITH tok AS (
   SELECT doc_id,

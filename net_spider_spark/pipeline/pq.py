@@ -76,7 +76,11 @@ from pyspark.sql import functions as F
 
 from net_spider_spark.pipeline.cluster import _hash_expr
 
-__all__ = ["pq_train", "pq_encode", "pq_topk"]
+__all__ = [
+    "pq_train", "pq_encode", "pq_topk",
+    "ivfpq_build", "ivfpq_add", "ivfpq_search", "ivfpq_topk",
+    "ivfpq_write", "ivfpq_read", "IvfPqIndex",
+]
 
 
 def _subslice(vec, sub: int, sub_dim: int):
@@ -496,9 +500,9 @@ def ivfpq_topk(
     al. 2011), composed from the two deterministic pieces this engine
     already has: the coarse quantizer is :func:`cluster.kmeans_fit`
     (bottom-k-by-md5 init, so the whole index build is
-    engine-reproducible and has an exact DuckDB oracle, unlike the
-    MLlib-backed :func:`similarity.ivf_topk`), the fine quantizer is
-    the :func:`pq_train` subspace codebooks.
+    engine-reproducible and has an exact DuckDB oracle —
+    :func:`similarity.ivf_topk` shares the same trainer), the fine
+    quantizer is the :func:`pq_train` subspace codebooks.
 
     ``residual=False`` quantizes raw vectors (IVF-Flat-style cells +
     global PQ codes). ``residual=True`` is the classic Jégou IVF-ADC:
@@ -557,6 +561,65 @@ class IvfPqIndex:
         self.dim = dim
         self.m = m
         self.residual = residual
+
+
+def ivfpq_write(index: IvfPqIndex, path: str, mode: str = "error") -> None:
+    """Persist a built index under ``path`` as four parquet datasets:
+    ``cells/`` and ``codes/`` (the corpus-sized tables, written
+    distributed — m bytes + one cell id per vector, the whole point of
+    PQ at 100 TB), plus the driver-sized ``centroids/`` and ``books/``
+    and a one-row ``meta/`` (dim, m, residual, format version).
+
+    Building the index is the corpus-scale cost (train + one encode
+    pass); searching it is cheap. Without persistence that cost is
+    paid per session — write once after :func:`ivfpq_build`, then any
+    number of sessions :func:`ivfpq_read` + :func:`ivfpq_search` (and
+    :func:`ivfpq_add` day's-batches can be re-written incrementally).
+    Parquet keeps the layout engine-portable: the same files audit
+    from DuckDB."""
+    spark = index.cells.sparkSession
+    index.cells.write.mode(mode).parquet(f"{path}/cells")
+    index.codes.write.mode(mode).parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in index.cents],
+        "cid long, cv array<double>",
+    ).write.mode(mode).parquet(f"{path}/centroids")
+    _codebook_df(spark, index.books).write.mode(mode).parquet(
+        f"{path}/books"
+    )
+    spark.createDataFrame(
+        [(1, index.dim, index.m, bool(index.residual))],
+        "version int, dim int, m int, residual boolean",
+    ).write.mode(mode).parquet(f"{path}/meta")
+
+
+def ivfpq_read(spark, path: str) -> IvfPqIndex:
+    """Load an :func:`ivfpq_write`-persisted index. The corpus-sized
+    tables stay DataFrames over their parquet (scans prune/push down
+    as usual — search only ever reads probed cells' rows); the
+    centroid and codebook tables are collected driver-side (k and
+    m*k rows by construction)."""
+    meta = spark.read.parquet(f"{path}/meta").collect()
+    if len(meta) != 1 or meta[0]["version"] != 1:
+        raise ValueError(
+            f"unsupported ivfpq index at {path!r}: meta={meta}"
+        )
+    dim, m, residual = meta[0]["dim"], meta[0]["m"], meta[0]["residual"]
+    cents = [
+        (r["cid"], list(r["cv"]))
+        for r in spark.read.parquet(f"{path}/centroids")
+        .orderBy("cid").collect()
+    ]
+    books = [
+        (r["sub"], r["cid"], list(r["cv"]))
+        for r in spark.read.parquet(f"{path}/books")
+        .orderBy("sub", "cid").collect()
+    ]
+    return IvfPqIndex(
+        spark.read.parquet(f"{path}/cells"),
+        spark.read.parquet(f"{path}/codes"),
+        cents, books, dim, m, residual,
+    )
 
 
 def ivfpq_build(

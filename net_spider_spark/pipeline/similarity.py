@@ -102,61 +102,54 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
-    max_iter: int = 20,
+    seed: str = "s42",
+    iters: int = 4,
     train_n: int | None = 100_000,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans-partition the
+    """IVF (inverted-file) approximate top-k: k-means-partition the
     corpus, then each query scores only the ``n_probe`` nearest cells.
 
-    ``max_iter`` tunes the KMeans training budget. When
-    ``n_probe == n_centroids`` (exhaustive probing, e.g. as an exact
-    verifier) the partitioning cannot change the result, so a small
-    ``max_iter`` is free speed; when probing fewer cells, more
-    iterations buy recall. ``train_n`` bounds the KMeans FIT to the
-    deterministic bottom-train_n-by-md5 sample (centroid estimation
-    needs a distribution, not the corpus — the FAISS recipe, same
-    device as ``pq_train``); cell ASSIGNMENT still covers every row.
+    The coarse quantizer is the DETERMINISTIC md5-seeded Lloyd's of
+    :func:`net_spider_spark.pipeline.cluster.kmeans_fit` (bottom-k-by-
+    hash init, (dist, cid) tie-breaks, fixed ``iters`` update steps —
+    each step one bounded-sample pass; iters=4 buys recall@10 ~0.59
+    over iters=2's ~0.53 at probe 4/16 on the isotropic test corpus,
+    with diminishing returns past 8),
+    not MLlib KMeans: MLlib's kmeans|| init and run-order-dependent
+    partial sums make centroids — and therefore recall and the probed
+    result set — drift run to run even with a fixed seed (measured
+    recall@10 0.61-0.69 across identical invocations), and its
+    engine-private state forced the DuckDB oracle to probe
+    exhaustively. With the deterministic trainer the oracle replays
+    cells, probes, and the pruned result EXACTLY, so the contract
+    attests the pruning itself, and recall figures are reproducible.
+
+    ``train_n`` bounds the Lloyd's iterations to the deterministic
+    bottom-train_n-by-md5 sample (centroid estimation needs a
+    distribution, not the corpus — the FAISS recipe, same device as
+    ``pq_train``); cell ASSIGNMENT still covers every row, as one
+    vectorized Arrow argmin pass (``cluster._assign``).
 
     The scale path for ANN when bucket recall matters: compute drops
     from |Q| x |C| to |Q| x (n_probe/n_centroids) x |C|, and the
-    per-cell corpus co-partitions by the cluster id. Training uses
-    Spark MLlib KMeans (JVM, distributed); scoring stays in Catalyst
-    expressions.
+    per-cell corpus co-partitions by the cluster id.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    from net_spider_spark.pipeline import cluster as CL
 
-    corpus_v = corpus.withColumn(
-        "_fv", array_to_vector(F.col(vec_col).cast("array<double>"))
+    cents, assigned = CL.kmeans_fit(
+        corpus, k=n_centroids, iters=iters,
+        id_col=id_col, vec_col=vec_col, seed=seed, train_n=train_n,
     )
-    fit_on = corpus_v
-    if train_n is not None:
-        h = F.md5(
-            F.concat(F.lit(f"s{seed}:sample:"), F.col(id_col).cast("string"))
-        )
-        fit_on = corpus_v.orderBy(h, id_col).limit(train_n)
-    model = KMeans(
-        k=n_centroids,
-        seed=seed,
-        maxIter=max_iter,
-        featuresCol="_fv",
-        predictionCol="_cell",
-    ).fit(fit_on)
-    assigned = corpus_v.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_cv"),
-        F.col("_fv"),
+    assigned = assigned.select(
+        F.col("_id").alias("neighbor_id"),
+        F.col("_v").alias("_cv"),
+        F.col("cluster_id").alias("_cell"),
     )
-    assigned = model.transform(assigned).select(
-        "neighbor_id", "_cv", F.col("_cell")
+    centers_df = CL._centroid_df(corpus, cents).select(
+        F.col("cid").alias("_cell"),
+        F.col("cv").alias("_center"),
     )
 
-    centers = model.clusterCenters()
-    center_rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centers)]
-    centers_df = queries.sparkSession.createDataFrame(
-        center_rows, "_cell int, _center array<double>"
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     )

@@ -125,6 +125,31 @@ def test_ivf_topk_exact_when_probing_all(spark):
     assert recall > 0
 
 
+def test_ivf_topk_deterministic_across_runs(spark):
+    # The deterministic md5-seeded coarse quantizer must return the
+    # SAME pruned result set on repeated invocations — the property
+    # MLlib KMeans lacked (kmeans|| init + run-order-dependent partial
+    # sums drifted centroids under a fixed seed), and the property the
+    # DuckDB oracle's cell/probe replay depends on.
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 4)
+    c = emb.where(F.col("vec_id") >= 4)
+
+    def run():
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in S.ivf_topk(
+                q, c, k=3, n_centroids=4, n_probe=2
+            ).collect()
+        )
+
+    first = run()
+    assert first == run()
+    assert len(first) == 12  # k rows per query, pruning notwithstanding
+
+
 def test_bpe_tokens_and_quality_filter(spark):
     docs = spark.createDataFrame(
         [
