@@ -359,3 +359,46 @@ def test_train_n_replays_the_md5_sample(emb):
     assert [(s, c, [round(x, 12) for x in v]) for s, c, v in full] == [
         (s, c, [round(x, 12) for x in v]) for s, c, v in capped
     ]
+
+
+def test_ivfpq_write_read_round_trip(emb, spark, tmp_path):
+    # Persistence contract: a written-then-read index must search
+    # identically to the in-memory one (the build is the corpus-scale
+    # cost; ivfpq_write is what lets later sessions skip it), and a
+    # day's-batch ivfpq_add on the LOADED index must equal add on the
+    # original.
+    base = emb.where(F.col("vec_id") < 60)
+    batch = emb.where(F.col("vec_id") >= 60)
+    q = emb.where(F.col("vec_id") < 3)
+    idx = PQ.ivfpq_build(
+        base, dim=8, n_cells=4, coarse_iters=1, m=4, k_codes=8,
+        pq_iters=1, train_n=32, residual=True,
+    )
+    path = str(tmp_path / "ivfpq_idx")
+    PQ.ivfpq_write(idx, path)
+    loaded = PQ.ivfpq_read(spark, path)
+    assert (loaded.dim, loaded.m, loaded.residual) == (8, 4, True)
+    assert loaded.cents == idx.cents
+    assert loaded.books == idx.books
+
+    def res(ix):
+        return sorted(
+            (r["query_id"], r["neighbor_id"], r["adist"], r["rank"])
+            for r in PQ.ivfpq_search(ix, q, k=3, n_probe=3).collect()
+        )
+
+    assert res(loaded) == res(idx)
+    assert res(PQ.ivfpq_add(loaded, batch)) == res(PQ.ivfpq_add(idx, batch))
+
+    with pytest.raises(Exception):
+        PQ.ivfpq_write(idx, path)  # mode="error" must not clobber
+    PQ.ivfpq_write(idx, path, mode="overwrite")
+    assert res(PQ.ivfpq_read(spark, path)) == res(idx)
+
+    bad = str(tmp_path / "bad_idx")
+    PQ.ivfpq_write(idx, bad)
+    spark.createDataFrame(
+        [(99, 8, 4, True)], "version int, dim int, m int, residual boolean"
+    ).write.mode("overwrite").parquet(f"{bad}/meta")
+    with pytest.raises(ValueError):
+        PQ.ivfpq_read(spark, bad)
