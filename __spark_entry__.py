@@ -1970,7 +1970,8 @@ def q_stream_url_dedup(spark, sf_dir):
         ).alias("url"),
     )
     out = stream_url_dedup(messy)
-    return _run_available_now(out, "stream_url_dedup_sink", "append")
+    return _run_available_now(out, "stream_url_dedup_sink", "append",
+                              source_bytes=_table_bytes(sf_dir, "documents"))
 
 
 def q_stream_c4_clean(spark, sf_dir):
@@ -1999,7 +2000,8 @@ def q_stream_c4_clean(spark, sf_dir):
     )
     structured = stream.select("doc_id", text.alias("text"))
     out = TX.c4_clean(structured, min_line_words=3, min_kept_lines=1)
-    return _run_available_now(out, "stream_c4_sink", "append")
+    return _run_available_now(out, "stream_c4_sink", "append",
+                              source_bytes=_table_bytes(sf_dir, "documents"))
 
 
 def q_pipeline_curation(spark, sf_dir):
@@ -2222,7 +2224,8 @@ def q_stream_cms_cells(spark, sf_dir):
     # batch cells bit-for-bit; the oracle rebuilds them in DuckDB.
     ev, stream = _events_stream(spark, sf_dir)
     cells = SK.cms_build(stream, "user_id", depth=4, width=256)
-    return _run_available_now(cells, "stream_cms_sink", "complete")
+    return _run_available_now(cells, "stream_cms_sink", "complete",
+                              source_bytes=_table_bytes(sf_dir, "events"))
 
 
 def q_stream_hll_distinct(spark, sf_dir):
@@ -2237,7 +2240,8 @@ def q_stream_hll_distinct(spark, sf_dir):
     ev, stream = _events_stream(spark, sf_dir)
     typed = stream.select("event_type", "user_id")
     regs = SK.hll_register_table(typed, ["event_type"], "user_id", p=6)
-    sink = _run_available_now(regs, "stream_hll_sink", "complete")
+    sink = _run_available_now(regs, "stream_hll_sink", "complete",
+                              source_bytes=_table_bytes(sf_dir, "events"))
     sketch = SK.hll_from_registers(sink, ["event_type"], p=6)
     return SK.hll_estimate(sketch, p=6).drop("hll")
 
@@ -2508,7 +2512,8 @@ def q_stream_warc_extract(spark, sf_dir):
         .alias("content"),
     )
     out = W.warc_text_documents(archives)
-    return _run_available_now(out, "stream_warc_sink", "append")
+    return _run_available_now(out, "stream_warc_sink", "append",
+                              source_bytes=_table_bytes(sf_dir, "documents"))
 
 
 def q_curate_url_dedup(spark, sf_dir):
@@ -2987,7 +2992,7 @@ def q_multimodal_audio_decode(spark, sf_dir):
 
     from net_spider_spark.pipeline import multimodal as MM
 
-    ev = (
+    ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 20 == 0)
         .select("event_id")
@@ -3049,7 +3054,7 @@ def q_multimodal_image_decode(spark, sf_dir):
 
     from net_spider_spark.pipeline import multimodal as MM
 
-    ev = (
+    ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 25 == 0)
         .select("event_id")
@@ -3105,7 +3110,7 @@ def q_multimodal_png_decode(spark, sf_dir):
 
     from net_spider_spark.pipeline import multimodal as MM
 
-    ev = (
+    ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 25 == 13)
         .select("event_id")
@@ -3157,7 +3162,7 @@ def q_multimodal_gif_decode(spark, sf_dir):
 
     from net_spider_spark.pipeline import multimodal as MM
 
-    ev = (
+    ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 25 == 7)
         .select("event_id")
@@ -3230,7 +3235,7 @@ def q_multimodal_media_metadata(spark, sf_dir):
 
     from net_spider_spark.pipeline import multimodal as MM
 
-    ev = (
+    ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 25 == 3)
         .select("event_id")
@@ -3303,7 +3308,7 @@ def q_multimodal_jpeg_progressive(spark, sf_dir):
     from net_spider_spark.pipeline import multimodal as MM
     from net_spider_spark.pipeline.jpeg import encode_jpeg_progressive
 
-    ev = (
+    ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 25 == 11)
         .select("event_id")
@@ -3355,7 +3360,7 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     from net_spider_spark.pipeline import multimodal as MM
     from net_spider_spark.pipeline.jpeg import encode_jpeg
 
-    ev = (
+    ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 25 == 19)
         .select("event_id")
@@ -3397,7 +3402,22 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     )
 
 
+def _spread_ids(df):
+    """Round-robin a parameter-only projection across the session's
+    cores before a heavy per-row mapInPandas synthesis/decode stage.
+    The sf tables are single parquet files — ONE scan split at every
+    scale factor — so without this the entire payload render+decode
+    runs in a single task regardless of core count (measured 8.5 s ->
+    3.6 s on dedup_image_phash at sf0.1, identical output). Only the
+    id/parameter rows cross the exchange; the heavy bytes come into
+    existence after it (the §8 move-small-rows shape). Works on batch
+    and streaming DataFrames alike."""
+    spark = df.sparkSession
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def _synth_class_media(ev):
+    ev = _spread_ids(ev)
     # Shared media synthesizer for the perceptual-dedup queries (batch
     # AND streaming — the mapInPandas is stateless): each event renders
     # one of 6 fixed photo-like pictures (class = event_id % 6),
@@ -3496,6 +3516,7 @@ def q_dedup_image_phash(spark, sf_dir):
         .where(F.col("event_id") % 25 == 21)
         .select("event_id")
     )
+    # _synth_class_media spreads the ids itself
     hashes = MM.image_phash(_synth_class_media(ev))
     return DD.image_phash_dedup(hashes, max_hamming=2).select(
         "media_id", "is_dup"
@@ -3514,7 +3535,8 @@ def q_stream_dedup_phash(spark, sf_dir):
     _, stream = _events_stream(spark, sf_dir)
     ev = stream.where(F.col("event_id") % 25 == 21).select("event_id")
     out = stream_dedup_phash(_synth_class_media(ev))
-    res = _run_available_now(out, "stream_phash_sink", "update")
+    res = _run_available_now(out, "stream_phash_sink", "update",
+                             source_bytes=_table_bytes(sf_dir, "events"))
     # update-mode sink holds every intermediate per-key emission; the
     # final state per hash is the min across them.
     return (
@@ -3557,7 +3579,8 @@ def q_stream_dedup_phash_near(spark, sf_dir):
         ).alias("phash"),
     )
     out = _phash_near_stream(hashes, max_hamming=2, bands=4)
-    sink = _run_available_now(out, "stream_phash_near_sink", "append")
+    sink = _run_available_now(out, "stream_phash_near_sink", "append",
+                              source_bytes=_table_bytes(sf_dir, "events"))
     return (
         phash_near_keepers(sink)
         .select("media_id", "is_dup")
@@ -3565,16 +3588,56 @@ def q_stream_dedup_phash_near(spark, sf_dir):
     )
 
 
-def _run_available_now(stream_df, name: str, output_mode: str):
+def _table_bytes(sf_dir: str, table: str):
+    """On-disk bytes of one sf table (single file or directory)."""
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return None
+
+
+def _replay_state_partitions(spark, source_bytes) -> int:
+    """Stateful-shuffle width for an availableNow replay, sized by the
+    SOURCE bytes instead of inherited cluster width: each state
+    partition costs a store open + per-batch commit, so 32 stores for
+    kilobytes of state is pure spin-up (measured ~2x the whole replay
+    wall at sf0.1). ~64 MB of source per partition, floored at
+    min(8, cores) to keep the stateful operator's compute parallel,
+    capped at the session's parallelism — at corpus scale the byte
+    term dominates and the cap binds, so this never narrows a real
+    cluster. SPARK_GRAFT_STREAM_STATE_PARTS overrides for deployment
+    tuning. Partitioning never changes the emitted rows — only where
+    each key's state lives."""
+    import math
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_STATE_PARTS")
+    if env:
+        return max(1, int(env))
+    dp = spark.sparkContext.defaultParallelism
+    if source_bytes is None:
+        return min(32, dp)
+    by_size = max(1, math.ceil(source_bytes / (64 << 20)))
+    return max(min(8, dp), min(dp, by_size))
+
+
+def _run_available_now(
+    stream_df, name: str, output_mode: str, source_bytes=None
+):
     """Run a streaming DataFrame to completion with availableNow into a
     memory sink and return the sink contents as a batch DataFrame.
 
     The state-store count of a new streaming query is fixed by
-    ``spark.sql.shuffle.partitions`` at its first micro-batch; under a
-    host session left at the 200 default, every stateful replay would
-    spin up 200 stores for kilobytes of state. Cap the conf for the
-    duration of the stream and restore it after (results are identical
-    either way — this is spin-up cost only).
+    ``spark.sql.shuffle.partitions`` at its first micro-batch, so set
+    it for the stream's lifetime from the replayed source's size
+    (:func:`_replay_state_partitions`) and restore it after. Results
+    are identical at any width — this is spin-up cost only.
     """
     import shutil
     import tempfile
@@ -3584,8 +3647,9 @@ def _run_available_now(stream_df, name: str, output_mode: str):
     conf_key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(conf_key)
     try:
-        if int(old) > 32:
-            spark.conf.set(conf_key, "32")
+        parts = _replay_state_partitions(spark, source_bytes)
+        if int(old) != parts:
+            spark.conf.set(conf_key, str(parts))
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
@@ -3634,7 +3698,8 @@ def q_stream_dedup_digests(spark, sf_dir):
         .parquet(sf_dir)
     )
     res = _run_available_now(
-        stream_dedup_digests(stream), "stream_dd_sink", "append"
+        stream_dedup_digests(stream), "stream_dd_sink", "append",
+        source_bytes=_table_bytes(sf_dir, "documents"),
     )
     return res.select("digest").distinct()
 
@@ -3658,7 +3723,8 @@ def q_stream_sessionize(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_events"))
     )
-    res = _run_available_now(agg, "stream_sess_sink", "append")
+    res = _run_available_now(agg, "stream_sess_sink", "append",
+                             source_bytes=_table_bytes(sf_dir, "events"))
     return res.select(
         "user_id",
         F.unix_millis("sw.start").alias("session_start_ms"),
@@ -3705,7 +3771,8 @@ def q_stream_stream_join(spark, sf_dir):
         & (F.col("p_time") > F.col("c_time"))
         & (F.col("p_time") <= F.col("c_time") + F.expr("INTERVAL 4 HOURS")),
     )
-    res = _run_available_now(joined, "stream_ssj_sink", "append")
+    res = _run_available_now(joined, "stream_ssj_sink", "append",
+                             source_bytes=_table_bytes(sf_dir, "events"))
     return res.select(
         "click_id",
         "purchase_id",
@@ -3736,7 +3803,8 @@ def q_stream_windowed_stats(spark, sf_dir):
         window="1 hour",
         watermark="2 hours",
     )
-    res = _run_available_now(out, "stream_ws_sink", "append")
+    res = _run_available_now(out, "stream_ws_sink", "append",
+                             source_bytes=_table_bytes(sf_dir, "events"))
     return res.select(
         "event_type",
         F.unix_millis("window_start").alias("window_start_ms"),
@@ -3760,7 +3828,8 @@ def q_stream_latest_per_node(spark, sf_dir):
     ev, stream = _events_stream(spark, sf_dir)
     findings = demo.events_findings_from(stream)
     out = stream_latest_per_node(findings)
-    res = _run_available_now(out, "stream_lpn_sink", "update")
+    res = _run_available_now(out, "stream_lpn_sink", "update",
+                             source_bytes=_table_bytes(sf_dir, "events"))
     return res.groupBy("subject_node").agg(
         F.max("found_at").alias("found_at")
     )
@@ -3777,7 +3846,8 @@ def q_stream_latest_link_per_pair(spark, sf_dir):
     ev, stream = _events_stream(spark, sf_dir)
     findings = demo.events_findings_from(stream)
     out = stream_latest_link_per_pair(findings)
-    res = _run_available_now(out, "stream_llp_sink", "update")
+    res = _run_available_now(out, "stream_llp_sink", "update",
+                             source_bytes=_table_bytes(sf_dir, "events"))
     # Reduce update-mode emissions under the full batch-unify ordering
     # (found_at, finding_id, link_pos), not found_at alone: with >1
     # micro-batch (maxFilesPerTrigger, multi-file table), two emissions
@@ -3814,7 +3884,8 @@ def q_stream_rpl_dio_merged(spark, sf_dir):
     ev, stream = _events_stream(spark, sf_dir)
     findings = demo.events_findings_dio_from(stream)
     out = stream_unified_link_per_pair(findings, dio_unifier_conf())
-    res = _run_available_now(out, "stream_dio_sink", "update")
+    res = _run_available_now(out, "stream_dio_sink", "update",
+                             source_bytes=_table_bytes(sf_dir, "events"))
     final = (
         res.groupBy("p1", "p2")
         .agg(

@@ -444,3 +444,64 @@ def test_bench_scale_guard_paths_pinned(spark):
         qs[name](spark, sf_dir)  # guard fires at build time
         got = [(d["tag"], d["local"]) for d in sizing.DECISION_LOG]
         assert got == want, f"{name}: guard path flipped: {got} != {want}"
+
+
+def test_synth_decode_spread_across_cores(spark):
+    # The sf tables are single parquet files (one scan split at every
+    # sf), so the heavy payload synth+decode queries must round-robin
+    # their parameter rows across the session before the mapInPandas
+    # stage — otherwise the whole render+decode runs in ONE task
+    # regardless of core count (measured 8.5 s -> 3.6 s on
+    # dedup_image_phash at sf0.1). Pin the exchange and that it only
+    # carries the parameter projection, not payload bytes.
+    import __spark_entry__ as entry_mod
+
+    qs = entry_mod.queries()
+    for name in ("multimodal_png_decode", "multimodal_audio_decode"):
+        plan = plan_of(qs[name](spark, "/root/testdata/sf0.001"))
+        assert "RoundRobinPartitioning" in plan, f"{name}: spread lost"
+        # the exchange must sit below the Python stage: no payload
+        # column exists yet when rows are spread
+        assert plan.index("RoundRobinPartitioning") > plan.index(
+            "MapInPandas"
+        ), f"{name}: exchange above the synth stage"
+    # the shared class-media synthesizer spreads its own input (the
+    # phash queries' plans truncate at an internal materialization, so
+    # pin the synth subplan itself)
+    ev = (
+        entry_mod._events_typed(spark, "/root/testdata/sf0.001")
+        .where(F.col("event_id") % 25 == 21)
+        .select("event_id")
+    )
+    plan = plan_of(entry_mod._synth_class_media(ev))
+    assert "RoundRobinPartitioning" in plan, "class-media spread lost"
+
+
+def test_replay_state_partitions_scale_adaptive():
+    # Stateful-replay shuffle width follows the SOURCE size, floored
+    # for compute parallelism and capped by the session parallelism —
+    # never a constant tuned to one core count (a 32-wide state layout
+    # for kilobytes of state measured ~2x the whole replay wall).
+    import __spark_entry__ as entry_mod
+
+    class _SC:
+        defaultParallelism = 32
+
+    class _Spark:
+        sparkContext = _SC()
+
+    f = entry_mod._replay_state_partitions
+    assert f(_Spark(), 2 << 20) == 8          # 2 MB file -> floor
+    assert f(_Spark(), 100 << 30) == 32       # 100 GB -> capped at dp
+    assert f(_Spark(), None) == 32            # unknown -> prior cap
+    _SC.defaultParallelism = 4
+    assert f(_Spark(), 2 << 20) == 4          # floor respects small dp
+    _SC.defaultParallelism = 32
+
+    import os
+
+    os.environ["SPARK_GRAFT_STREAM_STATE_PARTS"] = "12"
+    try:
+        assert f(_Spark(), 2 << 20) == 12     # deployment override
+    finally:
+        del os.environ["SPARK_GRAFT_STREAM_STATE_PARTS"]
