@@ -43,6 +43,8 @@ net-spider port.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -53,6 +55,88 @@ __all__ = ["kmeans_assign", "kmeans_fit", "semantic_dedup"]
 
 def _hash_expr(id_col: str, seed: str):
     return F.md5(F.concat(F.lit(seed + ":"), F.col(id_col).cast("string")))
+
+
+def _local_train_ok(df: DataFrame, id_col: str) -> bool:
+    """True when the bounded-sample training loop may run in the driver.
+
+    The driver path replays ``_hash_expr`` with ``hashlib.md5`` over
+    ``str(id)``, so it is only taken for id types whose Spark
+    string-cast Python's ``str`` reproduces exactly (integers and
+    strings — never floats/decimals/timestamps). Set
+    ``NET_SPIDER_LOCAL_TRAIN=0`` to force the distributed loop (A/B
+    harness + the fast-path parity test)."""
+    if os.environ.get("NET_SPIDER_LOCAL_TRAIN", "1") == "0":
+        return False
+    return df.schema[id_col].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint", "string"
+    )
+
+
+def _argmin_rows(vecs, cent):
+    """Row-wise squared-L2 argmin of ``vecs`` against ``cent``,
+    replicating :func:`_assign`'s float64 accumulation order (d starts
+    at zeros, adds (x_j-c_j)^2 one dimension at a time) and numpy's
+    first-min (= lowest-cid) tie-break. Chunked so the (rows, k)
+    distance buffer stays bounded; chunking cannot change results —
+    rows are independent."""
+    import numpy as np
+
+    n, dim = vecs.shape
+    k = cent.shape[0]
+    chunk = max(1, (1 << 22) // max(k, 1))
+    out = np.empty(n, dtype=np.int64)
+    for lo in range(0, n, chunk):
+        v = vecs[lo:lo + chunk]
+        d = np.zeros((len(v), k))
+        for j in range(dim):
+            dj = v[:, j, None] - cent[None, :, j]
+            d += dj * dj
+        out[lo:lo + chunk] = d.argmin(-1)
+    return out
+
+
+def _fit_local(rows, k: int, iters: int, seed: str):
+    """Lloyd's over the COLLECTED bounded sample, entirely in the
+    driver: seed selection (bottom-k by md5, replayed with hashlib on
+    the same ``seed + ":" + str(id)`` strings Spark hashes) plus every
+    centroid update as numpy on the one in-memory batch.
+
+    Motivation (guide §1.3/§4): with ``train_n`` bounded the sample is
+    driver-sized by construction, yet the distributed loop pays a
+    repartition + Arrow-worker + aggregate JOB per iteration — 0.7-1.4 s
+    of pure scheduling per action on local[32] for a 1024-row sample,
+    ~3-6 s per ANN query. One collect replaces (2 + iters) actions; the
+    corpus-sized passes (sample selection, final assignment) stay
+    distributed. Arithmetic: same float64 ops as :func:`_assign` and
+    the posexplode/avg update (sum then divide); summation ORDER within
+    a mean differs from the shuffle's arrival order, which the round(9)
+    oracle normalization provably tolerates — DuckDB already re-sums
+    every mean in its own order."""
+    import hashlib
+
+    import numpy as np
+
+    vecs = np.array([r["_v"] for r in rows], dtype=np.float64)
+    ids = [r["_id"] for r in rows]
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5((seed + ":" + str(ids[i])).encode()).hexdigest(),
+            ids[i],
+        ),
+    )
+    cent = vecs[order[:k]].copy()
+    for _ in range(iters):
+        idx = _argmin_rows(vecs, cent)
+        acc = np.zeros_like(cent)
+        cnt = np.zeros(len(cent), dtype=np.int64)
+        np.add.at(acc, idx, vecs)
+        np.add.at(cnt, idx, 1)
+        nz = cnt > 0
+        # clusters that lost every member keep their previous centroid
+        cent = np.where(nz[:, None], acc / np.maximum(cnt, 1)[:, None], cent)
+    return [(cid, [float(x) for x in cent[cid]]) for cid in range(len(cent))]
 
 
 def _sq_dist(a, b):
@@ -156,13 +240,25 @@ def kmeans_fit(
         h = F.md5(
             F.concat(F.lit(seed + ":sample:"), F.col("_id").cast("string"))
         )
-        # Persist the bounded sample: seed selection plus every Lloyd's
-        # means-collect is an action over it, and without the persist
-        # each one re-runs the bottom-train_n TakeOrderedAndProject — a
-        # corpus scan per action at scale. The cache is train_n rows by
-        # construction and is released before return (the returned
-        # assignment re-reads the full input, not the sample).
-        train = vecs.orderBy(h, "_id").limit(train_n).persist()
+        sample = vecs.orderBy(h, "_id").limit(train_n)
+        if _local_train_ok(vecs, "_id"):
+            # Driver fast path (see _fit_local): ONE collect of the
+            # bounded sample replaces the persist, the seed collect and
+            # the per-iteration means-collect jobs. The only corpus-
+            # sized passes left are the TakeOrderedAndProject behind
+            # this collect and the final frozen-centroid assignment.
+            centroids = _fit_local(sample.collect(), k, iters, seed)
+            return centroids, _assign(vecs, centroids)
+        # Distributed fallback (train_n=None trains on the corpus;
+        # non-integer/string ids can't replay the seed hash driver-
+        # side). Persist the bounded sample: seed selection plus every
+        # Lloyd's means-collect is an action over it, and without the
+        # persist each one re-runs the bottom-train_n
+        # TakeOrderedAndProject — a corpus scan per action at scale.
+        # The cache is train_n rows by construction and is released
+        # before return (the returned assignment re-reads the full
+        # input, not the sample).
+        train = sample.persist()
     seed_rows = (
         train.withColumn("_h", _hash_expr("_id", seed))
         .orderBy("_h", "_id")

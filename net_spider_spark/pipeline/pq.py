@@ -74,7 +74,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from net_spider_spark.pipeline.cluster import _hash_expr
+from net_spider_spark.pipeline.cluster import _hash_expr, _local_train_ok
 
 __all__ = [
     "pq_train", "pq_encode", "pq_topk",
@@ -315,6 +315,80 @@ def _train_sample(df: DataFrame, train_n: int | None,
     return df.orderBy(h, id_col).limit(train_n)
 
 
+def _train_local(rows, m: int, k: int, sub_dim: int, iters: int,
+                 seed: str) -> list[tuple[int, int, list[float]]]:
+    """PQ codebook training over the COLLECTED bounded sample, entirely
+    in the driver: bottom-k-by-md5 seeds (hashlib over the same
+    ``seed + ":" + str(id)`` strings :func:`_hash_expr` hashes) plus
+    every Lloyd's update as the numpy body of
+    :func:`_train_step_partials` applied to the one in-memory batch.
+
+    Motivation (guide §1.3/§4): with ``train_n`` bounded the sample is
+    driver-sized, yet the distributed loop paid a repartition + Arrow
+    worker + combining-aggregate JOB per iteration plus a seed-collect
+    job — 0.7-1.4 s of scheduling each on local[32] for a 1024-row
+    sample. One collect replaces (2 + iters) actions. Arithmetic: the
+    per-row distance fold, first-min tie-break and np.add.at partial
+    sums are the exact ops of the Arrow step (chunked over rows —
+    np.add.at is sequential in index order, so consecutive chunks
+    accumulate identically to one call); only the ORDER of summing
+    across what used to be per-partition partials differs, which the
+    round(9) oracle normalization provably tolerates — DuckDB already
+    re-sums every mean in its own order."""
+    import hashlib
+
+    import numpy as np
+
+    ids = [r["_id"] for r in rows]
+    vecs = np.array([r["_v"] for r in rows], dtype=np.float64)
+    order = sorted(
+        range(len(ids)),
+        key=lambda i: (
+            hashlib.md5((seed + ":" + str(ids[i])).encode()).hexdigest(),
+            ids[i],
+        ),
+    )
+    books: dict[tuple[int, int], list[float]] = {}
+    for cid, i in enumerate(order[:k]):
+        full = vecs[i]
+        for s in range(m):
+            books[(s, cid)] = [
+                float(x) for x in full[s * sub_dim:(s + 1) * sub_dim]
+            ]
+    n = len(rows)
+    sv = vecs.reshape(n, m, sub_dim)
+    for _ in range(iters):
+        bnp = _books_np(_book_list(books), m, sub_dim)
+        kk = bnp.shape[1]
+        acc = np.zeros((m, kk, sub_dim))
+        cnt = np.zeros((m, kk), dtype=np.int64)
+        # Per-subspace (rows, k) buffers instead of one (rows, m, k)
+        # block: the distances/argmin factor across subspaces, so the
+        # elementwise ops, first-min tie-break and np.add.at order are
+        # bitwise unchanged — but peak temporaries drop m-fold (67 MB
+        # -> 2 MB at m=32, k=256, n=1024), which is the difference
+        # between ~0.3 s and ~2.8 s of page-fault-dominated numpy in
+        # the JVM-hosting driver process.
+        chunk = max(1, (1 << 22) // max(kk, 1))
+        for lo in range(0, n, chunk):
+            svc = sv[lo:lo + chunk]
+            for s in range(m):
+                d = None
+                for j in range(sub_dim):
+                    dj = svc[:, s, None, j] - bnp[None, s, :, j]
+                    dj = dj * dj
+                    d = dj if d is None else d + dj
+                codes = d.argmin(-1)
+                np.add.at(acc[s], codes, svc[:, s, :])
+                np.add.at(cnt[s], codes, 1)
+        # (sub, cid) cells that lost every member keep their centroid
+        for key in list(books):
+            s, cid = key
+            if cnt[s, cid]:
+                books[key] = [float(x) for x in acc[s, cid] / cnt[s, cid]]
+    return _book_list(books)
+
+
 def pq_train(
     df: DataFrame,
     dim: int,
@@ -351,7 +425,23 @@ def pq_train(
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_dim = dim // m
     spark = df.sparkSession
+    if train_n is not None and _local_train_ok(df, id_col):
+        # Driver fast path (see _train_local): ONE collect of the
+        # bounded sample replaces the persist, the seed collect and the
+        # per-iteration partials jobs; the only corpus-sized pass left
+        # in training is the TakeOrderedAndProject behind this collect.
+        rows = (
+            _train_sample(df, train_n, id_col, seed)
+            .select(
+                F.col(id_col).alias("_id"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            )
+            .collect()
+        )
+        return _train_local(rows, m, k, sub_dim, iters, seed)
     df = _train_sample(df, train_n, id_col, seed)
+    # Distributed fallback (train_n=None trains on the caller's corpus;
+    # non-integer/string ids can't replay the seed hash driver-side).
     # The sample feeds one action per Lloyd's iteration plus the seed
     # collect; without a persist each action re-runs the bottom-train_n
     # TakeOrderedAndProject — a full corpus scan PER ACTION at scale.

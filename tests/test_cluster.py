@@ -157,3 +157,23 @@ def test_kmeans_fit_train_n_assigns_full_corpus(spark):
     for (c1, v1), (c2, v2) in zip(cents_full, cents_cap):
         assert c1 == c2
         np.testing.assert_allclose(v1, v2, rtol=0)
+
+
+def test_local_fit_matches_distributed_loop(emb, monkeypatch):
+    # Driver fast path (bounded train_n -> collect + numpy Lloyd's) vs
+    # the distributed loop: same cluster ids, centroids equal to well
+    # inside the oracle's round(9) normalization (the paths differ only
+    # in partial-sum combine order), and identical full-corpus
+    # assignment under those centroids.
+    import numpy as np
+
+    cents_local, asg_local = CL.kmeans_fit(emb, k=3, iters=2, train_n=40)
+    monkeypatch.setenv("NET_SPIDER_LOCAL_TRAIN", "0")
+    cents_dist, asg_dist = CL.kmeans_fit(emb, k=3, iters=2, train_n=40)
+    assert [c for c, _ in cents_local] == [c for c, _ in cents_dist]
+    for (_, v1), (_, v2) in zip(cents_local, cents_dist):
+        np.testing.assert_allclose(v1, v2, rtol=0, atol=1e-9)
+    rows = lambda a: sorted(
+        (r["_id"], r["cluster_id"]) for r in a.select("_id", "cluster_id").collect()
+    )
+    assert rows(asg_local) == rows(asg_dist)

@@ -402,3 +402,19 @@ def test_ivfpq_write_read_round_trip(emb, spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{bad}/meta")
     with pytest.raises(ValueError):
         PQ.ivfpq_read(spark, bad)
+
+
+def test_local_train_matches_distributed_loop(emb, monkeypatch):
+    # The driver fast path (bounded train_n -> collect + numpy Lloyd's)
+    # must reproduce the distributed loop's codebooks to well inside
+    # the oracle's round(9) normalization: identical (sub, cid) keys
+    # and centroids equal to 1e-9 (the paths differ only in the ORDER
+    # partial sums combine, a last-bit effect).
+    got_local = PQ.pq_train(emb, dim=8, m=4, k=4, iters=2, train_n=40)
+    monkeypatch.setenv("NET_SPIDER_LOCAL_TRAIN", "0")
+    got_dist = PQ.pq_train(emb, dim=8, m=4, k=4, iters=2, train_n=40)
+    assert [(s, c) for s, c, _ in got_local] == [
+        (s, c) for s, c, _ in got_dist
+    ]
+    for (_, _, v1), (_, _, v2) in zip(got_local, got_dist):
+        np.testing.assert_allclose(v1, v2, rtol=0, atol=1e-9)
