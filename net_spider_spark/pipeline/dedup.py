@@ -169,25 +169,51 @@ def jaccard_verify_sets(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs from per-doc shingle arrays:
-    two equi-joins hang each side's set on the pair, then
-    ``array_intersect``/``array_union`` compute |A∩B| / |A∪B| in
-    codegen. Work is O(|candidates| × shingles-per-doc) like
+    two equi-joins hang each side's set on the pair, then one
+    ``array_intersect`` computes |A∩B| in codegen and
+    |A∪B| = |A'| + |B'| − |A∩B| comes from per-DOC distinct sizes
+    (A'/B' the deduped arrays) — the same identity the DuckDB twin
+    uses, and IEEE-identical to dividing by ``size(array_union(..))``
+    (``array_union``/``array_intersect`` both dedup, so the operands
+    are the same integers). The union build was half the per-pair
+    work: sizes are per-doc constants, so they are computed once per
+    doc row instead of once per pair. Work is
+    O(|candidates| × shingles-per-doc) like
     :func:`jaccard_verify_candidates`, but with 2 shuffles instead of
     5 — no exploded (pair, shingle) table, no shared-count aggregation,
-    no separate sizes join. Returns (doc_a, doc_b, jaccard) at/above
-    ``threshold``."""
-    a = sets.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("_sh_a"))
-    b = sets.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("_sh_b"))
+    no separate sizes join.
+
+    The candidate side is hash-spread on ``doc_a`` across the session's
+    default parallelism first: candidate pairs are a few BYTES per row,
+    so AQE's byte-based coalescing packs the verify stage into one or
+    two tasks while each row carries two full shingle-array
+    intersections of COMPUTE — the one case where byte-sized partitions
+    are the wrong unit. On a cluster the attach joins shuffle by the
+    same key, so the exchange is reused, not added.
+
+    Returns (doc_a, doc_b, jaccard) at/above ``threshold``."""
+    par = candidates.sparkSession.sparkContext.defaultParallelism
+    a = sets.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("shingles").alias("_sh_a"),
+        F.size(F.array_distinct("shingles")).alias("_n_a"),
+    )
+    b = sets.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("shingles").alias("_sh_b"),
+        F.size(F.array_distinct("shingles")).alias("_n_b"),
+    )
+    shared = F.size(F.array_intersect("_sh_a", "_sh_b"))
     return (
-        candidates.join(a, "doc_a")
+        candidates.repartition(par, "doc_a")
+        .join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
-            (
-                F.size(F.array_intersect("_sh_a", "_sh_b"))
-                / F.size(F.array_union("_sh_a", "_sh_b"))
-            ).cast("double").alias("jaccard"),
+            (shared / (F.col("_n_a") + F.col("_n_b") - shared))
+            .cast("double")
+            .alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
