@@ -108,20 +108,23 @@ def _explode_subvectors(df: DataFrame, m: int, sub_dim: int,
     target = df.sparkSession.sparkContext.defaultParallelism
     if proj.rdd.getNumPartitions() < target:
         proj = proj.repartition(target, out_id)
-    return proj.select(
-        F.col(out_id),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("sub"),
-                        _subslice(F.col("_v"), s, sub_dim).alias("sv"),
-                    )
-                    for s in range(m)
-                ]
-            )
-        ).alias("_e"),
-    ).select(out_id, F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("sv"))
+    # One parsed expr string instead of a 3m-call Column-builder loop:
+    # the expression tree is IDENTICAL (inline(array(struct..)) ==
+    # explode+field-select after analysis), but building it costs one
+    # py4j round-trip instead of ~100 — at m=32 the Python-side loop
+    # alone was 0.6 s of every plan build (guide §1.3).
+    return proj.select(F.col(out_id), F.expr(_inline_subvectors("_v", m, sub_dim)))
+
+
+def _inline_subvectors(vec_col: str, m: int, sub_dim: int) -> str:
+    """SQL for ``inline(array(struct(s as sub, slice(vec,..) as sv)..))``
+    — the unrolled (codegen-friendly, no higher-order functions)
+    subvector explode as ONE parseable string."""
+    structs = ",".join(
+        f"struct({s} as sub, slice({vec_col},{s * sub_dim + 1},{sub_dim}) as sv)"
+        for s in range(m)
+    )
+    return f"inline(array({structs}))"
 
 
 def _sq_dist(a, b, sub_dim: int | None = None):
@@ -231,6 +234,89 @@ def _arrow_codes(
             )
 
     return proj.mapInPandas(encode, schema)
+
+
+def _arrow_cells_codes(
+    df: DataFrame,
+    centroids,
+    codebooks,
+    residual: bool,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(neighbor_id, _cell, codes): coarse-cell assignment AND PQ
+    encoding of every vector in ONE vectorized Arrow pass — the fused
+    form of ``cluster._assign`` + (residual subtract) + ``_arrow_codes``.
+
+    Fusing matters twice (guide §2.4, §8): at build time the corpus is
+    read and crossed into Python once instead of twice (assign pass +
+    encode pass), and at search time the candidate table arrives as one
+    relation, so the former corpus-sized ``codes ⋈ cells`` sort-merge
+    join (2 exchanges + 2 sorts of n rows) disappears from every query.
+    In residual mode it also replaces the broadcast-join +
+    ``zip_with`` residual construction AND removes the corpus-sized
+    persist the two-pass form needed.
+
+    Numeric parity is exact, op for op: the cell argmin replays
+    ``_assign``'s float64 accumulation (d starts at zeros, adds
+    (x_j-c_j)^2 a dimension at a time, first-min tie-break), the
+    residual is the same elementwise float64 ``x - c`` ``zip_with``
+    computed, and the code argmin replays ``_arrow_codes``'s per-
+    subspace fold. Pinned by ``test_fused_cells_codes_match_two_pass``."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    m = max(s for s, _, _ in codebooks) + 1
+    sub_dim = len(codebooks[0][2])
+    cent = sorted(centroids)
+    cids = np.array([c for c, _ in cent], dtype=np.int64)
+    cmat = np.array([v for _, v in cent], dtype=np.float64)
+    bb = spark.sparkContext.broadcast(
+        (cids, cmat, _books_np(codebooks, m, sub_dim))
+    )
+    id_type = df.schema[id_col].dataType.simpleString()
+    proj = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    # Thin-input guard, cf. _arrow_codes.
+    target = spark.sparkContext.defaultParallelism
+    if proj.rdd.getNumPartitions() < target:
+        proj = proj.repartition(target, "neighbor_id")
+
+    def fused(batches):
+        bcids, bcmat, books = bb.value
+        mm, kk, sd = books.shape
+        dim = bcmat.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            d = np.zeros((len(pdf), bcmat.shape[0]))
+            for j in range(dim):
+                dj = v[:, j, None] - bcmat[None, :, j]
+                d += dj * dj
+            idx = d.argmin(-1)
+            enc = v - bcmat[idx] if residual else v
+            sv = enc.reshape(len(pdf), mm, sd)
+            dd = None
+            for j in range(sd):
+                dj = sv[:, :, None, j] - books[None, :, :, j]
+                dj = dj * dj
+                dd = dj if dd is None else dd + dj
+            codes = dd.argmin(-1).astype(np.int32)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].values,
+                    "_cell": bcids[idx],
+                    "codes": list(codes),
+                }
+            )
+
+    return proj.mapInPandas(
+        fused, f"`neighbor_id` {id_type}, _cell long, codes array<int>"
+    )
 
 
 def _train_step_partials(
@@ -502,6 +588,39 @@ def _book_list(books: dict[tuple[int, int], list[float]]):
 
 
 def _codebook_df(spark, codebooks):
+    """(sub, cid, cv) DataFrame from the driver-side codebook list.
+
+    The m*k rows (8192 at contract defaults) ship as ONE from_json
+    literal + two posexplodes instead of ``createDataFrame``'s
+    row-by-row verify/pickle path — same rows, same schema, ~0.05 s
+    instead of ~0.25 s per plan build (guide §1.3). json.dumps emits
+    shortest-round-trip doubles and Jackson parses to nearest, so the
+    values are bit-identical. Falls back to createDataFrame for a
+    partial codebook (never produced by pq_train, but cheap to keep
+    correct)."""
+    import json
+
+    m = max(s for s, _, _ in codebooks) + 1
+    k = max(c for _, c, _ in codebooks) + 1
+    if len(codebooks) == m * k:
+        by = {(s, c): v for s, c, v in codebooks}
+        payload = json.dumps(
+            [
+                [[float(x) for x in by[(s, c)]] for c in range(k)]
+                for s in range(m)
+            ]
+        )
+        return (
+            spark.range(1)
+            .select(
+                F.posexplode(
+                    F.from_json(
+                        F.lit(payload), "array<array<array<double>>>"
+                    )
+                ).alias("sub", "_row")
+            )
+            .select("sub", F.posexplode("_row").alias("cid", "cv"))
+        )
     return spark.createDataFrame(
         [(s, c, [float(x) for x in v]) for s, c, v in codebooks],
         "sub int, cid int, cv array<double>",
@@ -641,9 +760,17 @@ class IvfPqIndex:
     """The built IVF-PQ index: ``cells`` (neighbor_id, _cell) and
     ``codes`` (neighbor_id, codes) DataFrames — m bytes + one cell id
     per corpus vector, persistable/writable like any DataFrame — plus
-    the driver-side coarse centroids and PQ codebooks."""
+    the driver-side coarse centroids and PQ codebooks.
 
-    def __init__(self, cells, codes, cents, books, dim, m, residual):
+    ``table`` (when the index was built by the fused single-pass path)
+    is the combined (neighbor_id, _cell, codes) relation ``cells`` and
+    ``codes`` are projections of; :func:`ivfpq_search` reads it
+    directly so no corpus-sized ``codes ⋈ cells`` join is ever planned.
+    Indexes reloaded by :func:`ivfpq_read` (or constructed from
+    separate tables) leave it None and search falls back to the join."""
+
+    def __init__(self, cells, codes, cents, books, dim, m, residual,
+                 table=None):
         self.cells = cells
         self.codes = codes
         self.cents = cents
@@ -651,6 +778,7 @@ class IvfPqIndex:
         self.dim = dim
         self.m = m
         self.residual = residual
+        self.table = table
 
 
 def ivfpq_write(index: IvfPqIndex, path: str, mode: str = "error") -> None:
@@ -738,6 +866,57 @@ def ivfpq_build(
     quantizers see consistent rows."""
     from net_spider_spark.pipeline import cluster as CL
 
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_dim = dim // m
+    vecs = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if train_n is not None and CL._local_train_ok(vecs, "_id"):
+        # Fast path: BOTH quantizers train on the same bounded
+        # bottom-train_n-by-md5(seed:sample:id) rows (the hash depends
+        # only on ids, so the coarse sample and the fine sample are
+        # the same rows by construction) — ONE collect feeds both
+        # driver-side Lloyd's loops instead of one action each. In
+        # residual mode the fine quantizer's sample residuals are
+        # computed here in numpy against the frozen coarse centroids
+        # (same float64 argmin fold and x - c subtraction the
+        # distributed chain performs), which removes the residual-
+        # table sample action AND the corpus-sized persist the
+        # two-pass build needed. The only corpus-sized work left is
+        # the ONE fused assign+encode pass below.
+        import numpy as np
+
+        h = F.md5(
+            F.concat(F.lit(seed + ":sample:"), F.col("_id").cast("string"))
+        )
+        rows = vecs.orderBy(h, "_id").limit(train_n).collect()
+        cents = CL._fit_local(rows, n_cells, coarse_iters, seed)
+        if residual:
+            cent = sorted(cents)
+            cmat = np.array([v for _, v in cent], dtype=np.float64)
+            sample_v = np.array([r["_v"] for r in rows], dtype=np.float64)
+            idx = CL._argmin_rows(sample_v, cmat)
+            res_v = sample_v - cmat[idx]
+            train_rows = [
+                {"_id": r["_id"], "_v": res_v[i]}
+                for i, r in enumerate(rows)
+            ]
+        else:
+            train_rows = rows
+        books = _train_local(
+            train_rows, m, k_codes, sub_dim, pq_iters, seed
+        )
+        table = _arrow_cells_codes(
+            corpus, cents, books, residual, id_col, vec_col
+        )
+        return IvfPqIndex(
+            table.select("neighbor_id", "_cell"),
+            table.select("neighbor_id", "codes"),
+            cents, books, dim, m, residual, table=table,
+        )
+
     cents, assigned = CL.kmeans_fit(
         corpus, k=n_cells, iters=coarse_iters,
         id_col=id_col, vec_col=vec_col, seed=seed, train_n=train_n,
@@ -796,6 +975,23 @@ def ivfpq_add(index: IvfPqIndex, new_batch: DataFrame,
     batch reflects the original training distribution; retrain
     (:func:`ivfpq_build`) when the distribution drifts."""
     from net_spider_spark.pipeline import cluster as CL
+
+    if index.table is not None:
+        # Fused-index path: assign + encode the day's batch in the same
+        # single Arrow pass the build used (identical ops — see
+        # _arrow_cells_codes), keeping the combined relation so search
+        # stays join-free over the incremented index too.
+        new_table = _arrow_cells_codes(
+            new_batch, index.cents, index.books, index.residual,
+            id_col, vec_col,
+        )
+        table = index.table.unionByName(new_table)
+        return IvfPqIndex(
+            table.select("neighbor_id", "_cell"),
+            table.select("neighbor_id", "codes"),
+            index.cents, index.books, index.dim, index.m,
+            index.residual, table=table,
+        )
 
     vecs = new_batch.select(
         F.col(id_col).alias("_id"),
@@ -879,20 +1075,7 @@ def ivfpq_search(
         )
         qsub = qres.select(
             "query_id", "_cell",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(s).alias("sub"),
-                            _subslice(F.col("_qr"), s, sub_dim).alias("sv"),
-                        )
-                        for s in range(m)
-                    ]
-                )
-            ).alias("_e"),
-        ).select(
-            "query_id", "_cell",
-            F.col("_e.sub").alias("sub"), F.col("_e.sv").alias("sv"),
+            F.expr(_inline_subvectors("_qr", m, sub_dim)),
         )
         lut = qsub.join(F.broadcast(cb), "sub").select(
             "query_id", "_cell", "sub", F.col("cid").alias("code"),
@@ -908,9 +1091,15 @@ def ivfpq_search(
             _sq_dist(F.col("sv"), F.col("cv"), sub_dim).alias("d"),
         )
         lut_keys = ["query_id", "sub", "code"]
-    cand = codes.join(cells, "neighbor_id").join(
-        F.broadcast(probes), "_cell"
-    )
+    if index.table is not None:
+        # Fused index: (neighbor_id, _cell, codes) is one relation, so
+        # the only join the candidate side needs is the broadcast probe
+        # pruning — no corpus-sized codes ⋈ cells sort-merge join.
+        cand = index.table.join(F.broadcast(probes), "_cell")
+    else:
+        cand = codes.join(cells, "neighbor_id").join(
+            F.broadcast(probes), "_cell"
+        )
     scored = (
         cand.select(
             "query_id", "_cell", "neighbor_id",

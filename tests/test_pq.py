@@ -418,3 +418,57 @@ def test_local_train_matches_distributed_loop(emb, monkeypatch):
     ]
     for (_, _, v1), (_, _, v2) in zip(got_local, got_dist):
         np.testing.assert_allclose(v1, v2, rtol=0, atol=1e-9)
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_fused_cells_codes_match_two_pass(emb, residual):
+    # The fused single-pass build (_arrow_cells_codes) must emit the
+    # exact cells and codes the two-pass chain (cluster._assign +
+    # residual subtract + pq_encode) produces for the same frozen
+    # centroids/codebooks — bitwise, adist included downstream.
+    from net_spider_spark.pipeline import cluster as CL
+
+    idx = PQ.ivfpq_build(
+        emb, dim=8, n_cells=4, coarse_iters=1, m=2, k_codes=4,
+        pq_iters=1, residual=residual, train_n=16,
+    )
+    assert idx.table is not None  # fast path taken for bigint ids
+    vecs = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").cast("array<double>").alias("_v"),
+    )
+    assigned = CL._assign(vecs, idx.cents)
+    cells2 = sorted(
+        (r["_id"], r["cluster_id"]) for r in assigned.collect()
+    )
+    assert sorted(map(tuple, idx.cells.collect())) == cells2
+    if residual:
+        cdf = CL._centroid_df(emb, idx.cents)
+        src = assigned.join(
+            F.broadcast(cdf), F.col("cluster_id") == F.col("cid")
+        ).select(
+            "_id", F.zip_with("_v", "cv", lambda x, y: x - y).alias("_rv")
+        )
+        codes2 = PQ.pq_encode(src, idx.books, id_col="_id", vec_col="_rv")
+    else:
+        codes2 = PQ.pq_encode(emb, idx.books)
+    assert sorted(
+        (r[0], tuple(r["codes"])) for r in idx.codes.collect()
+    ) == sorted((r[0], tuple(r["codes"])) for r in codes2.collect())
+
+
+def test_fused_search_skips_corpus_join(emb):
+    # With the fused index the candidate side must not plan a
+    # corpus-sized codes-cells join: the only joins left are broadcast
+    # (probes, LUT). SortMergeJoin in this plan would mean the fusion
+    # regressed.
+    idx = PQ.ivfpq_build(
+        emb, dim=8, n_cells=4, coarse_iters=1, m=2, k_codes=4,
+        pq_iters=1, train_n=16,
+    )
+    plan = (
+        PQ.ivfpq_search(idx, emb.where(F.col("vec_id") < 3), k=2, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
