@@ -10,6 +10,8 @@ gate.
 
 from __future__ import annotations
 
+import os
+
 from typing import Sequence
 
 from pyspark.sql import Column, DataFrame
@@ -1038,6 +1040,8 @@ def quality_model_train(
     blocks, executor loss fails the step instead of recomputing).
     Driver state is 5 floats. Returns the weight list.
     """
+    from net_spider_spark import sizing
+
     scores = quality_scores(df, text_col=text_col, id_col=id_col)
     label = (
         (F.col("n_chars") >= min_chars)
@@ -1048,8 +1052,35 @@ def quality_model_train(
     base = scores.select(
         label.alias("_y"),
         *[fx.alias(f"_x{i}") for i, fx in enumerate(feats)],
-    ).transform(_materialize)
-    n = base.count()
+    )
+    if os.environ.get("NET_SPIDER_LOCAL_TRAIN", "1") != "0":
+        # Driver fast path (guide §1.3): the feature table is 6
+        # float64 columns, so when it fits the driver budget ONE
+        # toPandas replaces the localCheckpoint + count + n_steps
+        # aggregate actions (~0.15-0.2 s of scheduling each on
+        # local[32]). The fixed-point design makes this provably
+        # bit-identical, not approximately: per-row float64 ops (the
+        # weight fold, the rational sigmoid, the gradient product and
+        # floor) are replayed element-for-element below, and the only
+        # cross-row reduction is a sum of INTEGERS on the 1/2^20 grid
+        # — exact and order-independent by construction, which is the
+        # same property that already makes the distributed sum safe
+        # under any partitioning. Pinned by
+        # test_qmodel_local_train_matches_distributed.
+        base = base.persist()
+        try:
+            n = base.count()
+            if n and sizing.fits_in_driver(base, n, tag="qmodel_train"):
+                pdf = base.toPandas()
+                return _qmodel_train_local(pdf, len(feats), n_steps, lr)
+        finally:
+            base.unpersist(blocking=False)
+        if n == 0:
+            raise ValueError("empty corpus")
+        base = base.transform(_materialize)
+    else:
+        base = base.transform(_materialize)
+        n = base.count()
     if n == 0:
         raise ValueError("empty corpus")
     w = [0.0] * len(feats)
@@ -1070,6 +1101,35 @@ def quality_model_train(
         ).first()
         for i in range(len(w)):
             upd = (float(sums[f"g{i}"]) / QMODEL_SCALE) / float(n)
+            w[i] = w[i] - lr * upd
+    return w
+
+
+def _qmodel_train_local(pdf, n_feats: int, n_steps: int, lr: float):
+    """The n_steps gradient loop over the COLLECTED feature table,
+    replaying the aggregate's per-element float64 ops exactly: the
+    left-assoc weight fold, the rational sigmoid's ``0.5 + (0.5*t) /
+    (1+|t|)`` op order, ``floor((resid*x) * SCALE)`` onto the integer
+    grid, and an int64 sum (exact — order cannot matter)."""
+    import numpy as np
+
+    y = pdf["_y"].to_numpy(dtype=np.float64)
+    X = [pdf[f"_x{i}"].to_numpy(dtype=np.float64) for i in range(n_feats)]
+    n = len(y)
+    w = [0.0] * n_feats
+    for _ in range(n_steps):
+        t = w[0] * X[0]
+        for i in range(1, n_feats):
+            t = t + w[i] * X[i]
+        sig = 0.5 + 0.5 * t / (1.0 + np.abs(t))
+        resid = sig - y
+        for i in range(n_feats):
+            g = int(
+                np.floor((resid * X[i]) * QMODEL_SCALE)
+                .astype(np.int64)
+                .sum()
+            )
+            upd = (float(g) / QMODEL_SCALE) / float(n)
             w[i] = w[i] - lr * upd
     return w
 

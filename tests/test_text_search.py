@@ -406,3 +406,15 @@ def test_quality_model_scores_separate_good_from_bad(spark):
     }
     assert out[1]["quality_score"] > out[2]["quality_score"]
     assert out[1]["pred_good"]
+
+
+def test_qmodel_local_train_matches_distributed(spark, monkeypatch):
+    # The driver fast path (one toPandas + numpy loop) must produce
+    # bit-identical weights to the distributed aggregate loop: the
+    # per-row float64 ops are replayed exactly and the only cross-row
+    # reduction is an int64 sum on the 1/2^20 grid (order-free).
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    local = TX.quality_model_train(docs)
+    monkeypatch.setenv("NET_SPIDER_LOCAL_TRAIN", "0")
+    dist = TX.quality_model_train(docs)
+    assert local == dist
