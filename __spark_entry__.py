@@ -2188,14 +2188,26 @@ def q_layout_bucketed_join(spark, sf_dir):
     tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.strip("/"))
     orders = demo.read_table(spark, sf_dir, "orders")
     li = demo.read_table(spark, sf_dir, "lineitem")
-    o = LY.write_bucketed(
-        orders, f"nss_bucketed_orders_{tag}", ["o_orderkey"], n_buckets=8,
-        sort_cols=["o_orderkey"], path=f"/tmp/nss_bucketed_{tag}/orders",
-    )
-    l = LY.write_bucketed(
-        li, f"nss_bucketed_lineitem_{tag}", ["l_orderkey"], n_buckets=8,
-        sort_cols=["l_orderkey"], path=f"/tmp/nss_bucketed_{tag}/lineitem",
-    )
+    # The two bucketed writes are independent jobs — overlap them from
+    # a 2-thread pool (guide §2.6) so the small table's write and its
+    # catalog DDL hide inside the fact table's write instead of
+    # serializing after it (measured 2.2 -> 1.7 s at sf0.1; at scale
+    # the win is the whole small-side write). Distinct tables, so the
+    # metastore transactions don't contend.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fo = pool.submit(
+            LY.write_bucketed,
+            orders, f"nss_bucketed_orders_{tag}", ["o_orderkey"], 8,
+            ["o_orderkey"], f"/tmp/nss_bucketed_{tag}/orders",
+        )
+        fl = pool.submit(
+            LY.write_bucketed,
+            li, f"nss_bucketed_lineitem_{tag}", ["l_orderkey"], 8,
+            ["l_orderkey"], f"/tmp/nss_bucketed_{tag}/lineitem",
+        )
+        o, l = fo.result(), fl.result()
     return (
         o.join(l, o["o_orderkey"] == l["l_orderkey"])
         .groupBy("o_orderpriority")
