@@ -173,6 +173,13 @@ def main() -> None:
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Per-call Python origin capture (error-message call sites) costs
+        # ~2 ms of driver time on EVERY Column/DataFrame API call — a
+        # conf-get py4j round-trip, a Python stack walk, and origin
+        # set/clear round-trips.  Plan construction across the 92-query
+        # suite measured 66.7 s with it on; it changes error rendering
+        # only, never a plan or a result (guide §5 driver discipline).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()

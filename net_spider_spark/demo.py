@@ -47,6 +47,25 @@ def configure(spark: SparkSession) -> SparkSession:
     call on a session we don't own (the external driver's)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Disable PySpark's per-call origin capture (Python call-site info
+    # for error messages): it wraps every Column/DataFrame API call with
+    # a conf-get py4j round-trip + stack walk + origin set/clear, ~2 ms
+    # per call of pure driver overhead — measured as the single largest
+    # component of query plan-construction time.  Affects error-message
+    # rendering only; plans and results are identical.  PySpark caches
+    # the flag on first wrapped call, so set it as early as possible;
+    # best-effort (the conf may not exist on future versions).
+    try:
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # The flag is memoized on first wrapped call; if one already
+        # happened in this process (session we don't own), drop the
+        # memo so the conf above is re-read.
+        import pyspark.errors.utils as _peu
+
+        if getattr(_peu, "_enable_debugging_cache", None) is True:
+            _peu._enable_debugging_cache = None
+    except Exception:
+        pass
     return spark
 
 
