@@ -70,20 +70,41 @@ def configure(spark: SparkSession) -> SparkSession:
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy relation over one sf table, memoized per session+path.
+
+    ``spark.read.parquet`` re-lists the path and re-reads the footer
+    schema on every call (~0.1-0.2 s of driver time); the 92-query
+    bench calls it 1-2x per query per pass.  The memo returns the same
+    LAZY DataFrame (an unexecuted scan plan) for repeated reads of the
+    same immutable sf table in one session — plan/metadata reuse only:
+    no rows, no persist, every action still scans the parquet files.
+    """
     configure(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    try:
+        memo = spark._ns_read_table_memo
+    except AttributeError:
+        memo = {}
+        spark._ns_read_table_memo = memo
+    path = f"{sf_dir}/{name}.parquet"
+    df = memo.get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        memo[path] = df
+    return df
 
 
-def ts_epoch_ms(df: DataFrame, col: str = "ts"):
-    """Epoch-milliseconds BIGINT column for ``events.ts``, whatever the
-    parquet physical type: INT64 nanos (via nanosAsLong), TIMESTAMP_NTZ
-    (naive micros — ``timestampdiff`` against the epoch is timezone-free
-    and equals DuckDB ``epoch_ms``), or TIMESTAMP (instant micros)."""
+def ts_epoch_ms_sql(df: DataFrame, col: str = "ts") -> str:
+    """SQL fragment for the epoch-milliseconds BIGINT of ``events.ts``,
+    whatever the parquet physical type: INT64 nanos (via nanosAsLong),
+    TIMESTAMP_NTZ (naive micros — ``timestampdiff`` against the epoch is
+    timezone-free and equals DuckDB ``epoch_ms``), or TIMESTAMP (instant
+    micros). Returned as a string so callers can fold it into one
+    ``selectExpr`` (one py4j round-trip) instead of per-op Column calls."""
     kind = df.schema[col].dataType.typeName()
     if kind in ("long", "bigint"):
-        return F.expr(f"CAST({col} DIV 1000000 AS BIGINT)")
+        return f"CAST({col} DIV 1000000 AS BIGINT)"
     if kind == "timestamp_ntz":
-        return F.expr(
+        return (
             "CAST(timestampdiff(MICROSECOND, "
             f"TIMESTAMP_NTZ '1970-01-01 00:00:00', {col}) DIV 1000 AS BIGINT)"
         )
@@ -92,8 +113,13 @@ def ts_epoch_ms(df: DataFrame, col: str = "ts"):
         # TIMESTAMP only matches DuckDB's naive epoch_ms when the
         # session runs UTC — configure() pins spark.sql.session.timeZone
         # for exactly this branch.
-        return F.expr(f"CAST(unix_micros({col}) DIV 1000 AS BIGINT)")
+        return f"CAST(unix_micros({col}) DIV 1000 AS BIGINT)"
     raise TypeError(f"unsupported type for {col!r}: {kind}")
+
+
+def ts_epoch_ms(df: DataFrame, col: str = "ts"):
+    """Column form of :func:`ts_epoch_ms_sql` (same expression)."""
+    return F.expr(ts_epoch_ms_sql(df, col))
 
 
 def events_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,26 +130,25 @@ def events_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_findings_from(ev: DataFrame) -> DataFrame:
     """The same findings projection over an already-loaded events
     DataFrame — batch or streaming (the projection is stateless, so it
-    applies unchanged to a ``readStream`` source)."""
-    return ev.select(
-        F.col("event_id").alias("finding_id"),
-        F.col("user_id").cast("string").alias("subject_node"),
-        ts_epoch_ms(ev).alias("found_at"),
-        F.lit(None).cast("int").alias("tz_offset_min"),
-        F.lit(None).cast("boolean").alias("tz_summer_only"),
-        F.lit(None).cast("string").alias("tz_name"),
-        F.create_map(F.lit("event_type"), F.col("event_type")).alias("node_attrs"),
-        F.array(
-            F.struct(
-                ((F.col("user_id") * 7 + F.col("event_id")) % N_TARGET_NODES)
-                .cast("string")
-                .alias("target_node"),
-                F.expr(LINK_STATE_CASE).alias("link_state"),
-                F.create_map(
-                    F.lit("v"), F.col("value").cast("string")
-                ).alias("link_attrs"),
-            )
-        ).alias("neighbor_links"),
+    applies unchanged to a ``readStream`` source).
+
+    One ``selectExpr`` (expressions identical to the former per-Column
+    construction, oracle/golden-pinned): the Column form cost ~35 py4j
+    round-trips per call and this helper is built 1-2x per query per
+    bench pass."""
+    return ev.selectExpr(
+        "event_id AS finding_id",
+        "CAST(user_id AS STRING) AS subject_node",
+        f"{ts_epoch_ms_sql(ev)} AS found_at",
+        "CAST(NULL AS INT) AS tz_offset_min",
+        "CAST(NULL AS BOOLEAN) AS tz_summer_only",
+        "CAST(NULL AS STRING) AS tz_name",
+        "map('event_type', event_type) AS node_attrs",
+        "array(struct("
+        f"CAST((user_id * 7 + event_id) % {N_TARGET_NODES} AS STRING) AS target_node, "
+        f"{LINK_STATE_CASE} AS link_state, "
+        "map('v', CAST(value AS STRING)) AS link_attrs"
+        ")) AS neighbor_links",
     )
 
 
@@ -194,55 +219,52 @@ def events_findings_dio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def events_findings_dio_from(ev: DataFrame) -> DataFrame:
     """The same DIO findings projection over an already-loaded events
-    DataFrame — batch or streaming (the projection is stateless)."""
-    subject = F.col("user_id") % 50
+    DataFrame — batch or streaming (the projection is stateless).
+
+    One ``selectExpr`` built from shared SQL fragments (expressions
+    identical to the former per-Column construction — the Column form
+    also duplicated the reused subtrees — oracle/golden-pinned)."""
+    subject = "(user_id % 50)"
     # Subjects < 30 pair up mutually (0<->1, 2<->3, ...) so both
     # endpoints observe the same physical link — the MergedDIOLink
     # two-sided case; the rest scatter pseudo-randomly (one-sided).
-    partner = F.when(subject % 2 == 0, subject + 1).otherwise(subject - 1)
-    target = F.when(subject < 30, partner).otherwise(
-        (subject + 1 + (F.col("event_id") * 7 % 49)) % 50
+    partner = (
+        f"CASE WHEN {subject} % 2 = 0 THEN {subject} + 1"
+        f" ELSE {subject} - 1 END"
+    )
+    target = (
+        f"CASE WHEN {subject} < 30 THEN {partner}"
+        f" ELSE ({subject} + 1 + ((event_id * 7) % 49)) % 50 END"
     )
     nt = (
-        F.when((F.col("user_id") + F.col("event_id")) % 3 == 0, "preferred_parent")
-        .when((F.col("user_id") + F.col("event_id")) % 3 == 1, "parent_candidate")
-        .otherwise("other_neighbor")
+        "CASE WHEN (user_id + event_id) % 3 = 0 THEN 'preferred_parent'"
+        " WHEN (user_id + event_id) % 3 = 1 THEN 'parent_candidate'"
+        " ELSE 'other_neighbor' END"
     )
-    metric = F.when(
-        F.col("event_id") % 3 != 0, (F.col("event_id") % 100).cast("string")
+    metric = (
+        "CASE WHEN event_id % 3 != 0"
+        " THEN CAST(event_id % 100 AS STRING) END"
     )
-    attrs = F.map_filter(
-        F.map_from_arrays(
-            F.array(
-                F.lit("neighbor_type"), F.lit("neighbor_rank"), F.lit("metric")
-            ),
-            F.array(
-                nt,
-                ((F.col("user_id") + 2 * F.col("event_id")) % 1024).cast("string"),
-                metric,
-            ),
-        ),
-        lambda k, v: v.isNotNull(),
+    attrs = (
+        "map_filter(map_from_arrays("
+        "array('neighbor_type', 'neighbor_rank', 'metric'), "
+        f"array({nt}, CAST((user_id + 2 * event_id) % 1024 AS STRING), {metric})"
+        "), (k, v) -> v IS NOT NULL)"
     )
-    return ev.select(
-        F.col("event_id").alias("finding_id"),
-        subject.cast("string").alias("subject_node"),
-        ts_epoch_ms(ev).alias("found_at"),
-        F.lit(None).cast("int").alias("tz_offset_min"),
-        F.lit(None).cast("boolean").alias("tz_summer_only"),
-        F.lit(None).cast("string").alias("tz_name"),
-        F.create_map(
-            F.lit("rank"), (F.col("user_id") % 1024).cast("string")
-        ).alias("node_attrs"),
-        F.array(
-            F.struct(
-                target.cast("string").alias("target_node"),
-                F.when(nt == "preferred_parent", "to_target")
-                .otherwise("unused")
-                .alias("link_state"),
-                attrs.alias("link_attrs"),
-            )
-        ).alias("neighbor_links"),
+    return ev.selectExpr(
+        "event_id AS finding_id",
+        f"CAST({subject} AS STRING) AS subject_node",
+        f"{ts_epoch_ms_sql(ev)} AS found_at",
+        "CAST(NULL AS INT) AS tz_offset_min",
+        "CAST(NULL AS BOOLEAN) AS tz_summer_only",
+        "CAST(NULL AS STRING) AS tz_name",
+        "map('rank', CAST(user_id % 1024 AS STRING)) AS node_attrs",
+        "array(struct("
+        f"CAST({target} AS STRING) AS target_node, "
+        f"CASE WHEN {nt} = 'preferred_parent' THEN 'to_target'"
+        " ELSE 'unused' END AS link_state, "
+        f"{attrs} AS link_attrs"
+        ")) AS neighbor_links",
     )
 
 
@@ -250,12 +272,11 @@ def events_link_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flat link-sample view of the same derivation (skips the nested
     struct round-trip; same rows as explode(events_findings))."""
     ev = read_table(spark, sf_dir, "events")
-    return ev.select(
-        F.col("event_id").alias("finding_id"),
-        F.col("user_id").cast("string").alias("subject_node"),
-        ts_epoch_ms(ev).alias("found_at"),
-        ((F.col("user_id") * 7 + F.col("event_id")) % N_TARGET_NODES)
-        .cast("string")
-        .alias("target_node"),
-        F.expr(LINK_STATE_CASE).alias("link_state"),
+    return ev.selectExpr(
+        "event_id AS finding_id",
+        "CAST(user_id AS STRING) AS subject_node",
+        f"{ts_epoch_ms_sql(ev)} AS found_at",
+        f"CAST((user_id * 7 + event_id) % {N_TARGET_NODES} AS STRING)"
+        " AS target_node",
+        f"{LINK_STATE_CASE} AS link_state",
     )

@@ -98,19 +98,19 @@ def explode_link_samples(findings_df: DataFrame) -> DataFrame:
     deterministic tie-breaker. This projection is the graph's edge
     stream; Catalyst prunes unselected columns down to the scan.
     """
-    return findings_df.select(
+    return findings_df.selectExpr(
         "finding_id",
         "subject_node",
         "found_at",
-        F.posexplode("neighbor_links").alias("link_pos", "nl"),
-    ).select(
+        "posexplode(neighbor_links) AS (link_pos, nl)",
+    ).selectExpr(
         "finding_id",
-        F.col("link_pos").cast("int").alias("link_pos"),
+        "CAST(link_pos AS INT) AS link_pos",
         "subject_node",
-        F.col("nl.target_node").alias("target_node"),
-        F.col("nl.link_state").alias("link_state"),
+        "nl.target_node AS target_node",
+        "nl.link_state AS link_state",
         "found_at",
-        F.col("nl.link_attrs").alias("link_attrs"),
+        "nl.link_attrs AS link_attrs",
     )
 
 

@@ -176,10 +176,10 @@ def _node_states(node_src: DataFrame, already_latest: bool) -> DataFrame:
         if already_latest
         else keep_argmax(node_src, ["subject_node"], ["found_at", "finding_id"])
     )
-    return latest.select(
+    return latest.selectExpr(
         "subject_node",
-        F.col("found_at").alias("node_ts"),
-        F.col("node_attrs"),
+        "found_at AS node_ts",
+        "node_attrs",
         "tz_offset_min",
         "tz_summer_only",
         "tz_name",
@@ -372,11 +372,24 @@ def _unify_links(
     # Swap-insensitive link identity (Pair.hs:17-30). The pair columns
     # are the shuffle key; the un-swapped subject/target stay inside the
     # sample struct because output direction depends on them.
-    with_pair = samples.withColumn(
-        "p1", F.least("subject_node", "target_node")
-    ).withColumn("p2", F.greatest("subject_node", "target_node"))
-    sub_id = conf.sub_id() if conf.sub_id is not None else F.lit("")
-    with_pair = with_pair.withColumn("sub_id", sub_id)
+    # One selectExpr instead of three withColumn (each withColumn
+    # re-analyzes the whole accumulated plan and pays its own py4j
+    # round-trips); the custom sub_id hook still receives/returns a
+    # Column, mixed into the same single select.
+    pair_exprs = [
+        "*",
+        "least(subject_node, target_node) AS p1",
+        "greatest(subject_node, target_node) AS p2",
+    ]
+    if conf.sub_id is not None:
+        with_pair = samples.select(
+            "*",
+            F.expr(pair_exprs[1]),
+            F.expr(pair_exprs[2]),
+            conf.sub_id().alias("sub_id"),
+        )
+    else:
+        with_pair = samples.selectExpr(*pair_exprs, "'' AS sub_id")
 
     if conf.merge_samples is not None:
         # Custom merge: Arrow-batched grouped-map per (pair, sub_id).
@@ -399,18 +412,16 @@ def _unify_links(
         # shuffle. The argmax-join shape is reserved for the wide
         # nested findings (latest_findings_per_node), where sorting
         # full rows is the 100 TB hazard.
-        ordering = F.struct(
-            F.col("found_at"), F.col("finding_id"), F.col("link_pos")
-        )
         merged = (
             with_pair.groupBy("p1", "p2", "sub_id")
             .agg(
-                F.max_by(
-                    F.struct(*[F.col(c) for c in _SAMPLE_COLS]), ordering
+                F.expr(
+                    "max_by(struct(" + ", ".join(_SAMPLE_COLS) + "), "
+                    "struct(found_at, finding_id, link_pos))"
                 ).alias("_w")
             )
-            .select(
-                "p1", "p2", *[F.col(f"_w.{c}").alias(c) for c in _SAMPLE_COLS]
+            .selectExpr(
+                "p1", "p2", *[f"_w.{c} AS {c}" for c in _SAMPLE_COLS]
             )
         )
 
@@ -440,12 +451,10 @@ def negate_and_resolve(
     # endpoints' snapshot-node timestamps. Node states are a per-node
     # aggregate — orders of magnitude smaller than the sample table — so
     # these two equi-joins broadcast under AQE at typical scales.
-    node_ts = nodes.select(
-        F.col("node_id"), F.col("node_ts").alias("_end_ts")
-    )
+    node_ts = nodes.selectExpr("node_id", "node_ts AS _end_ts")
     for end in ("p1", "p2"):
-        nt = node_ts.withColumnRenamed("node_id", f"_{end}_id").withColumnRenamed(
-            "_end_ts", f"_{end}_ts"
+        nt = node_ts.selectExpr(
+            f"node_id AS _{end}_id", f"_end_ts AS _{end}_ts"
         )
         merged = merged.join(nt, merged[end] == nt[f"_{end}_id"], "left")
         merged = merged.filter(
@@ -453,16 +462,14 @@ def negate_and_resolve(
         ).drop(f"_{end}_id", f"_{end}_ts")
 
     # Direction resolution (Weaver.hs:190-203; C8).
-    resolved = merged.filter(F.col("link_state") != "unused").select(
-        F.when(F.col("link_state") == "to_subject", F.col("target_node"))
-        .otherwise(F.col("subject_node"))
-        .alias("source_node"),
-        F.when(F.col("link_state") == "to_subject", F.col("subject_node"))
-        .otherwise(F.col("target_node"))
-        .alias("dest_node"),
-        (F.col("link_state") != "bidirectional").alias("is_directed"),
-        F.col("found_at").alias("link_ts"),
-        F.col("link_attrs"),
+    resolved = merged.where("link_state != 'unused'").selectExpr(
+        "CASE WHEN link_state = 'to_subject' THEN target_node"
+        " ELSE subject_node END AS source_node",
+        "CASE WHEN link_state = 'to_subject' THEN subject_node"
+        " ELSE target_node END AS dest_node",
+        "(link_state != 'bidirectional') AS is_directed",
+        "found_at AS link_ts",
+        "link_attrs",
     )
     return resolved
 
