@@ -166,6 +166,237 @@ def _books_np(codebooks, m: int, sub_dim: int):
     return arr
 
 
+_ADC_ID_TYPES = ("tinyint", "smallint", "int", "bigint", "string")
+
+
+def _adc_query_rows(queries: DataFrame, id_col: str, vec_col: str,
+                    dim: int | None, tag: str):
+    """Bounded collect of the QUERY side for the driver-LUT ADC scan.
+
+    The ADC top-k is the guide-§8 shape inverted: every scoring
+    decision depends only on the query vectors (driver-sized for any
+    interactive/ANN batch — the CORPUS is the big side, and it never
+    moves), so shipping the query batch to the executors as one small
+    broadcast removes the relational LUT build (|Q|·m·k rows exchanged,
+    broadcast and hash-joined) and the corpus-wide posexplode. Returns
+    ``(qids, qmat)`` or None when the fast path must not run:
+    ``NET_SPIDER_LOCAL_ADC=0``, more query rows than
+    ``NET_SPIDER_ADC_MAX_QUERIES`` (default 1024 — past that the
+    relational broadcast-LUT path is the right shape anyway), an id
+    type outside :data:`_ADC_ID_TYPES`, duplicate/null ids, or
+    null/ragged vectors. Every decision lands in sizing.DECISION_LOG so
+    bench.py commits which side of the guard each query took."""
+    import os
+
+    import numpy as np
+
+    from net_spider_spark import sizing
+
+    if os.environ.get("NET_SPIDER_LOCAL_ADC", "1") == "0":
+        return None
+    if queries.schema[id_col].dataType.simpleString() not in _ADC_ID_TYPES:
+        return None
+    max_q = int(os.environ.get("NET_SPIDER_ADC_MAX_QUERIES", "1024"))
+    rows = (
+        queries.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+        )
+        .limit(max_q + 1)
+        .collect()
+    )
+    ok = len(rows) <= max_q
+    est = 0
+    qids = []
+    vecs = []
+    if ok:
+        for r in rows:
+            qid, qv = r["_qid"], r["_qv"]
+            if qid is None or qv is None or (dim is not None and len(qv) != dim):
+                ok = False
+                break
+            qids.append(qid)
+            vecs.append(qv)
+        if ok and (len(set(qids)) != len(qids)):
+            ok = False
+        if ok and vecs and any(len(v) != len(vecs[0]) for v in vecs):
+            ok = False
+        est = sum(len(v) for v in vecs) * 8
+    sizing._log_decision(tag, len(rows), est, ok)
+    if not ok:
+        return None
+    qmat = (
+        np.array(vecs, dtype=np.float64)
+        if vecs
+        else np.zeros((0, dim or 0), dtype=np.float64)
+    )
+    return qids, qmat
+
+
+def _adc_scan_topk(
+    cand: DataFrame,
+    k: int,
+    qids,
+    qmat,
+    books,
+    q_id_type: str,
+    probes=None,
+    cents=None,
+    chunk: int = 256,
+) -> DataFrame:
+    """ADC top-k as ONE Arrow pass over the candidate/code table — the
+    100-TB shape of :func:`pq_topk`/:func:`ivfpq_search` scoring (FAISS
+    scans shards exactly like this): the corpus codes stream through a
+    single ``mapInPandas`` stage; each task builds the per-query lookup
+    tables from the broadcast query batch + codebooks and emits only a
+    per-batch partial top-k (≤ |Q|·k rows per batch), so the only
+    exchange left is the final per-query window over partial winners.
+    Replaces: the |Q|·m·k-row relational LUT (an exchange + broadcast
+    of its own), the corpus-wide ``posexplode`` (m× the candidate
+    stream), the LUT hash join, and the corpus-sized partial aggregate.
+
+    Numeric parity with the relational form is exact, op for op:
+
+    * LUT entries replay :func:`_sq_dist`'s unrolled left fold —
+      ``(a_1-b_1)^2 + (a_2-b_2)^2 + …`` accumulated term-by-term in
+      float64 (the same loop :func:`_arrow_codes` uses);
+    * in residual mode the query residual is the same elementwise
+      float64 ``x - y`` the ``zip_with`` computed;
+    * the ADC sum folds the m LUT entries in subspace order — exactly
+      the order the map-side partial aggregate accumulated them in
+      (each candidate's posexploded rows were contiguous, sub 0..m-1,
+      within one partition, and each (query, neighbor) pair lived in
+      exactly one partition, so the "distributed" sum was always this
+      single left fold);
+    * the per-batch partial top-k keeps the k smallest by
+      (adist, neighbor_id) — a pure selection, so feeding only batch
+      winners to the global window cannot change the global winners.
+
+    ``probes`` (ivfpq): per-query ndarray of probed cell ids — a
+    candidate row scores for a query only when the query probes its
+    cell (the relational path's broadcast probe join). ``cents``
+    (residual mode): {cell id -> centroid ndarray} for per-(query,
+    cell) residual LUTs, computed lazily per task and cached per
+    (query chunk, cell)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.window import Window
+
+    spark = cand.sparkSession
+    mm, bk, sd = books.shape
+    n_id_type = cand.schema["neighbor_id"].dataType.simpleString()
+    cols = ["neighbor_id", "_cell", "codes"] if probes is not None else [
+        "neighbor_id", "codes"
+    ]
+    src = cand.select(*cols)
+    bb = spark.sparkContext.broadcast((qids, qmat, books, probes, cents))
+    schema = (
+        f"query_id {q_id_type}, neighbor_id {n_id_type}, adist double"
+    )
+
+    def scan(batches):
+        b_qids, b_qmat, b_books, b_probes, b_cents = bb.value
+        nq = len(b_qids)
+        luts: dict = {}
+
+        def lut_for(lo, hi, cell):
+            got = luts.get((lo, cell))
+            if got is None:
+                q = b_qmat[lo:hi]
+                if cell is not None:
+                    q = q - b_cents[cell]
+                qs = q.reshape(hi - lo, mm, sd)
+                d = None
+                for j in range(sd):
+                    dj = qs[:, :, None, j] - b_books[None, :, :, j]
+                    dj = dj * dj
+                    d = dj if d is None else d + dj
+                got = luts[(lo, cell)] = d
+            return got
+
+        def adc(lut_chunk, codes_block):
+            acc = lut_chunk[:, 0, codes_block[:, 0]]
+            for s in range(1, mm):
+                acc = acc + lut_chunk[:, s, codes_block[:, s]]
+            return acc
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = pdf["codes"].map(
+                lambda c: c is not None and len(c) == mm
+            )
+            if b_probes is not None:
+                keep &= pdf["_cell"].notna()
+            pdf = pdf[keep]
+            if not len(pdf):
+                continue
+            nid = pdf["neighbor_id"].to_numpy()
+            codes_b = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            cells_b = (
+                pdf["_cell"].to_numpy() if b_probes is not None else None
+            )
+            out_q, out_n, out_d = [], [], []
+
+            def emit(qi, d_q, n_q):
+                if not len(d_q):
+                    return
+                top = np.lexsort((n_q, d_q))[:k]
+                out_q.append(np.full(len(top), b_qids[qi]))
+                out_n.append(n_q[top])
+                out_d.append(d_q[top])
+
+            for lo in range(0, nq, chunk):
+                hi = min(nq, lo + chunk)
+                if b_cents is None:
+                    acc = adc(lut_for(lo, hi, None), codes_b)
+                    for qi in range(lo, hi):
+                        if b_probes is not None:
+                            msk = np.isin(cells_b, b_probes[qi])
+                            if not msk.any():
+                                continue
+                            emit(qi, acc[qi - lo][msk], nid[msk])
+                        else:
+                            emit(qi, acc[qi - lo], nid)
+                else:
+                    # residual: the LUT is per (query, cell) — score
+                    # cell group by cell group, then select per query.
+                    per_d = [[] for _ in range(hi - lo)]
+                    per_n = [[] for _ in range(hi - lo)]
+                    for cell in np.unique(cells_b):
+                        cmask = cells_b == cell
+                        acc = adc(lut_for(lo, hi, int(cell)), codes_b[cmask])
+                        cn = nid[cmask]
+                        for qi in range(lo, hi):
+                            if cell in b_probes[qi]:
+                                per_d[qi - lo].append(acc[qi - lo])
+                                per_n[qi - lo].append(cn)
+                    for qi in range(lo, hi):
+                        if per_d[qi - lo]:
+                            emit(
+                                qi,
+                                np.concatenate(per_d[qi - lo]),
+                                np.concatenate(per_n[qi - lo]),
+                            )
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "adist": np.concatenate(out_d),
+                    }
+                )
+
+    scored = src.mapInPandas(scan, schema)
+    w = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "rank")
+    )
+
+
 def _arrow_codes(
     df: DataFrame,
     codebooks,
@@ -659,6 +890,16 @@ def pq_topk(
     """
     m = max(s for s, _, _ in codebooks) + 1
     sub_dim = len(codebooks[0][2])
+    got = _adc_query_rows(
+        queries, id_col, vec_col, m * sub_dim, "adc_scan:pq_topk"
+    )
+    if got is not None:
+        qids, qmat = got
+        return _adc_scan_topk(
+            codes.select(F.col(id_col).alias("neighbor_id"), "codes"),
+            k, qids, qmat, _books_np(codebooks, m, sub_dim),
+            queries.schema[id_col].dataType.simpleString(),
+        )
     q_exploded = _explode_subvectors(
         queries, m, sub_dim, id_col, vec_col, out_id="query_id"
     )
@@ -1040,6 +1281,48 @@ def ivfpq_search(
     spark = queries.sparkSession
     cells, codes, books = index.cells, index.codes, index.books
     dim, m, residual = index.dim, index.m, index.residual
+
+    got = _adc_query_rows(
+        queries, id_col, vec_col, dim, "adc_scan:ivfpq_search"
+    )
+    if got is not None:
+        import numpy as np
+
+        qids, qmat = got
+        sub_dim = dim // m
+        cent = sorted(index.cents)
+        cid_arr = np.array([c for c, _ in cent], dtype=np.int64)
+        cmat = np.array([v for _, v in cent], dtype=np.float64)
+        # Probe selection, driver-side: replays the relational probe
+        # subtree exactly — CL._sq_dist's float64 left fold from 0.0
+        # over every dimension in order, then row_number over
+        # (_dist, _cell) — on the same driver-resident centroids the
+        # relational path broadcast. Removes a crossJoin + window +
+        # exchange per search.
+        d = np.zeros((len(qids), len(cent)), dtype=np.float64)
+        for j in range(dim):
+            dj = qmat[:, j, None] - cmat[None, :, j]
+            d += dj * dj
+        probes = [
+            cid_arr[np.lexsort((cid_arr, d[qi]))[:n_probe]]
+            for qi in range(len(qids))
+        ]
+        cand = (
+            index.table
+            if index.table is not None
+            else codes.join(cells, "neighbor_id")
+        )
+        cents_map = (
+            {int(c): np.asarray(v, dtype=np.float64) for c, v in cent}
+            if residual
+            else None
+        )
+        return _adc_scan_topk(
+            cand, k, qids, qmat, _books_np(books, m, sub_dim),
+            queries.schema[id_col].dataType.simpleString(),
+            probes=probes, cents=cents_map,
+        )
+
     cdf = CL._centroid_df(queries, index.cents)
 
     q = queries.select(

@@ -94,6 +94,96 @@ def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _ivf_scan_topk(cand: DataFrame, k: int, qids, qmat, probes,
+                   q_id_type: str, chunk: int = 256) -> DataFrame:
+    """IVF exact-cosine top-k as ONE Arrow pass over the assigned
+    corpus — the same device as ``pq._adc_scan_topk``: the bounded
+    query batch broadcasts, each task scores its candidate rows
+    against every query probing their cells and emits a per-batch
+    partial top-k, and the only exchange left is the final per-query
+    window over batch winners. Replaces the probe subtree (crossJoin +
+    window + exchange), the broadcast probe join that shipped query
+    vectors beside every candidate row, and the per-pair interpreted
+    higher-order-function cosine.
+
+    Numeric parity is exact, op for op: dot and norm replay the
+    ``aggregate``-expression's float64 left fold from 0.0 one element
+    at a time (queries pre-cast to array<double> — elementwise
+    float->double widening is exact), ``sqrt`` and the final division
+    are single IEEE ops, and rank order handles NaN the way Spark's
+    DESC sort does (NaN first, then ties by neighbor id)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = cand.sparkSession
+    n_id_type = cand.schema["neighbor_id"].dataType.simpleString()
+    src = cand.select("neighbor_id", "_cell", "_cv")
+    bb = spark.sparkContext.broadcast((qids, qmat, probes))
+    schema = f"query_id {q_id_type}, neighbor_id {n_id_type}, cos double"
+
+    def scan(batches):
+        b_qids, b_qmat, b_probes = bb.value
+        nq = len(b_qids)
+        dim = b_qmat.shape[1] if nq else 0
+        qnorm = None
+        for pdf in batches:
+            pdf = pdf[pdf["_cell"].notna() & pdf["_cv"].notna()]
+            if not len(pdf):
+                continue
+            nid = pdf["neighbor_id"].to_numpy()
+            cmat = np.array(pdf["_cv"].tolist(), dtype=np.float64)
+            cells_b = pdf["_cell"].to_numpy()
+            if qnorm is None:
+                acc = np.zeros(nq, dtype=np.float64)
+                for j in range(dim):
+                    acc = acc + b_qmat[:, j] * b_qmat[:, j]
+                qnorm = np.sqrt(acc)
+            cn = np.zeros(len(pdf), dtype=np.float64)
+            for j in range(dim):
+                cn = cn + cmat[:, j] * cmat[:, j]
+            cnorm = np.sqrt(cn)
+            out_q, out_n, out_c = [], [], []
+            for lo in range(0, nq, chunk):
+                hi = min(nq, lo + chunk)
+                dotm = np.zeros((hi - lo, len(pdf)), dtype=np.float64)
+                for j in range(dim):
+                    dotm = dotm + b_qmat[lo:hi, j, None] * cmat[None, :, j]
+                cos = dotm / (qnorm[lo:hi, None] * cnorm[None, :])
+                for qi in range(lo, hi):
+                    msk = np.isin(cells_b, b_probes[qi])
+                    if not msk.any():
+                        continue
+                    c_q, n_q = cos[qi - lo][msk], nid[msk]
+                    # DESC cos with Spark NaN-first semantics -> the
+                    # ascending key maps NaN below every real value.
+                    key = np.where(np.isnan(c_q), -np.inf, -c_q)
+                    top = np.lexsort((n_q, key))[:k]
+                    out_q.append(np.full(len(top), b_qids[qi]))
+                    out_n.append(n_q[top])
+                    out_c.append(c_q[top])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.concatenate(out_q),
+                        "neighbor_id": np.concatenate(out_n),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+    scored = src.mapInPandas(scan, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -145,6 +235,35 @@ def ivf_topk(
         F.col("_v").alias("_cv"),
         F.col("cluster_id").alias("_cell"),
     )
+
+    from net_spider_spark.pipeline.pq import _adc_query_rows
+
+    got = _adc_query_rows(queries, id_col, vec_col, None, "adc_scan:ivf_topk")
+    if got is not None:
+        import numpy as np
+
+        qids, qmat = got
+        cent = sorted(cents)
+        cid_arr = np.array([c for c, _ in cent], dtype=np.int64)
+        cmat = np.array([v for _, v in cent], dtype=np.float64)
+        if qmat.shape[0] and qmat.shape[1] == cmat.shape[1]:
+            # Probe selection driver-side, replaying the relational
+            # probe subtree exactly: _sq_dist's float64 left fold from
+            # 0.0 over every dimension, then row_number over
+            # (_dist, _cell) — removes a crossJoin + window + exchange.
+            d = np.zeros((len(qids), len(cent)), dtype=np.float64)
+            for j in range(cmat.shape[1]):
+                dj = qmat[:, j, None] - cmat[None, :, j]
+                d += dj * dj
+            probes = [
+                cid_arr[np.lexsort((cid_arr, d[qi]))[:n_probe]]
+                for qi in range(len(qids))
+            ]
+            return _ivf_scan_topk(
+                assigned, k, qids, qmat, probes,
+                queries.schema[id_col].dataType.simpleString(),
+            )
+
     centers_df = CL._centroid_df(corpus, cents).select(
         F.col("cid").alias("_cell"),
         F.col("cv").alias("_center"),

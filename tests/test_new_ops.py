@@ -251,3 +251,29 @@ def test_pangraph_reference_spec_values(spark):
         "int": "256",
         "text": "hoge",
     }
+
+
+def test_ivf_topk_scan_matches_relational(spark, monkeypatch):
+    # The Arrow cosine-scan fast path (bounded query batch broadcast,
+    # driver-side probe selection, per-batch partial top-k) must
+    # reproduce the relational crossJoin/probe-join/window path EXACTLY
+    # — the scan replays the same float64 folds (dot, norm, probe
+    # distance) element-order for element-order, and partial top-k is
+    # a pure selection.
+    rng = random.Random(13)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 4)
+    c = emb.where(F.col("vec_id") >= 4)
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                S.ivf_topk(q, c, k=3, n_centroids=4, n_probe=2).collect(),
+            )
+        )
+
+    fast = run()
+    monkeypatch.setenv("NET_SPIDER_LOCAL_ADC", "0")
+    assert fast == run()

@@ -109,16 +109,31 @@ def test_train_rejects_indivisible_dim(emb):
         PQ.pq_train(emb, dim=8, m=3)
 
 
-def test_plan_broadcasts_and_no_python_udf(emb):
+def test_plan_broadcasts_and_no_python_udf(emb, monkeypatch):
     books = PQ.pq_train(emb, dim=8, m=2, k=4, iters=0)
     codes = PQ.pq_encode(emb, books)
     plan = (
         PQ.pq_topk(emb.where(F.col("vec_id") < 3), codes, books, k=2)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # codebook + LUT joins must broadcast (the corpus never shuffles
-    # vectors), and everything stays JVM-side.
+    # Bounded query batch -> the ADC scan path: ONE MapInPandas pass
+    # over the code table, NO join of any kind on the corpus side (the
+    # LUT lives in the task, built from the broadcast query batch), no
+    # corpus-sized posexplode, no row-at-a-time Python.
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Generate" not in plan  # the m-fold posexplode is gone
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # Forced-relational fallback (unbounded query side at scale): the
+    # codebook + LUT joins must broadcast and stay JVM-side.
+    monkeypatch.setenv("NET_SPIDER_LOCAL_ADC", "0")
+    plan = (
+        PQ.pq_topk(emb.where(F.col("vec_id") < 3), codes, books, k=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+    assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -207,7 +222,7 @@ def test_ivfpq_pruning_restricts_to_probed_cells(emb):
     assert got_by_q == want
 
 
-def test_ivfpq_plan_broadcasts_and_stays_jvm_side(emb):
+def test_ivfpq_plan_broadcasts_and_stays_jvm_side(emb, monkeypatch):
     plan = (
         PQ.ivfpq_topk(
             emb.where(F.col("vec_id") < 3), emb, dim=8, k=2,
@@ -216,8 +231,25 @@ def test_ivfpq_plan_broadcasts_and_stays_jvm_side(emb):
         )
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # probes + LUT + codebooks broadcast; the corpus ships codes and a
-    # cell id, never embeddings; no cartesian, no Python evaluators.
+    # Bounded query batch -> ADC scan: the probe subtree (crossJoin +
+    # window) and the LUT join are gone — the index table streams
+    # through the fused build pass then the scan pass, join-free; the
+    # corpus ships codes and a cell id, never embeddings.
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    # Forced-relational fallback: probes + LUT + codebooks broadcast,
+    # no cartesian, no Python evaluators beyond the build pass.
+    monkeypatch.setenv("NET_SPIDER_LOCAL_ADC", "0")
+    plan = (
+        PQ.ivfpq_topk(
+            emb.where(F.col("vec_id") < 3), emb, dim=8, k=2,
+            n_cells=4, n_probe=2, coarse_iters=1, m=2, k_codes=4,
+            pq_iters=1,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
@@ -245,7 +277,22 @@ def test_ivfpq_residual_beats_or_matches_raw_at_exhaustive_probe(emb):
     assert res >= raw
 
 
-def test_ivfpq_residual_plan_stays_broadcast_jvm(emb):
+def test_ivfpq_residual_plan_stays_broadcast_jvm(emb, monkeypatch):
+    plan = (
+        PQ.ivfpq_topk(
+            emb.where(F.col("vec_id") < 3), emb, dim=8, k=2,
+            n_cells=4, n_probe=2, coarse_iters=1, m=2, k_codes=4,
+            pq_iters=1, residual=True,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # Bounded query batch -> ADC scan (residual LUTs built per (query
+    # chunk, cell) inside the task): join-free, no cartesian.
+    assert "MapInPandas" in plan
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    monkeypatch.setenv("NET_SPIDER_LOCAL_ADC", "0")
     plan = (
         PQ.ivfpq_topk(
             emb.where(F.col("vec_id") < 3), emb, dim=8, k=2,
@@ -457,11 +504,12 @@ def test_fused_cells_codes_match_two_pass(emb, residual):
     ) == sorted((r[0], tuple(r["codes"])) for r in codes2.collect())
 
 
-def test_fused_search_skips_corpus_join(emb):
+def test_fused_search_skips_corpus_join(emb, monkeypatch):
     # With the fused index the candidate side must not plan a
-    # corpus-sized codes-cells join: the only joins left are broadcast
-    # (probes, LUT). SortMergeJoin in this plan would mean the fusion
-    # regressed.
+    # corpus-sized codes-cells join. On the ADC-scan fast path there is
+    # no join AT ALL; on the forced-relational path the only joins left
+    # are broadcast (probes, LUT). SortMergeJoin in either plan would
+    # mean the fusion regressed.
     idx = PQ.ivfpq_build(
         emb, dim=8, n_cells=4, coarse_iters=1, m=2, k_codes=4,
         pq_iters=1, train_n=16,
@@ -470,5 +518,85 @@ def test_fused_search_skips_corpus_join(emb):
         PQ.ivfpq_search(idx, emb.where(F.col("vec_id") < 3), k=2, n_probe=2)
         ._jdf.queryExecution().executedPlan().toString()
     )
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
+
+    monkeypatch.setenv("NET_SPIDER_LOCAL_ADC", "0")
+    plan = (
+        PQ.ivfpq_search(idx, emb.where(F.col("vec_id") < 3), k=2, n_probe=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_adc_scan_matches_relational_path(emb, residual, monkeypatch):
+    # The driver-LUT ADC scan (one mapInPandas over the code table,
+    # per-batch partial top-k) must reproduce the relational
+    # posexplode + broadcast-LUT-join + aggregate path EXACTLY — rows,
+    # ranks, and adist bitwise: the scan replays the same float64 left
+    # folds in the same order (LUT term order, subspace sum order),
+    # and partial top-k is a pure selection.
+    qs = emb.where(F.col("vec_id") < 4)
+
+    def run():
+        books = PQ.pq_train(emb, dim=8, m=2, k=4, iters=1, train_n=32)
+        codes = PQ.pq_encode(emb, books)
+        flat = sorted(map(tuple, PQ.pq_topk(qs, codes, books, k=2).collect()))
+        ivf = sorted(
+            map(
+                tuple,
+                PQ.ivfpq_topk(
+                    qs, emb, dim=8, k=2, n_cells=4, n_probe=2,
+                    coarse_iters=1, m=2, k_codes=4, pq_iters=1,
+                    residual=residual, train_n=32,
+                ).collect(),
+            )
+        )
+        return flat, ivf
+
+    fast = run()
+    monkeypatch.setenv("NET_SPIDER_LOCAL_ADC", "0")
+    rel = run()
+    assert fast == rel
+
+
+def test_adc_scan_guard_falls_back(emb, monkeypatch):
+    # Over-budget query batches (and duplicate query ids, which the
+    # relational LUT join keys tolerate but a per-row LUT index would
+    # conflate) must take the relational path — same results either way.
+    from net_spider_spark.pipeline.pq import _adc_query_rows
+
+    monkeypatch.setenv("NET_SPIDER_ADC_MAX_QUERIES", "3")
+    assert (
+        _adc_query_rows(
+            emb.where(F.col("vec_id") < 5), "vec_id", "embedding", 8, "t"
+        )
+        is None
+    )
+    books = PQ.pq_train(emb, dim=8, m=2, k=4, iters=1, train_n=32)
+    codes = PQ.pq_encode(emb, books)
+    over = sorted(
+        map(
+            tuple,
+            PQ.pq_topk(
+                emb.where(F.col("vec_id") < 5), codes, books, k=2
+            ).collect(),
+        )
+    )
+    monkeypatch.setenv("NET_SPIDER_ADC_MAX_QUERIES", "1024")
+    under = sorted(
+        map(
+            tuple,
+            PQ.pq_topk(
+                emb.where(F.col("vec_id") < 5), codes, books, k=2
+            ).collect(),
+        )
+    )
+    assert over == under
+    # duplicate ids -> fallback
+    dup = emb.where(F.col("vec_id") < 2).unionAll(
+        emb.where(F.col("vec_id") < 1)
+    )
+    assert _adc_query_rows(dup, "vec_id", "embedding", 8, "t") is None
