@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from net_spider_spark.sizing import fits_in_driver
+from net_spider_spark.sizing import count_and_fits
 from net_spider_spark.reliability import (
     materialize as _materialize,
     materialize_lazy as _materialize_lazy,
@@ -31,23 +31,40 @@ _LOCAL_CC_MAX_EDGES = 2_000_000
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 50, local_threshold: int = _LOCAL_CC_MAX_EDGES
+    edges: DataFrame, max_iter: int = 50,
+    local_threshold: int = _LOCAL_CC_MAX_EDGES,
+    edges_distinct: bool = False,
 ) -> DataFrame:
     """DataFrame(src, dst) -> DataFrame(node_id, component) where
-    component = min node ID in the (undirected) component."""
+    component = min node ID in the (undirected) component.
+
+    ``edges_distinct=True`` declares the input duplicate-free and
+    one-directional (e.g. verified dedup pairs with ``a < b``), which
+    skips the symmetric-union dedup — semantics are unchanged either
+    way (min-label propagation and union-find are idempotent to
+    duplicate edges; the distinct only bounds rows per round), but for
+    a pre-distinct input it is a pure extra shuffle of the pair table."""
+    # Symmetric closure as ONE two-way explode, not a self-union: a
+    # union's two children are separate plan subtrees, so
+    # ``edges ∪ reversed(edges)`` executed the ENTIRE upstream chain
+    # twice per action (measured on dedup_representatives: the
+    # candidate+verify pipeline ran once per direction). The explode
+    # emits the same two rows per input edge from a single pass; the
+    # pre-explode null filter equals the old post-union filter because
+    # it applied to both directions symmetrically.
     und = (
         edges.select("src", "dst")
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .persist()
+        .selectExpr(
+            "inline(array(named_struct('src', src, 'dst', dst),"
+            " named_struct('src', dst, 'dst', src)))"
+        )
     )
-    n_edges = und.count()
-    if n_edges <= local_threshold and fits_in_driver(
-        und, n_edges, tag="components"
-    ):
+    if not edges_distinct:
+        und = und.distinct()
+    und = und.persist()
+    n_edges, local = count_and_fits(und, local_threshold, tag="components")
+    if local:
         try:
             return _local_components(und)
         finally:

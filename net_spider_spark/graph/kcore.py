@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from net_spider_spark.sizing import fits_in_driver
+from net_spider_spark.sizing import count_and_fits
 from net_spider_spark.reliability import materialize as _materialize
 
 
@@ -56,24 +56,29 @@ def kcore(
     """DataFrame(src, dst) -> DataFrame(node_id, degree): the nodes of
     the k-core of the UNDIRECTED simple graph, with their degree
     inside the core."""
+    # Symmetric closure as ONE conditional two-way explode instead of
+    # a self-union (a union's two children re-execute the upstream
+    # chain once per direction — see components.py). Replays the
+    # original union's exact row multiset: the forward direction only
+    # for non-null non-loop edges (the old pre-union filter), the
+    # reversed direction unconditionally (the old union branch was
+    # unfiltered), then distinct.
     und = (
         edges.select("src", "dst")
-        .where(
-            F.col("src").isNotNull()
-            & F.col("dst").isNotNull()
-            & (F.col("src") != F.col("dst"))
-        )
-        .unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        .selectExpr(
+            "inline(concat("
+            "CASE WHEN src IS NOT NULL AND dst IS NOT NULL"
+            " AND src != dst"
+            " THEN array(named_struct('src', src, 'dst', dst))"
+            " ELSE array() END,"
+            " array(named_struct('src', dst, 'dst', src))))"
         )
         .distinct()
         .persist()
     )
-    n_und = und.count()
     # symmetric set = 2x edges
-    if n_und <= 2 * local_threshold and fits_in_driver(
-        und, n_und, tag="kcore"
-    ):
+    n_und, _local = count_and_fits(und, 2 * local_threshold, tag="kcore")
+    if _local:
         try:
             seen = set()
             for r in und.collect():

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from net_spider_spark.sizing import fits_in_driver
+from net_spider_spark.sizing import count_and_fits
 from net_spider_spark.reliability import (
     materialize as _materialize,
     materialize_lazy as _materialize_lazy,
@@ -92,10 +92,8 @@ def pagerank(
         .distinct()
         .persist()
     )
-    n_edges = e.count()
-    if n_edges <= local_threshold and fits_in_driver(
-        e, n_edges, tag="pagerank"
-    ):
+    n_edges, _local = count_and_fits(e, local_threshold, tag="pagerank")
+    if _local:
         try:
             pairs = [(r["src"], r["dst"]) for r in e.collect()]
             return _local_pagerank(

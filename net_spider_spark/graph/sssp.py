@@ -24,7 +24,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from net_spider_spark.sizing import fits_in_driver
+from net_spider_spark.sizing import count_and_fits
 from net_spider_spark.reliability import (
     materialize as _materialize,
     materialize_lazy as _materialize_lazy,
@@ -74,12 +74,10 @@ def shortest_paths(
         .agg(F.min("weight").alias("weight"))
         .persist()
     )
-    n_edges = e.count()
     spark = e.sparkSession
     id_type = e.schema["src"].dataType.simpleString()
-    if n_edges <= local_threshold and fits_in_driver(
-        e, n_edges, tag="sssp"
-    ):
+    n_edges, _local = count_and_fits(e, local_threshold, tag="sssp")
+    if _local:
         try:
             rows = [(r["src"], r["dst"], r["weight"]) for r in e.collect()]
             return _local_sssp(spark, rows, list(sources), max_hops, id_type)

@@ -910,7 +910,10 @@ def dedup_representatives(
         edges = verified.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
         )
-        comps = connected_components(edges)
+        # verified pairs are distinct with doc_a < doc_b by
+        # construction, so the components-side symmetric-union dedup
+        # would be a pure extra shuffle of the pair table.
+        comps = connected_components(edges, edges_distinct=True)
     finally:
         sets.unpersist()
     reps = comps.groupBy("component").agg(

@@ -90,6 +90,36 @@ def estimated_bytes(df: DataFrame, n_rows: int) -> int:
     return int(avg_w * n_rows * _PY_OVERHEAD)
 
 
+def count_and_fits(
+    df: DataFrame,
+    row_threshold: int,
+    max_bytes: int = DRIVER_LOCAL_MAX_BYTES,
+    tag: str | None = None,
+) -> tuple[int, bool]:
+    """Row count + driver-budget check as ONE aggregate job.
+
+    The guarded operators (components/pagerank/kcore/sssp/BFS) all ran
+    ``count()`` then :func:`fits_in_driver`'s width probe — two full
+    jobs over the (persisted) edge projection before any work starts,
+    each a stage of pure scheduling at bench scale. One
+    ``agg(count, avg(width))`` pass computes both. The width estimate
+    averages EVERY row instead of the sampled probe — a strictly
+    better estimate for one extra cheap expression during a pass the
+    count already paid for. Returns ``(n_rows, local)`` where local
+    requires BOTH ``n_rows <= row_threshold`` and the byte budget, and
+    logs the combined decision (so a row-threshold refusal is visible
+    in the decision log too, which the two-step form never recorded)."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(_row_width_expr(df)).alias("avg_w"),
+    ).collect()[0]
+    n = int(row["n"])
+    est = int((row["avg_w"] or 0.0) * n * _PY_OVERHEAD)
+    local = n <= row_threshold and est <= max_bytes
+    _log_decision(tag, n, est, local)
+    return n, local
+
+
 def fits_in_driver(
     df: DataFrame,
     n_rows: int,

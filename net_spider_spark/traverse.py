@@ -28,7 +28,7 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from net_spider_spark.sizing import fits_in_driver
+from net_spider_spark.sizing import count_and_fits
 from net_spider_spark.reliability import (
     materialize as _materialize,
     materialize_lazy as _materialize_lazy,
@@ -67,10 +67,8 @@ def reachable_nodes(
         .distinct()
         .persist()
     )
-    n_edges = edges.count()
-    if n_edges <= local_threshold and fits_in_driver(
-        edges, n_edges, tag="bfs"
-    ):
+    n_edges, _local = count_and_fits(edges, local_threshold, tag="bfs")
+    if _local:
         try:
             return _local_bfs(edges, starts, max_hops)
         finally:
@@ -136,10 +134,8 @@ def reachable_with_levels(
         .distinct()
         .persist()
     )
-    n_edges = edges.count()
-    if n_edges <= local_threshold and fits_in_driver(
-        edges, n_edges, tag="bfs"
-    ):
+    n_edges, _local = count_and_fits(edges, local_threshold, tag="bfs")
+    if _local:
         try:
             adj: dict[str, list[str]] = {}
             for row in edges.collect():

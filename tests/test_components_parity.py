@@ -36,3 +36,24 @@ def test_distributed_path_graph_converges_logarithmically(spark):
     got = connected_components(edges, max_iter=16, local_threshold=0)
     comps = {r["component"] for r in got.collect()}
     assert comps == {"n000"}  # single component, min-ID label
+
+
+def test_symmetric_closure_is_single_subtree(spark):
+    # The undirected closure must plan as ONE two-way explode
+    # (Generate/inline) over the edge subtree, never a self-union: a
+    # union's two children are separate subtrees, so every action
+    # upstream of components re-executed the whole edge-derivation
+    # chain once per direction (measured: dedup_representatives ran
+    # its candidate+verify pipeline twice).
+    from net_spider_spark.graph.components import connected_components
+    from net_spider_spark.graph.kcore import kcore
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "src string, dst string"
+    )
+    for df in (
+        connected_components(edges, local_threshold=0),
+        kcore(edges, k=1, local_threshold=0),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Union" not in plan

@@ -434,9 +434,12 @@ def test_bench_scale_guard_paths_pinned(spark):
         "graph_pagerank": [("pagerank", True)],
         "graph_kcore": [("kcore", True)],
         "graph_sssp": [("sssp", True)],
-        # forced-distributed twins must never consult the guard
-        "j5_reachability_dist": [],
-        "graph_components_dist": [],
+        # forced-distributed twins: the fused count+width guard logs
+        # their row-threshold refusal (local=False) — the two-step form
+        # short-circuited before the byte probe and logged nothing, so
+        # a threshold refusal was invisible in bench.py's paths record.
+        "j5_reachability_dist": [("bfs", False)],
+        "graph_components_dist": [("components", False)],
     }
     qs = em.queries()
     for name, want in expected.items():
