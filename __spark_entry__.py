@@ -2905,9 +2905,15 @@ def q_sketch_kmv_setops(spark, sf_dir):
     # alone. The pair join touches only the sketch table (one row of
     # 16 longs per event type), so it is broadcast-trivial at any
     # corpus size — the whole point of sketch algebra at 100 TB.
+    # The sketch table is persisted because the pair join is an
+    # INEQUALITY join (type_a < type_b -> BroadcastNestedLoop): its
+    # broadcast-side and stream-side subtrees are not exchange-
+    # reusable, so without the persist the whole kmv_sketch aggregation
+    # chain executed twice per action. The cache is one row of k longs
+    # per event type — bounded by construction at any corpus size.
     sk = SK.kmv_sketch(
         _events_typed(spark, sf_dir), ["event_type"], "user_id", k=16
-    )
+    ).persist()
     a = sk.select(
         F.col("event_type").alias("type_a"), F.col("kmv").alias("kmv_a")
     )
