@@ -37,11 +37,17 @@ Scale shapes:
   (:func:`_arrow_codes`): each batch argmin-assigns its vectors
   against the broadcast (m, k, sub_dim) codebook as a single numpy
   broadcast op. Zero exchanges; the corpus never moves.
-* **topk** — the LUT is queries x m x k rows (tiny for interactive
-  query batches; broadcast), joined to the exploded codes on
-  (sub, code) and summed per (query, corpus id) — a map-side-
-  combinable aggregate over m rows per pair, then a per-query top-k.
-  The corpus side never shuffles vectors, only codes.
+* **topk** — for bounded query batches (the ANN-serving shape;
+  ``NET_SPIDER_ADC_MAX_QUERIES``), ONE vectorized Arrow scan over the
+  code table (:func:`_adc_scan_topk`): the query batch broadcasts as
+  raw vectors, each task builds per-query-chunk LUTs from the
+  broadcast codebooks, scores its rows and emits a per-batch partial
+  top-k, so the only exchange is the final per-query window over
+  batch winners — the FAISS shard-scan shape. Unbounded query sides
+  fall back to the relational form: the queries x m x k LUT broadcast,
+  joined to the exploded codes on (sub, code) and summed per
+  (query, corpus id). Either way the corpus never shuffles vectors,
+  only codes.
 
 Like :mod:`net_spider_spark.pipeline.cluster`, every step (hash-seeded
 init, (dist, cid) tie-breaks, fixed iteration count) is deterministic,
