@@ -159,6 +159,117 @@ HEADLINE = [
 ]
 
 
+def compact_line(
+    timings: dict,
+    env: dict,
+    counters: dict,
+    ingest: dict,
+    passes: int,
+    sf_val,
+    budget: int = 1950,
+) -> str:
+    """Build the ONE stdout JSON line within the driver's tail capture.
+
+    Per-query medians belong in this line (round-11 verdict item 1: the
+    r11 line shed "queries" under length pressure, so the driver's PERF
+    comparator had nothing to join on — n_common: 0).  The driver parses
+    the final line from a 2000-char tail of the output (every
+    BENCH_r*.json stores exactly a 2000-char tail; the round-4 over-long
+    line was unparseable), and a COMPLETE {name: sec} dict for the
+    92-query suite cannot fit: the names alone plus JSON syntax are
+    1,928 chars before a single value.  So the line carries BOTH:
+
+    - "queries": as many entries as fit under the budget, largest
+      medians first (deterministic: sort by -median, then name), with
+      "queries_omitted" counting the shed tail — these are the walls
+      that matter for a perf comparison, joinable by name;
+    - "qv": the COMPLETE median list in lexicographic query-name order
+      (2 decimals), with "qv_sha" = sha256 of the comma-joined sorted
+      names (12 hex) binding the order — 92 values cost ~450 chars, so
+      every query's number is in the parsed line; zip with
+      sorted(names) from BENCH_DETAIL.json / bench.HEADLINE to decode.
+
+    Full-precision per-query walls/counters stay in BENCH_DETAIL.json
+    and the stderr detail line, unchanged.  Shed order under length
+    pressure: ingest noise-evidence arrays (kept in the sidecar), then
+    the smallest-median "queries" entries one at a time.  The complete
+    "qv" list and the headline totals are never shed.
+    """
+    import hashlib
+
+    total = round(sum(timings.values()), 3)
+    counters_sha = hashlib.sha256(
+        json.dumps(counters, sort_keys=True).encode()
+    ).hexdigest()[:12]
+    ctot = {
+        "tasks": sum(c["tasks"] for c in counters.values()),
+        "shuffle_mb": round(
+            sum(
+                c["shuffle_read_bytes"] + c["shuffle_write_bytes"]
+                for c in counters.values()
+            )
+            / 1e6,
+            2,
+        ),
+        "spill_mb": round(
+            sum(
+                c["memory_spill_bytes"] + c["disk_spill_bytes"]
+                for c in counters.values()
+            )
+            / 1e6,
+            2,
+        ),
+    }
+    all_loads = [x for v in env.values() for x in v["load1"]]
+    qv_names = sorted(timings)
+    qv_sha = hashlib.sha256(",".join(qv_names).encode()).hexdigest()[:12]
+    compact = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "passes": passes,
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "qv": [round(timings[k], 2) for k in qv_names],
+        "qv_sha": qv_sha,
+        "counters_total": ctot,
+        "counters_sha": counters_sha,
+        "env": {
+            "load1_max": max(all_loads, default=0.0),
+            "load1_median": round(statistics.median(all_loads), 2)
+            if all_loads
+            else 0.0,
+            "gc_ms_total": sum(x for v in env.values() for x in v["gc_ms"]),
+            "steal_j_total": sum(
+                x for v in env.values() for x in v["steal_j"]
+            ),
+        },
+        "untrusted": sorted(
+            k for k, v in env.items() if v.get("wall_untrusted")
+        ),
+        "ingest": ingest,
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > budget:
+        compact["ingest"] = {
+            k: v for k, v in ingest.items() if not isinstance(v, list)
+        }
+        line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > budget:
+        by_size = sorted(timings, key=lambda k: (-timings[k], k))
+        keep = len(by_size)
+        while keep > 0 and len(line) > budget:
+            keep -= 1
+            compact["queries"] = {
+                k: round(timings[k], 2) for k in by_size[:keep]
+            }
+            compact["queries_omitted"] = len(timings) - keep
+            line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -448,75 +559,12 @@ def main() -> None:
         print(f"# could not write sidecar: {exc}", file=sys.stderr)
     print(f"# detail: {json.dumps(detail)}", file=sys.stderr)
 
-    # The ONE stdout JSON line, kept compact enough to survive a
-    # tail-capture of stdout. Per-query seconds are included at reduced
-    # precision only while the line stays well under the capture bound;
-    # otherwise they live in the sidecar and stderr alone.
+    # The ONE stdout JSON line, kept inside the driver's tail capture.
     # Aggregate executor counters + a short hash binding this line to the
     # committed per-query counter sidecar: identical counters_sha across
     # rounds == identical plans, so any wall delta is box noise by
     # construction (the round-6 adjudication, automated).
-    import hashlib
-
-    counters_sha = hashlib.sha256(
-        json.dumps(counters, sort_keys=True).encode()
-    ).hexdigest()[:12]
-    ctot = {
-        "tasks": sum(c["tasks"] for c in counters.values()),
-        "shuffle_mb": round(
-            sum(
-                c["shuffle_read_bytes"] + c["shuffle_write_bytes"]
-                for c in counters.values()
-            )
-            / 1e6,
-            2,
-        ),
-        "spill_mb": round(
-            sum(
-                c["memory_spill_bytes"] + c["disk_spill_bytes"]
-                for c in counters.values()
-            )
-            / 1e6,
-            2,
-        ),
-    }
-    all_loads = [x for v in env.values() for x in v["load1"]]
-    compact = {
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "passes": passes,
-        "queries": {k: round(v, 2) for k, v in timings.items()},
-        "counters_total": ctot,
-        "counters_sha": counters_sha,
-        "env": {
-            "load1_max": max(all_loads, default=0.0),
-            "load1_median": round(statistics.median(all_loads), 2)
-            if all_loads
-            else 0.0,
-            "gc_ms_total": sum(x for v in env.values() for x in v["gc_ms"]),
-            "steal_j_total": sum(
-                x for v in env.values() for x in v["steal_j"]
-            ),
-        },
-        "untrusted": sorted(
-            k for k, v in env.items() if v.get("wall_untrusted")
-        ),
-        "ingest": ingest,
-        "sf": sf_val,
-        "n_queries": len(timings),
-        "detail": "BENCH_DETAIL.json",
-    }
-    # The driver keeps only a 2000-char tail of stdout; keep the whole
-    # line safely inside it (shed precision, then per-query walls).
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
-        compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
-        line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
-        compact.pop("queries")
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(compact_line(timings, env, counters, ingest, passes, sf_val))
     spark.stop()
 
 
