@@ -1158,6 +1158,23 @@ def q_graph_triangles(spark, sf_dir):
     return triangle_stats(edges)
 
 
+def q_graph_triangles_dist(spark, sf_dir):
+    # Same computation as graph_triangles but pinned to the
+    # DISTRIBUTED path (local_threshold=0): the degree-ordered
+    # orientation + wedge joins that run at corpus scale, where the
+    # edge list no longer fits the driver-local fast path. Oracle is
+    # identical — both paths must agree with the same SQL.
+    from net_spider_spark.findings import explode_link_samples
+    from net_spider_spark.graph.triangles import triangle_stats
+
+    findings = demo.events_findings(spark, sf_dir)
+    kept = latest_findings_per_node(findings)
+    edges = explode_link_samples(kept).select(
+        F.col("subject_node").alias("src"), F.col("target_node").alias("dst")
+    )
+    return triangle_stats(edges, local_threshold=0)
+
+
 def _kept_edges(spark, sf_dir):
     """Directed distinct link edges from the latest-findings graph —
     the shared input of the pagerank/kcore contract queries."""
@@ -2905,22 +2922,53 @@ def q_sketch_kmv_setops(spark, sf_dir):
     # alone. The pair join touches only the sketch table (one row of
     # 16 longs per event type), so it is broadcast-trivial at any
     # corpus size — the whole point of sketch algebra at 100 TB.
-    # The sketch table is persisted because the pair join is an
-    # INEQUALITY join (type_a < type_b -> BroadcastNestedLoop): its
-    # broadcast-side and stream-side subtrees are not exchange-
-    # reusable, so without the persist the whole kmv_sketch aggregation
-    # chain executed twice per action. The cache is one row of k longs
-    # per event type — bounded by construction at any corpus size.
+    # The pair join is an INEQUALITY join (type_a < type_b), which
+    # plans as BroadcastNestedLoop over two non-exchange-reusable
+    # copies of the sketch subtree — r11 persisted the sketch table to
+    # stop the double execution, but the pair plan still carried 23
+    # Exchanges for a handful of rows. The sketch table is ONE row of
+    # k longs per event type at ANY corpus size, so the round-12 shape
+    # collects it (bounded, guarded) and crosses the pairs on the
+    # driver: the aggregation chain runs exactly once during the
+    # collect, the returned plan is a zero-exchange projection over a
+    # local relation, and no persist lingers in the session.
+    # Equivalence: UTF-8 byte order (Spark's string <) equals code
+    # point order (Python's), and kmv arrays are exact longs, so the
+    # pair set and every estimate expression are identical to the join
+    # formulation — the guarded fallback below keeps the join path for
+    # unbounded group counts.
+    from net_spider_spark import sizing
+
     sk = SK.kmv_sketch(
         _events_typed(spark, sf_dir), ["event_type"], "user_id", k=16
-    ).persist()
-    a = sk.select(
-        F.col("event_type").alias("type_a"), F.col("kmv").alias("kmv_a")
     )
-    b = sk.select(
-        F.col("event_type").alias("type_b"), F.col("kmv").alias("kmv_b")
+    max_types = 256
+    rows = sk.limit(max_types + 1).collect()
+    local = len(rows) <= max_types
+    sizing._log_decision(
+        "sketch_kmv_setops", len(rows), len(rows) * 16 * 8, local
     )
-    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    if local:
+        by_type = sorted(rows, key=lambda r: r["event_type"])
+        pair_rows = [
+            (ra["event_type"], ra["kmv"], rb["event_type"], rb["kmv"])
+            for i, ra in enumerate(by_type)
+            for rb in by_type[i + 1 :]
+        ]
+        pairs = spark.createDataFrame(
+            pair_rows,
+            "type_a string, kmv_a array<bigint>, "
+            "type_b string, kmv_b array<bigint>",
+        )
+    else:  # unbounded group count: keep the distributed pair join
+        sk = sk.persist()
+        a = sk.select(
+            F.col("event_type").alias("type_a"), F.col("kmv").alias("kmv_a")
+        )
+        b = sk.select(
+            F.col("event_type").alias("type_b"), F.col("kmv").alias("kmv_b")
+        )
+        pairs = a.join(b, F.col("type_a") < F.col("type_b"))
     return SK.kmv_set_estimates(pairs, k=16).drop("kmv_a", "kmv_b")
 
 
@@ -3013,7 +3061,8 @@ def q_multimodal_audio_decode(spark, sf_dir):
     ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 20 == 0)
-        .select("event_id")
+        .select("event_id"),
+        n_rows=_events_rows_hint(sf_dir, 20),
     )
 
     def synth(batches):
@@ -3075,7 +3124,8 @@ def q_multimodal_image_decode(spark, sf_dir):
     ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 25 == 0)
-        .select("event_id")
+        .select("event_id"),
+        n_rows=_events_rows_hint(sf_dir, 25),
     )
 
     def synth(batches):
@@ -3131,7 +3181,8 @@ def q_multimodal_png_decode(spark, sf_dir):
     ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 25 == 13)
-        .select("event_id")
+        .select("event_id"),
+        n_rows=_events_rows_hint(sf_dir, 25),
     )
 
     def synth(batches):
@@ -3183,7 +3234,8 @@ def q_multimodal_gif_decode(spark, sf_dir):
     ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 25 == 7)
-        .select("event_id")
+        .select("event_id"),
+        n_rows=_events_rows_hint(sf_dir, 25),
     )
 
     def solid_gif(w, h, rgb):
@@ -3256,7 +3308,8 @@ def q_multimodal_media_metadata(spark, sf_dir):
     ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 25 == 3)
-        .select("event_id")
+        .select("event_id"),
+        n_rows=_events_rows_hint(sf_dir, 25),
     )
 
     def synth(batches):
@@ -3329,7 +3382,8 @@ def q_multimodal_jpeg_progressive(spark, sf_dir):
     ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 25 == 11)
-        .select("event_id")
+        .select("event_id"),
+        n_rows=_events_rows_hint(sf_dir, 25),
     )
 
     def synth(batches):
@@ -3381,7 +3435,8 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     ev = _spread_ids(
         _events_typed(spark, sf_dir)
         .where(F.col("event_id") % 25 == 19)
-        .select("event_id")
+        .select("event_id"),
+        n_rows=_events_rows_hint(sf_dir, 25),
     )
 
     def synth(batches):
@@ -3420,7 +3475,7 @@ def q_multimodal_jpeg_decode(spark, sf_dir):
     )
 
 
-def _spread_ids(df):
+def _spread_ids(df, n_rows=None):
     """Round-robin a parameter-only projection across the session's
     cores before a heavy per-row mapInPandas synthesis/decode stage.
     The sf tables are single parquet files — ONE scan split at every
@@ -3429,13 +3484,49 @@ def _spread_ids(df):
     3.6 s on dedup_image_phash at sf0.1, identical output). Only the
     id/parameter rows cross the exchange; the heavy bytes come into
     existence after it (the §8 move-small-rows shape). Works on batch
-    and streaming DataFrames alike."""
+    and streaming DataFrames alike.
+
+    ``n_rows``: optional row-count hint (parquet-footer arithmetic, see
+    :func:`_table_rows`) capping the width at
+    ceil(n_rows / sizing.SPREAD_ROWS_PER_TASK) — an unconditional
+    defaultParallelism spread put 32 tasks under a few thousand rows
+    and several of these queries ran FASTER at 8 cores than 32
+    (round-11 verdict item 3). At corpus scale the cap never binds."""
+    from net_spider_spark import sizing
+
     spark = df.sparkSession
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    return df.repartition(sizing.spread_width(spark, n_rows))
 
 
-def _synth_class_media(ev):
-    ev = _spread_ids(ev)
+def _table_rows(sf_dir: str, table: str):
+    """Row count of one sf table from parquet FOOTERS only — no Spark
+    job. Used as a spread-width hint (scheduling only, never results);
+    returns None when unknowable."""
+    import pyarrow.parquet as _pq
+
+    p = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        if os.path.isdir(p):
+            return sum(
+                _pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+                for r, _, fs in os.walk(p)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        return _pq.ParquetFile(p).metadata.num_rows
+    except Exception:
+        return None
+
+
+def _events_rows_hint(sf_dir: str, divisor: int):
+    """Width hint for the media queries' ``event_id % divisor`` spreads:
+    the events row count scaled by the filter's selectivity."""
+    nr = _table_rows(sf_dir, "events")
+    return None if nr is None else max(1, nr // divisor)
+
+
+def _synth_class_media(ev, n_rows=None):
+    ev = _spread_ids(ev, n_rows=n_rows)
     # Shared media synthesizer for the perceptual-dedup queries (batch
     # AND streaming — the mapInPandas is stateless): each event renders
     # one of 6 fixed photo-like pictures (class = event_id % 6),
@@ -3535,7 +3626,9 @@ def q_dedup_image_phash(spark, sf_dir):
         .select("event_id")
     )
     # _synth_class_media spreads the ids itself
-    hashes = MM.image_phash(_synth_class_media(ev))
+    hashes = MM.image_phash(
+        _synth_class_media(ev, n_rows=_events_rows_hint(sf_dir, 25))
+    )
     return DD.image_phash_dedup(hashes, max_hamming=2).select(
         "media_id", "is_dup"
     )
@@ -3552,7 +3645,9 @@ def q_stream_dedup_phash(spark, sf_dir):
 
     _, stream = _events_stream(spark, sf_dir)
     ev = stream.where(F.col("event_id") % 25 == 21).select("event_id")
-    out = stream_dedup_phash(_synth_class_media(ev))
+    out = stream_dedup_phash(
+        _synth_class_media(ev, n_rows=_events_rows_hint(sf_dir, 25))
+    )
     res = _run_available_now(out, "stream_phash_sink", "update",
                              source_bytes=_table_bytes(sf_dir, "events"))
     # update-mode sink holds every intermediate per-key emission; the
@@ -3966,6 +4061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f2_node_lookup": q_f2_node_lookup,
         "graph_components_dist": q_graph_components_dist,
         "graph_kcore_dist": q_graph_kcore_dist,
+        "graph_triangles_dist": q_graph_triangles_dist,
         "graph_pagerank_dist": q_graph_pagerank_dist,
         "graph_sssp_dist": q_graph_sssp_dist,
         "j5_reachability_dist": q_j5_reachability_dist,
@@ -4458,6 +4554,7 @@ WHERE e.vec_id % 4 = 0
         ("graph_pagerank_dist", "graph_pagerank"),
         ("graph_sssp_dist", "graph_sssp"),
         ("graph_kcore_dist", "graph_kcore"),
+        ("graph_triangles_dist", "graph_triangles"),
     ):
         d[dist] = d[base]
     return d

@@ -18,10 +18,24 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from net_spider_spark.sizing import count_and_fits
+
+# Below this many canonical edges the distributed plan's ~10 stages of
+# 32-task shuffles are pure scheduling overhead (measured 2.0-2.3 s at
+# sf0.1 for 160 KB of shuffle), so a collected wedge-intersection pass
+# wins. Kept well under components' 2M: union-find is O(E α) but the
+# wedge intersection is O(E^1.5) worst case, so the driver budget here
+# is compute, not just bytes.
+_LOCAL_TRI_MAX_EDGES = 200_000
 
 
 def triangle_stats(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    local_threshold: int = _LOCAL_TRI_MAX_EDGES,
 ) -> DataFrame:
     """Per-node triangle counts and local clustering coefficient from a
     (possibly directed / repeated) edge list. Self-loops are dropped;
@@ -31,6 +45,12 @@ def triangle_stats(
     Returns (node_id, degree, triangles, clustering_coeff) for every
     node incident to at least one edge, where ``clustering_coeff =
     2 * triangles / (degree * (degree - 1))`` and 0.0 when degree < 2.
+
+    Small graphs take a guarded driver-local fast path (same device as
+    ``components``/``pagerank``/``kcore``: :func:`count_and_fits` logs
+    the decision; ``local_threshold=0`` forces the distributed plan).
+    Both paths replay the identical degree-ordered orientation, so the
+    counts — and the single IEEE division per node — agree exactly.
     """
     from pyspark import StorageLevel
 
@@ -48,9 +68,20 @@ def triangle_stats(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _, local = count_and_fits(e, local_threshold, tag="triangles")
+    if local:
+        try:
+            return _local_triangles(e)
+        finally:
+            e.unpersist()
+    # One scan of the cached edge set instead of a two-branch union.
+    # deg feeds three consumers (dp/dq/final join) but is NOT
+    # persisted: its aggregate exchange is plan-identical across the
+    # consumers, so AQE dedups it as ReusedExchange — an explicit
+    # cache here measured +95 tasks of fill/scan overhead at bench
+    # scale for zero recompute saved.
     deg = (
-        e.select(F.col("p").alias("v"))
-        .unionAll(e.select(F.col("q").alias("v")))
+        e.select(F.explode(F.array(F.col("p"), F.col("q"))).alias("v"))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -81,10 +112,16 @@ def triangle_stats(
     tri = wedge.join(
         oriented.select(F.col("a"), F.col("b").alias("c")), ["a", "c"]
     )
+    # Corner counting as ONE explode over the triangle rows: the
+    # three-branch union scanned `tri` three times, and `tri` is the
+    # UNPERSISTED wedge+closure join subtree — each extra scan re-ran
+    # both joins (the same double-execution device the round-11
+    # symmetric-closure fix removed from components/kcore). The corner
+    # multiset is identical, so the per-node counts are too.
     corner_counts = (
-        tri.select(F.col("a").alias("v"))
-        .unionAll(tri.select(F.col("m").alias("v")))
-        .unionAll(tri.select(F.col("c").alias("v")))
+        tri.select(
+            F.explode(F.array(F.col("a"), F.col("m"), F.col("c"))).alias("v")
+        )
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("triangles"))
     )
@@ -106,3 +143,52 @@ def triangle_stats(
             .alias("clustering_coeff"),
         )
     )
+
+
+def _local_triangles(e: DataFrame) -> DataFrame:
+    """Driver-local twin of the distributed plan over the collected
+    canonical edge list: same (degree, id) orientation, same wedge
+    a->m closed by m->c and a->c, so each triangle increments the same
+    three corners exactly once. The clustering coefficient is the same
+    single IEEE division (2.0*t exact, deg*(deg-1) exact below 2^53),
+    so values match the distributed path bit for bit."""
+    pairs = [(r["p"], r["q"]) for r in e.collect()]
+    deg: dict = {}
+    for p, q in pairs:
+        deg[p] = deg.get(p, 0) + 1
+        deg[q] = deg.get(q, 0) + 1
+    out: dict = {}
+    for p, q in pairs:
+        # orient from the (deg, id)-smaller endpoint; p < q already
+        a, b = (p, q) if deg[p] <= deg[q] else (q, p)
+        out.setdefault(a, set()).add(b)
+    tri: dict = {}
+    empty: set = set()
+    for a, nbrs in out.items():
+        for m in nbrs:
+            common = nbrs & out.get(m, empty)
+            if not common:
+                continue
+            tri[a] = tri.get(a, 0) + len(common)
+            tri[m] = tri.get(m, 0) + len(common)
+            for c in common:
+                tri[c] = tri.get(c, 0) + 1
+    rows = [
+        (
+            v,
+            d,
+            tri.get(v, 0),
+            (2.0 * tri.get(v, 0)) / (d * (d - 1)) if d >= 2 else 0.0,
+        )
+        for v, d in sorted(deg.items())
+    ]
+    id_type = e.schema["p"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node_id", id_type),
+            T.StructField("degree", T.LongType()),
+            T.StructField("triangles", T.LongType()),
+            T.StructField("clustering_coeff", T.DoubleType()),
+        ]
+    )
+    return e.sparkSession.createDataFrame(rows, schema)

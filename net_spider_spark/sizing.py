@@ -12,6 +12,8 @@ count.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -32,6 +34,32 @@ _SAMPLE_ROWS = 4096
 # surfacing as an unexplained wall delta.
 DECISION_LOG: list[dict] = []
 _DECISION_LOG_MAX = 256
+
+
+# Target rows per task for an explicit compute-spread exchange (a
+# round-robin/hash repartition inserted purely so a heavy per-row
+# Python stage runs data-parallel). Spreading a few hundred rows over
+# defaultParallelism tasks is pure scheduling + Python-worker spin-up:
+# several spread queries measured FASTER at 8 cores than 32 at bench
+# scale (round-11 verdict item 3). 512 rows/task reproduces the 8-core
+# width on the sf0.1 media spreads; at corpus scale n_rows/512 far
+# exceeds any core count, so the cap never binds and the width stays
+# the session's parallelism.
+SPREAD_ROWS_PER_TASK = int(
+    os.environ.get("NET_SPIDER_SPREAD_ROWS_PER_TASK", "512")
+)
+
+
+def spread_width(spark, n_rows: int | None = None) -> int:
+    """Task width for an explicit compute-spread exchange: the
+    session's default parallelism, capped at
+    ``ceil(n_rows / SPREAD_ROWS_PER_TASK)`` when the caller knows (or
+    can bound) the row count. ``n_rows`` is a width HINT — it affects
+    scheduling only, never results."""
+    par = spark.sparkContext.defaultParallelism
+    if n_rows is not None and n_rows >= 0:
+        par = max(1, min(par, -(-n_rows // SPREAD_ROWS_PER_TASK)))
+    return par
 
 
 def _log_decision(tag: str | None, n_rows: int, est: int, local: bool) -> None:
