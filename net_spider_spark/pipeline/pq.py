@@ -228,6 +228,16 @@ def _adc_query_rows(queries: DataFrame, id_col: str, vec_col: str,
         if ok and vecs and any(len(v) != len(vecs[0]) for v in vecs):
             ok = False
         est = sum(len(v) for v in vecs) * 8
+        # Byte budget, not just row count: row count alone mis-sizes
+        # wide rows (sizing.py's own rationale) — 1024 very-high-dim
+        # query vectors must not be broadcast unbounded. Over budget,
+        # the relational broadcast-LUT path takes over.
+        if ok and est > int(
+            os.environ.get(
+                "NET_SPIDER_ADC_MAX_BYTES", str(sizing.DRIVER_LOCAL_MAX_BYTES)
+            )
+        ):
+            ok = False
     sizing._log_decision(tag, len(rows), est, ok)
     if not ok:
         return None
@@ -282,8 +292,17 @@ def _adc_scan_topk(
     candidate row scores for a query only when the query probes its
     cell (the relational path's broadcast probe join). ``cents``
     (residual mode): {cell id -> centroid ndarray} for per-(query,
-    cell) residual LUTs, computed lazily per task and cached per
-    (query chunk, cell)."""
+    cell) residual LUTs, computed lazily per task, cached per (query
+    chunk, cell) and bounded by NET_SPIDER_ADC_LUT_BYTES.
+
+    Parity is stated for WELL-FORMED code tables — the ones
+    :func:`_arrow_codes` / :func:`_arrow_cells_codes` produce: non-null
+    neighbor ids and codes of exactly length m. Malformed rows diverge
+    by design: the scan DROPS codes of the wrong length where the
+    relational posexplode would score a partial (smaller) subspace
+    sum, and a null neighbor id raises in the sort here rather than
+    forming the relational path's null tie-group. Feed this scan from
+    the library's own encoders, not arbitrary external tables."""
     import numpy as np
     import pandas as pd
 
@@ -305,6 +324,34 @@ def _adc_scan_topk(
         b_qids, b_qmat, b_books, b_probes, b_cents = bb.value
         nq = len(b_qids)
         luts: dict = {}
+        # Bound the per-task LUT cache: a residual-mode LUT is
+        # (chunk, m, k) float64 — ~17 MB at the m=32/k=256 defaults —
+        # and one accumulates per (query chunk, cell). Unbounded, the
+        # cache scales with distinct-cells-per-task x query chunks (an
+        # executor OOM at realistic n_cells); evict oldest-inserted
+        # past a byte budget instead (recompute is one vectorized op).
+        import os as _os
+
+        lut_budget = int(
+            _os.environ.get("NET_SPIDER_ADC_LUT_BYTES", str(256 << 20))
+        )
+        lut_bytes = [0]
+        # Per-chunk union of probed cells: cells no query in the chunk
+        # probes must not build LUTs or score (the relational path
+        # bounded LUT work at |Q| x n_probe; scoring them was pure
+        # waste and the probe check below dropped the rows anyway).
+        probed_union = (
+            {
+                lo: set(
+                    int(c)
+                    for qi in range(lo, min(nq, lo + chunk))
+                    for c in b_probes[qi]
+                )
+                for lo in range(0, nq, chunk)
+            }
+            if b_probes is not None
+            else {}
+        )
 
         def lut_for(lo, hi, cell):
             got = luts.get((lo, cell))
@@ -318,7 +365,11 @@ def _adc_scan_topk(
                     dj = qs[:, :, None, j] - b_books[None, :, :, j]
                     dj = dj * dj
                     d = dj if d is None else d + dj
+                while luts and lut_bytes[0] + d.nbytes > lut_budget:
+                    old = luts.pop(next(iter(luts)))
+                    lut_bytes[0] -= old.nbytes
                 got = luts[(lo, cell)] = d
+                lut_bytes[0] += d.nbytes
             return got
 
         def adc(lut_chunk, codes_block):
@@ -356,21 +407,41 @@ def _adc_scan_topk(
             for lo in range(0, nq, chunk):
                 hi = min(nq, lo + chunk)
                 if b_cents is None:
-                    acc = adc(lut_for(lo, hi, None), codes_b)
+                    if b_probes is not None:
+                        # score only rows in cells some query in the
+                        # chunk probes — the rest never pass the
+                        # per-query check below
+                        sel = np.isin(
+                            cells_b,
+                            np.fromiter(probed_union[lo], dtype=np.int64),
+                        )
+                        if not sel.any():
+                            continue
+                        acc = adc(lut_for(lo, hi, None), codes_b[sel])
+                        nid_c, cells_c = nid[sel], cells_b[sel]
+                    else:
+                        acc = adc(lut_for(lo, hi, None), codes_b)
+                        nid_c, cells_c = nid, cells_b
                     for qi in range(lo, hi):
                         if b_probes is not None:
-                            msk = np.isin(cells_b, b_probes[qi])
+                            msk = np.isin(cells_c, b_probes[qi])
                             if not msk.any():
                                 continue
-                            emit(qi, acc[qi - lo][msk], nid[msk])
+                            emit(qi, acc[qi - lo][msk], nid_c[msk])
                         else:
-                            emit(qi, acc[qi - lo], nid)
+                            emit(qi, acc[qi - lo], nid_c)
                 else:
                     # residual: the LUT is per (query, cell) — score
                     # cell group by cell group, then select per query.
+                    # Cells outside the chunk's probed union are
+                    # skipped outright: no LUT, no ADC scores (their
+                    # rows never pass the per-query probe check).
+                    chunk_cells = probed_union[lo]
                     per_d = [[] for _ in range(hi - lo)]
                     per_n = [[] for _ in range(hi - lo)]
                     for cell in np.unique(cells_b):
+                        if int(cell) not in chunk_cells:
+                            continue
                         cmask = cells_b == cell
                         acc = adc(lut_for(lo, hi, int(cell)), codes_b[cmask])
                         cn = nid[cmask]

@@ -40,7 +40,12 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: NULL on a zero-norm operand under EVERY ANSI setting
+    # (plain Divide returns NULL only non-ANSI and THROWS under ANSI,
+    # Spark 4's default) — NULL sorts last under desc(cos), and the
+    # Arrow scan fast path masks zero denominators to sort-last the
+    # same way, so both paths rank a zero embedding identically.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def brute_force_topk(
@@ -148,15 +153,29 @@ def _ivf_scan_topk(cand: DataFrame, k: int, qids, qmat, probes,
                 dotm = np.zeros((hi - lo, len(pdf)), dtype=np.float64)
                 for j in range(dim):
                     dotm = dotm + b_qmat[lo:hi, j, None] * cmat[None, :, j]
-                cos = dotm / (qnorm[lo:hi, None] * cnorm[None, :])
+                denom = qnorm[lo:hi, None] * cnorm[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dotm / denom
+                # Zero-norm rows: Spark's (non-ANSI) Divide yields NULL
+                # on a zero divisor, and NULL sorts LAST under desc —
+                # while numpy's 0/0 is NaN, which the NaN-first key
+                # would sort FIRST. Mask zero denominators to sort-last
+                # so the partial top-k keeps the same winners the
+                # relational path keeps (the NaN they carry becomes
+                # NULL on the Arrow boundary, so the final window
+                # agrees too).
+                zero_den = denom == 0
                 for qi in range(lo, hi):
                     msk = np.isin(cells_b, b_probes[qi])
                     if not msk.any():
                         continue
                     c_q, n_q = cos[qi - lo][msk], nid[msk]
                     # DESC cos with Spark NaN-first semantics -> the
-                    # ascending key maps NaN below every real value.
+                    # ascending key maps NaN below every real value,
+                    # EXCEPT NULL-equivalent zero-denominator rows,
+                    # which map above every value (sort last).
                     key = np.where(np.isnan(c_q), -np.inf, -c_q)
+                    key = np.where(zero_den[qi - lo][msk], np.inf, key)
                     top = np.lexsort((n_q, key))[:k]
                     out_q.append(np.full(len(top), b_qids[qi]))
                     out_n.append(n_q[top])

@@ -277,3 +277,30 @@ def test_ivf_topk_scan_matches_relational(spark, monkeypatch):
     fast = run()
     monkeypatch.setenv("NET_SPIDER_LOCAL_ADC", "0")
     assert fast == run()
+
+
+def test_ivf_topk_scan_zero_vector_parity(spark, monkeypatch):
+    # Zero-norm corpus vectors: Spark's non-ANSI Divide yields NULL
+    # cosine (sorts LAST under desc), while an unmasked numpy 0/0
+    # yields NaN (which the NaN-first key sorted FIRST) — a zero
+    # embedding in a probed cell must NOT steal rank 1 on the scan
+    # path. Both paths must agree on the full result.
+    rng = random.Random(29)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    # plant zero vectors in the corpus (ids spread across cells)
+    rows += [(100 + i, [0.0] * 8) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.where(F.col("vec_id") < 3)
+    c = emb.where(F.col("vec_id") >= 3)
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                S.ivf_topk(q, c, k=3, n_centroids=4, n_probe=3).collect(),
+            )
+        )
+
+    fast = run()
+    monkeypatch.setenv("NET_SPIDER_LOCAL_ADC", "0")
+    assert fast == run()

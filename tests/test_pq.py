@@ -595,6 +595,42 @@ def test_adc_scan_guard_falls_back(emb, monkeypatch):
         )
     )
     assert over == under
+
+
+def test_adc_scan_byte_budget_falls_back(emb, monkeypatch):
+    # Row count alone mis-sizes wide rows: the BYTE estimate must also
+    # gate the fast path (a handful of very-high-dim query vectors is
+    # still an unbounded driver collect + broadcast otherwise), with
+    # identical results on the relational path it falls back to.
+    from net_spider_spark.pipeline.pq import _adc_query_rows
+
+    monkeypatch.setenv("NET_SPIDER_ADC_MAX_BYTES", "16")  # < one vector
+    assert (
+        _adc_query_rows(
+            emb.where(F.col("vec_id") < 5), "vec_id", "embedding", 8, "t"
+        )
+        is None
+    )
+    books = PQ.pq_train(emb, dim=8, m=2, k=4, iters=1, train_n=32)
+    codes = PQ.pq_encode(emb, books)
+    capped = sorted(
+        map(
+            tuple,
+            PQ.pq_topk(
+                emb.where(F.col("vec_id") < 5), codes, books, k=2
+            ).collect(),
+        )
+    )
+    monkeypatch.delenv("NET_SPIDER_ADC_MAX_BYTES")
+    fast = sorted(
+        map(
+            tuple,
+            PQ.pq_topk(
+                emb.where(F.col("vec_id") < 5), codes, books, k=2
+            ).collect(),
+        )
+    )
+    assert capped == fast
     # duplicate ids -> fallback
     dup = emb.where(F.col("vec_id") < 2).unionAll(
         emb.where(F.col("vec_id") < 1)
