@@ -161,12 +161,20 @@ def _node_states(node_src: DataFrame, already_latest: bool) -> DataFrame:
     """Per-node latest timestamp + attributes over the kept findings
     (makeSnapshotNode, Weaver.hs:136-151).
 
-    Same keep_argmax shape as the policy dedup: ``max_by(map)`` would
-    force SortAggregate. Under the overwrite policy the input is the
-    policy dedup's own output — already exactly one row per subject
-    (finding_id is unique) — so ``already_latest=True`` skips the
-    argmax entirely instead of re-running two aggregate+semi-join
-    rounds on a table that cannot shrink further. The winner's display
+    Under the overwrite policy the input is the policy dedup's own
+    output — already exactly one row per subject (finding_id is
+    unique) — so ``already_latest=True`` skips the argmax entirely.
+    The append path reduces the NARROW node projection (no
+    neighbor_links array — the one payload that makes sorting rows a
+    100 TB hazard) with a single ``max_by(struct)`` aggregate: one
+    map-side-combinable pass whose partial collapses every partition
+    to ~one row per subject before the shuffle — the same shape (and
+    justification) as the unify merge below. The former
+    ``keep_argmax`` rounds cost two aggregates plus two joins over the
+    full history; measured at 12.8M findings they shuffled 704 MB in
+    581 tasks where this aggregate shuffles only the per-partition
+    partials. The winner is identical: lexicographic max over
+    (found_at, finding_id), finding_id unique. The winner's display
     timezone travels with the timestamp (the reference round-trips tz
     meta-properties through the history graph into GraphML,
     Graph/Internal.hs:84-98 / GraphML/Writer.hs:252-259).
@@ -174,7 +182,22 @@ def _node_states(node_src: DataFrame, already_latest: bool) -> DataFrame:
     latest = (
         node_src
         if already_latest
-        else keep_argmax(node_src, ["subject_node"], ["found_at", "finding_id"])
+        else node_src.groupBy("subject_node")
+        .agg(
+            F.expr(
+                "max_by(struct("
+                + ", ".join(c for c in _NODE_STATE_COLS if c != "subject_node")
+                + "), struct(found_at, finding_id))"
+            ).alias("_w")
+        )
+        .selectExpr(
+            "subject_node",
+            *[
+                f"_w.{c} AS {c}"
+                for c in _NODE_STATE_COLS
+                if c != "subject_node"
+            ],
+        )
     )
     return latest.selectExpr(
         "subject_node",
@@ -225,27 +248,27 @@ def get_snapshot(
     # What gets persisted depends on the policy. Overwrite: `kept` is
     # the policy aggregate's output — bounded by node count, tiny —
     # persist it whole so the argmax runs once, not once per consumer.
-    # Append: `kept` IS the full filtered history; materializing it
-    # wide would cache the nested neighbor_links array twice (here and
-    # in the exploded samples). Instead its one wide consumer (the
-    # explode) streams straight off the scan, and the node-state /
-    # visited consumers share a persisted NARROW projection — at 100 TB
-    # the link payload is the bulk of the bytes, so this halves the
-    # cache footprint of the append path. (Left cached; Spark
-    # LRU-evicts.)
+    # Append: `kept` IS the full filtered history, and NOTHING
+    # history-sized is cached: the consumers are narrow projections
+    # (targets reads one column, visited one, the unify merge a
+    # handful), so each re-derives straight off the column-pruned
+    # source scan. Measured at 51M findings, caching the exploded
+    # samples for its two whole-graph consumers cost 110 s (38 s fill
+    # + 40 s of GC + slow heap reads) against 15 s recomputing the
+    # explode per consumer, and the narrow node projection cache lost
+    # 33.6 s vs 12.7 s the same way — the §5 caching rule measured:
+    # a cheap codegen projection is not worth corpus-sized memory
+    # pressure, and the cache also defeats per-consumer column
+    # pruning. Traversal mode still persists the samples: the BFS
+    # loop reads them once per level.
     from pyspark import StorageLevel
 
     if overwrite:
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
     node_src = kept.select(*_NODE_STATE_COLS)
-    if not overwrite:
-        node_src = node_src.persist(StorageLevel.MEMORY_AND_DISK)
-    # The exploded samples feed three passes (boundary targets, the
-    # unify prefilter aggregate, the prefilter's semi-join), plus one
-    # per BFS level in traversal mode — persist them. They are NARROW
-    # rows (no nested arrays); what must NOT be persisted at scale is
-    # the full-width findings above.
-    samples = explode_link_samples(kept).persist(StorageLevel.MEMORY_AND_DISK)
+    samples = explode_link_samples(kept)
+    if query.starts_from is not None:
+        samples = samples.persist(StorageLevel.MEMORY_AND_DISK)
 
     if query.starts_from is not None:
         # The traversal can only begin at nodes that exist in the history
@@ -451,7 +474,16 @@ def negate_and_resolve(
     # endpoints' snapshot-node timestamps. Node states are a per-node
     # aggregate — orders of magnitude smaller than the sample table — so
     # these two equi-joins broadcast under AQE at typical scales.
-    node_ts = nodes.selectExpr("node_id", "node_ts AS _end_ts")
+    # PERSIST the per-node timestamp table: it is joined once per
+    # endpoint, and each broadcast build otherwise re-executes the
+    # whole nodes subtree (node-state reduction + visited/boundary
+    # union over the full history — measured as the dominant repeat in
+    # the append path at 128x scale). One row per node, narrow.
+    from pyspark import StorageLevel
+
+    node_ts = nodes.selectExpr("node_id", "node_ts AS _end_ts").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     for end in ("p1", "p2"):
         nt = node_ts.selectExpr(
             f"node_id AS _{end}_id", f"_end_ts AS _{end}_ts"
