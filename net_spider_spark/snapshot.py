@@ -267,7 +267,11 @@ def get_snapshot(
         kept = kept.persist(StorageLevel.MEMORY_AND_DISK)
     node_src = kept.select(*_NODE_STATE_COLS)
     samples = explode_link_samples(kept)
-    if query.starts_from is not None:
+    # Overwrite mode: samples explode off the TINY persisted kept —
+    # keep the r11 persist (cheap, and the consumers stay cache-local).
+    # Traversal mode: the BFS loop reads samples once per level.
+    # Append whole-graph mode: stream (the measurement above).
+    if overwrite or query.starts_from is not None:
         samples = samples.persist(StorageLevel.MEMORY_AND_DISK)
 
     if query.starts_from is not None:
@@ -372,7 +376,9 @@ def get_snapshot(
             .count()
         )
         _log(f"unify: {n_groups} link groups from {n_samples} samples")
-    links = _unify_links(samples, nodes, query.unify)
+    links = _unify_links(
+        samples, nodes, query.unify, persist_node_ts=not overwrite
+    )
     return nodes, links
 
 
@@ -388,7 +394,10 @@ def get_snapshot_logged(
 
 
 def _unify_links(
-    samples: DataFrame, nodes: DataFrame, conf: UnifyConfig
+    samples: DataFrame,
+    nodes: DataFrame,
+    conf: UnifyConfig,
+    persist_node_ts: bool = False,
 ) -> DataFrame:
     """Steps 1-3 of unifyStd (Unify.hs:169-193) + direction resolution
     (Weaver.hs:190-203)."""
@@ -452,11 +461,16 @@ def _unify_links(
         for name, col in conf.winner_transform().items():
             merged = merged.withColumn(name, col)
 
-    return negate_and_resolve(merged, nodes, conf)
+    return negate_and_resolve(
+        merged, nodes, conf, persist_node_ts=persist_node_ts
+    )
 
 
 def negate_and_resolve(
-    merged: DataFrame, nodes: DataFrame, conf: Optional[UnifyConfig] = None
+    merged: DataFrame,
+    nodes: DataFrame,
+    conf: Optional[UnifyConfig] = None,
+    persist_node_ts: bool = False,
 ) -> DataFrame:
     """The unify tail: negation + direction resolution over MERGED link
     samples (p1/p2 pair keys + subject/target/state/found_at/attrs).
@@ -474,16 +488,19 @@ def negate_and_resolve(
     # endpoints' snapshot-node timestamps. Node states are a per-node
     # aggregate — orders of magnitude smaller than the sample table — so
     # these two equi-joins broadcast under AQE at typical scales.
-    # PERSIST the per-node timestamp table: it is joined once per
-    # endpoint, and each broadcast build otherwise re-executes the
-    # whole nodes subtree (node-state reduction + visited/boundary
-    # union over the full history — measured as the dominant repeat in
-    # the append path at 128x scale). One row per node, narrow.
-    from pyspark import StorageLevel
+    # ``persist_node_ts`` (the append path sets it): the table is
+    # joined once per endpoint, and each broadcast build otherwise
+    # re-executes the whole nodes subtree — node-state reduction +
+    # visited/boundary union over the FULL history, measured as the
+    # dominant repeat in the append path at 128x scale. One row per
+    # node, narrow. Overwrite mode skips the persist: its nodes
+    # subtree reads the tiny cached kept table, and the cache-fill
+    # stages cost more than the repeat there.
+    node_ts = nodes.selectExpr("node_id", "node_ts AS _end_ts")
+    if persist_node_ts:
+        from pyspark import StorageLevel
 
-    node_ts = nodes.selectExpr("node_id", "node_ts AS _end_ts").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+        node_ts = node_ts.persist(StorageLevel.MEMORY_AND_DISK)
     for end in ("p1", "p2"):
         nt = node_ts.selectExpr(
             f"node_id AS _{end}_id", f"_end_ts AS _{end}_ts"
