@@ -530,39 +530,52 @@ def decontaminate_fuzzy(
     # the caller drops the result — eager evaluation at call time,
     # unreplicated blocks, same contract as bm25_search). The eval
     # side has ONE consumer since the content rework, so it streams.
-    train_sets = D.doc_shingle_sets(
-        train_df, text_col=text_col, id_col=id_col, n=n
-    ).transform(_materialize)
-    eval_sets = D.doc_shingle_sets(
-        eval_df, text_col=text_col, id_col=id_col, n=n
-    )
     # Work per DISTINCT CONTENT, not per doc: in a near-dup-heavy
     # corpus (boilerplate, mirrored pages — or the replicated scale
-    # suite) a hot (band, sig) bucket pairs every copy of a train doc
-    # with every copy of an eval doc, and the pairwise Jaccard
-    # explodes quadratically while computing the SAME set intersection
-    # over and over. Signatures, candidates and Jaccard are all pure
-    # functions of the two shingle SETS, so the per-doc max equals the
-    # per-content max: collapse each side to one representative row
-    # per canonical content hash (md5 of the sorted set, side-prefixed
-    # so an exact cross-split duplicate never trips the banding join's
-    # self-pair filter), band/verify the distinct contents, and join
-    # the per-content verdict back to the train ids — the §8 shape:
-    # decide on small proxy rows, attach the decision afterwards.
-    # Measured 87.5 s -> single-digit seconds at the 512x scale suite
-    # with identical results.
-    def _content(sets, prefix):
-        h = F.concat(
-            F.lit(prefix), F.md5(F.to_json(F.array_sort(F.col("shingles"))))
-        )
-        return (
-            sets.select(h.alias("_cid"), "shingles", F.col(id_col))
-            .groupBy("_cid")
-            .agg(F.min_by("shingles", F.col(id_col)).alias("shingles"))
+    # suite) a hot (band, sig) bucket pairs every COPY of a train doc
+    # with every matching eval doc, and the pairwise Jaccard verifies
+    # the SAME set intersection over and over. Signatures, candidates
+    # and Jaccard are all pure functions of the shingle sequence, so
+    # the per-doc max equals the per-content max: collapse each side
+    # to one representative row per content hash, band/verify the
+    # distinct contents, and join the per-content verdict back to the
+    # train ids — the §8 shape: decide on small proxy rows, attach the
+    # decision afterwards.
+    #
+    # Cost discipline (measured at 512x replication): the content hash
+    # is computed ONCE per row inside the materialized shingle pass
+    # (md5 of the serialized shingle SEQUENCE — order-deterministic
+    # per text, so every byte-equal document groups; no array_sort,
+    # whose corpus-wide string sorting dominated a first cut), and the
+    # representative per content is picked by a SCALAR min-id
+    # aggregate + semi-join so exactly one shingle array per distinct
+    # content crosses the wire (a min_by(shingles) aggregate shipped a
+    # representative array per partition per content — 460 MB of
+    # partials at 512x). Side-prefixed hashes keep an exact
+    # cross-split duplicate from tripping the banding join's
+    # self-pair filter.
+    def _with_cid(df, prefix):
+        return D.doc_shingle_sets(
+            df, text_col=text_col, id_col=id_col, n=n
+        ).select(
+            F.col(id_col),
+            "shingles",
+            F.concat(
+                F.lit(prefix), F.md5(F.to_json(F.col("shingles")))
+            ).alias("_cid"),
         )
 
-    tr_c = _content(train_sets, "t")
-    ev_c = _content(eval_sets, "e")
+    train_sets = _with_cid(train_df, "t").transform(_materialize)
+    eval_sets = _with_cid(eval_df, "e").transform(_materialize)
+
+    def _reps(sets):
+        keys = sets.groupBy("_cid").agg(F.min(F.col(id_col)).alias(id_col))
+        return sets.join(keys, ["_cid", id_col], "left_semi").select(
+            "_cid", "shingles"
+        )
+
+    tr_c = _reps(train_sets)
+    ev_c = _reps(eval_sets)
     cand = D.minhash_candidates_against(
         D.minhash_signatures_sets(tr_c, n_hashes=n_hashes, id_col="_cid"),
         D.minhash_signatures_sets(ev_c, n_hashes=n_hashes, id_col="_cid"),
@@ -596,14 +609,9 @@ def decontaminate_fuzzy(
         .groupBy("_cid")
         .agg(F.round(F.max("_j"), 9).alias("max_eval_jaccard"))
     )
-    tr_ids = train_sets.select(
-        F.col(id_col),
-        F.concat(
-            F.lit("t"), F.md5(F.to_json(F.array_sort(F.col("shingles"))))
-        ).alias("_cid"),
-    )
     return (
-        tr_ids.join(ht_max, "_cid", "left")
+        train_sets.select(F.col(id_col), "_cid")
+        .join(ht_max, "_cid", "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("max_eval_jaccard"), F.lit(0.0)).alias(
