@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from net_spider_spark.pipeline.text import tokens_col
 from net_spider_spark.reliability import materialize as _materialize
+from net_spider_spark.reliability import materialize_lazy as _materialize_lazy
 
 # ---------------------------------------------------------------------------
 # Repetition signals (Gopher-style quality rules)
@@ -520,62 +521,64 @@ def decontaminate_fuzzy(
     """
     from net_spider_spark.pipeline import dedup as D
 
-    # Narrow set-based pipeline (the dedup_jaccard shape): one row per
-    # doc carrying its shingle SET — signatures need no groupBy, and
-    # verification is two equi-joins + array_intersect/union in
-    # codegen, never an exploded (pair, shingle) table. The TRAIN side
-    # feeds two consumers (the content dedup below and the id->content
-    # join-back), so its tokenize+shingle pass materializes once
-    # (localCheckpoint: RDD-owned blocks the ContextCleaner frees when
-    # the caller drops the result — eager evaluation at call time,
-    # unreplicated blocks, same contract as bm25_search). The eval
-    # side has ONE consumer since the content rework, so it streams.
     # Work per DISTINCT CONTENT, not per doc: in a near-dup-heavy
     # corpus (boilerplate, mirrored pages — or the replicated scale
     # suite) a hot (band, sig) bucket pairs every COPY of a train doc
     # with every matching eval doc, and the pairwise Jaccard verifies
-    # the SAME set intersection over and over. Signatures, candidates
-    # and Jaccard are all pure functions of the shingle sequence, so
-    # the per-doc max equals the per-content max: collapse each side
-    # to one representative row per content hash, band/verify the
-    # distinct contents, and join the per-content verdict back to the
-    # train ids — the §8 shape: decide on small proxy rows, attach the
-    # decision afterwards.
+    # the SAME set intersection over and over. Tokenization, shingles,
+    # signatures, candidates and Jaccard are ALL pure functions of the
+    # raw text, so the per-doc max equals the per-content max — and
+    # deduping on ``md5(text)`` BEFORE tokenizing means the expensive
+    # interpreted shingle pass (higher-order lambdas never enter
+    # codegen) runs once per distinct content, not once per copy. The
+    # per-copy cost is exactly one codegen md5 projection plus narrow
+    # (id, _cid) shuffles; no shingle array is ever built, stored, or
+    # shuffled per copy. (A prior per-copy-shingle cut materialized
+    # and semi-joined the full per-row array table: 2x the shuffle
+    # bytes and 4x the wall of this shape at 512x replication — the
+    # §8 rule: decide on small proxy rows, attach the decision after.)
     #
-    # Cost discipline (measured at 512x replication): the content hash
-    # is computed ONCE per row inside the materialized shingle pass
-    # (md5 of the serialized shingle SEQUENCE — order-deterministic
-    # per text, so every byte-equal document groups; no array_sort,
-    # whose corpus-wide string sorting dominated a first cut), and the
-    # representative per content is picked by a SCALAR min-id
-    # aggregate + semi-join so exactly one shingle array per distinct
-    # content crosses the wire (a min_by(shingles) aggregate shipped a
-    # representative array per partition per content — 460 MB of
-    # partials at 512x). Side-prefixed hashes keep an exact
-    # cross-split duplicate from tripping the banding join's
-    # self-pair filter.
-    def _with_cid(df, prefix):
-        return D.doc_shingle_sets(
-            df, text_col=text_col, id_col=id_col, n=n
-        ).select(
+    # Side-prefixed hashes keep an exact cross-split duplicate from
+    # tripping the banding join's self-pair filter. Hashing the RAW
+    # text is a finer grouping than hashing the shingle set (e.g.
+    # case-variant texts shingle identically but group apart) — any
+    # grouping whose members share a text is correct, coarseness only
+    # trades how much work collapses.
+    def _ids(df, prefix):
+        return df.select(
             F.col(id_col),
-            "shingles",
-            F.concat(
-                F.lit(prefix), F.md5(F.to_json(F.col("shingles")))
-            ).alias("_cid"),
+            F.concat(F.lit(prefix), F.md5(F.col(text_col))).alias("_cid"),
         )
 
-    train_sets = _with_cid(train_df, "t").transform(_materialize)
-    eval_sets = _with_cid(eval_df, "e").transform(_materialize)
+    # The train id->content map feeds two consumers (the rep-key
+    # aggregate and the final verdict join-back), so it materializes
+    # once (localCheckpoint: RDD-owned blocks the ContextCleaner frees
+    # when the caller drops the result; LAZY, so the blocks fill on
+    # the caller's action instead of adding a build-time job — the
+    # per-query fixed cost rule). It is the only per-row state and it
+    # is ~50 bytes/row.
+    train_ids = _ids(train_df, "t").transform(_materialize_lazy)
 
-    def _reps(sets):
-        keys = sets.groupBy("_cid").agg(F.min(F.col(id_col)).alias(id_col))
-        return sets.join(keys, ["_cid", id_col], "left_semi").select(
-            "_cid", "shingles"
+    def _rep_sets(df, ids):
+        # One representative doc per content (scalar min-id aggregate,
+        # narrow shuffle), its text fetched straight off the source
+        # scan by the unique rep id, THEN tokenized: the shingle pass
+        # and everything downstream touch only distinct contents.
+        keys = ids.groupBy("_cid").agg(F.min(F.col(id_col)).alias(id_col))
+        reps = df.select(F.col(id_col), F.col(text_col)).join(keys, id_col)
+        # reps sit below the fetch join's exchange already — skip the
+        # shingle helper's spread repartition (one fewer stage).
+        return D.doc_shingle_sets(
+            reps, text_col=text_col, id_col="_cid", n=n, spread=False
         )
 
-    tr_c = _reps(train_sets)
-    ev_c = _reps(eval_sets)
+    # tr_c is one shingle row per distinct train content with three
+    # consumers (signatures + the verify join + nothing per-copy);
+    # materializing it bounds recompute at distinct contents — in a
+    # dup-free corpus that is corpus-sized, but it replaces a per-ROW
+    # array checkpoint, so it is never worse than the per-copy shape.
+    tr_c = _rep_sets(train_df, train_ids).transform(_materialize_lazy)
+    ev_c = _rep_sets(eval_df, _ids(eval_df, "e"))
     cand = D.minhash_candidates_against(
         D.minhash_signatures_sets(tr_c, n_hashes=n_hashes, id_col="_cid"),
         D.minhash_signatures_sets(ev_c, n_hashes=n_hashes, id_col="_cid"),
@@ -610,8 +613,7 @@ def decontaminate_fuzzy(
         .agg(F.round(F.max("_j"), 9).alias("max_eval_jaccard"))
     )
     return (
-        train_sets.select(F.col(id_col), "_cid")
-        .join(ht_max, "_cid", "left")
+        train_ids.join(ht_max, "_cid", "left")
         .select(
             F.col(id_col),
             F.coalesce(F.col("max_eval_jaccard"), F.lit(0.0)).alias(

@@ -59,7 +59,11 @@ def shingles_col(text: Column, n: int = 3) -> Column:
 
 
 def doc_shingle_sets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """One row per doc with its DISTINCT shingles as an array column.
 
@@ -71,13 +75,18 @@ def doc_shingle_sets(
     are bounded-size rows, so the array stays executor-local even when
     the corpus is 100 TB. The input is repartitioned to the session's
     default parallelism first: corpora often arrive as few large files,
-    and the shingling expression is compute-bound. The token array is
+    and the shingling expression is compute-bound. Callers whose input
+    already sits below a shuffle (so it is spread across the session's
+    parallelism by construction) pass ``spread=False`` to skip that
+    exchange — scheduling width only, never results. The token array is
     materialized in its own projection so Catalyst doesn't inline (and
     re-evaluate) the tokenization per element access.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
+    if spread:
+        par = df.sparkSession.sparkContext.defaultParallelism
+        df = df.repartition(par)
     toks = tokens_col(F.lower(F.col(text_col)))
-    with_toks = df.repartition(par).select(F.col(id_col), toks.alias("_toks"))
+    with_toks = df.select(F.col(id_col), toks.alias("_toks"))
     t = F.col("_toks")
     idx = F.sequence(F.lit(1), F.size(t) - (n - 1))
     # slice+concat_ws, not n element_at calls: one bounds check and one

@@ -366,3 +366,44 @@ def test_decontaminate_fuzzy_catches_paraphrased_leakage(spark):
     }
     assert out[1]["contaminated"] and out[1]["max_eval_jaccard"] > 0.5
     assert not out[2]["contaminated"] and out[2]["max_eval_jaccard"] == 0.0
+
+
+def test_decontaminate_fuzzy_per_content_dedup_equivalence(spark):
+    """The per-distinct-content fast path (dedup on md5(text) before
+    tokenizing) must give every COPY of a duplicated train doc the
+    same verdict a singleton would get, and handle null/short texts
+    (no shingles -> never a candidate -> 0.0)."""
+    from net_spider_spark.pipeline import curate as CU
+
+    eval_text = (
+        "the quick brown fox jumps over the lazy dog while the "
+        "cat watches from the tall garden fence nearby"
+    )
+    leaked = eval_text.replace("lazy dog", "lazy hound")
+    clean = (
+        "completely different material about distributed query "
+        "engines and shuffle partitioning strategies at scale"
+    )
+    # doc 1 and its byte-identical copies 3/5 must agree; 4 is null
+    # text, 6 is too short to shingle at n=3.
+    train = spark.createDataFrame(
+        [(1, leaked), (2, clean), (3, leaked), (4, None), (5, leaked),
+         (6, "too short")],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, eval_text)], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in CU.decontaminate_fuzzy(
+            train, eval_df, n=3, threshold=0.5
+        ).collect()
+    }
+    assert sorted(out) == [1, 2, 3, 4, 5, 6]
+    assert out[1]["contaminated"]
+    assert out[3]["max_eval_jaccard"] == out[1]["max_eval_jaccard"]
+    assert out[5]["max_eval_jaccard"] == out[1]["max_eval_jaccard"]
+    for clean_id in (2, 4, 6):
+        assert not out[clean_id]["contaminated"]
+        assert out[clean_id]["max_eval_jaccard"] == 0.0
