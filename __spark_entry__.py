@@ -4034,119 +4034,74 @@ def q_stream_rpl_dio_merged(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered stalest-evidence-first for the time-budgeted driver gate
-    # (first ~50 keys). Recomputed at r11 open by tools/attestation.py
+    # (first ~50 keys). Recomputed at r12 close by tools/attestation.py
     # from the CORRECTNESS_r{N}.json history; see ATTESTATION.md. The
-    # r11 gate lands on the 49 last-green-r8 queries plus the cheapest
-    # r9 query; r9-green next, r10-green last — cheapest-first within
-    # each group.
+    # r12 gate lands on the never-attested graph_triangles_dist twin
+    # plus the 49 cheapest last-green-r10 queries; the remaining
+    # r10-green next, r11-green last — cheapest-first within each
+    # group.
     return {
-        "curate_pii_scrub": q_curate_pii_scrub,
-        "text_quality": q_text_quality,
-        "text_token_stats": q_text_token_stats,
-        "curate_pack": q_curate_pack,
-        "dedup_exact": q_dedup_exact,
-        "events_sessionize": q_events_sessionize,
-        "tpch_q1": q_tpch_q1,
-        "curate_repetition": q_curate_repetition,
-        "a1_latest_finding_per_node": q_a1_latest_finding_per_node,
-        "a7_graph_timestamp": q_a7_graph_timestamp,
-        "curate_hash_sample": q_curate_hash_sample,
-        "curate_split": q_curate_split,
-        "curate_stratified_sample": q_curate_stratified_sample,
-        "curate_weighted_sample": q_curate_weighted_sample,
-        "dedup_exact_incremental": q_dedup_exact_incremental,
-        "events_quantiles": q_events_quantiles,
-        "events_session_stats": q_events_session_stats,
-        "f1_interval_filter": q_f1_interval_filter,
-        "f2_node_lookup": q_f2_node_lookup,
-        "graph_components_dist": q_graph_components_dist,
-        "graph_kcore_dist": q_graph_kcore_dist,
         "graph_triangles_dist": q_graph_triangles_dist,
-        "graph_pagerank_dist": q_graph_pagerank_dist,
-        "graph_sssp_dist": q_graph_sssp_dist,
-        "j5_reachability_dist": q_j5_reachability_dist,
-        "j9_combine_nodes": q_j9_combine_nodes,
-        "multimodal_gif_decode": q_multimodal_gif_decode,
-        "multimodal_image_decode": q_multimodal_image_decode,
-        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
-        "sim_lsh_topk": q_sim_lsh_topk,
-        "sketch_kmv_merged": q_sketch_kmv_merged,
-        "snapshot_incremental_links": q_snapshot_incremental_links,
-        "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
-        "stream_latest_link_per_pair": q_stream_latest_link_per_pair,
-        "stream_rpl_dio_merged": q_stream_rpl_dio_merged,
-        "stream_stream_join": q_stream_stream_join,
-        "temporal_asof_forward": q_temporal_asof_forward,
-        "text_bm25": q_text_bm25,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "text_common_ngrams": q_text_common_ngrams,
-        "text_quality_filter": q_text_quality_filter,
-        "tpch_q9_nation_profit": q_tpch_q9_nation_profit,
-        "u2_union_links": q_u2_union_links,
-        "temporal_asof": q_temporal_asof,
-        "embed_quantize_int8": q_embed_quantize_int8,
-        "sim_knn_join": q_sim_knn_join,
-        "j5_reachability": q_j5_reachability,
-        "rpl_dio_merged": q_rpl_dio_merged,
-        "sim_ivf_topk": q_sim_ivf_topk,
-        "graph_triangles": q_graph_triangles,
-        "curate_sitemap_urls": q_curate_sitemap_urls,
-        "curate_chunks": q_curate_chunks,
-        "curate_host_quota": q_curate_host_quota,
         "text_lang_id": q_text_lang_id,
         "text_gopher_rules": q_text_gopher_rules,
-        "graph_host_links": q_graph_host_links,
-        "text_corpus_stats": q_text_corpus_stats,
-        "multimodal_warc_extract": q_multimodal_warc_extract,
-        "text_length_histogram": q_text_length_histogram,
-        "curate_robots_rules": q_curate_robots_rules,
-        "text_wordpiece_vocab": q_text_wordpiece_vocab,
-        "curate_robots_filter": q_curate_robots_filter,
-        "dedup_embedding_incremental": q_dedup_embedding_incremental,
-        "curate_url_dedup": q_curate_url_dedup,
-        "sketch_hll_distinct": q_sketch_hll_distinct,
-        "sketch_hll_sparse": q_sketch_hll_sparse,
-        "text_bpe_encode": q_text_bpe_encode,
+        "curate_chunks": q_curate_chunks,
         "text_c4_clean": q_text_c4_clean,
-        "temporal_interval_join": q_temporal_interval_join,
-        "sim_topk": q_sim_topk,
+        "text_corpus_stats": q_text_corpus_stats,
+        "curate_host_quota": q_curate_host_quota,
+        "text_length_histogram": q_text_length_histogram,
+        "sketch_hll_sparse": q_sketch_hll_sparse,
         "dedup_simhash": q_dedup_simhash,
-        "curate_decontaminate_fuzzy": q_curate_decontaminate_fuzzy,
-        "curate_pack_bpe": q_curate_pack_bpe,
+        "curate_robots_filter": q_curate_robots_filter,
+        "graph_host_links": q_graph_host_links,
+        "sketch_hll_distinct": q_sketch_hll_distinct,
+        "dedup_embedding_incremental": q_dedup_embedding_incremental,
+        "multimodal_warc_extract": q_multimodal_warc_extract,
         "events_funnel": q_events_funnel,
-        "stream_warc_extract": q_stream_warc_extract,
-        "text_bpe_encode_arrow": q_text_bpe_encode_arrow,
-        "text_bpe_learned": q_text_bpe_learned,
+        "temporal_interval_join": q_temporal_interval_join,
+        "curate_robots_rules": q_curate_robots_rules,
+        "sim_topk": q_sim_topk,
+        "text_wordpiece_vocab": q_text_wordpiece_vocab,
         "tpch_q18": q_tpch_q18,
-        "tpch_region_revenue": q_tpch_region_revenue,
-        "dedup_minhash": q_dedup_minhash,
-        "snapshot_nodes_overwrite": q_snapshot_nodes_overwrite,
+        "text_bpe_encode": q_text_bpe_encode,
         "multimodal_png_decode": q_multimodal_png_decode,
-        "snapshot_links_overwrite": q_snapshot_links_overwrite,
+        "curate_url_dedup": q_curate_url_dedup,
+        "stream_c4_clean": q_stream_c4_clean,
+        "text_bpe_encode_arrow": q_text_bpe_encode_arrow,
+        "text_wordpiece_encode": q_text_wordpiece_encode,
+        "tpch_region_revenue": q_tpch_region_revenue,
+        "curate_decontaminate_fuzzy": q_curate_decontaminate_fuzzy,
+        "text_bpe_learned": q_text_bpe_learned,
+        "stream_url_dedup": q_stream_url_dedup,
+        "curate_pack_bpe": q_curate_pack_bpe,
+        "stream_warc_extract": q_stream_warc_extract,
         "text_quality_model": q_text_quality_model,
+        "graph_host_rank": q_graph_host_rank,
+        "snapshot_nodes_overwrite": q_snapshot_nodes_overwrite,
+        "dedup_minhash": q_dedup_minhash,
+        "stream_dedup_phash_near": q_stream_dedup_phash_near,
         "text_bpe_learned_dist": q_text_bpe_learned_dist,
         "sketch_kmv_distinct": q_sketch_kmv_distinct,
-        "pipeline_curation": q_pipeline_curation,
-        "pipeline_crawl_frontier": q_pipeline_crawl_frontier,
-        "dedup_image_phash": q_dedup_image_phash,
-        "stream_url_dedup": q_stream_url_dedup,
-        "stream_hll_distinct": q_stream_hll_distinct,
-        "stream_c4_clean": q_stream_c4_clean,
-        "stream_dedup_phash_near": q_stream_dedup_phash_near,
-        "text_wordpiece_encode": q_text_wordpiece_encode,
-        "stream_dedup_phash": q_stream_dedup_phash,
-        "graph_host_rank": q_graph_host_rank,
-        "layout_bucketed_join": q_layout_bucketed_join,
-        "sim_ivfpq_add": q_sim_ivfpq_add,
         "sim_ivfpq_topk": q_sim_ivfpq_topk,
+        "pipeline_crawl_frontier": q_pipeline_crawl_frontier,
+        "pipeline_curation": q_pipeline_curation,
+        "sim_ivfpq_add": q_sim_ivfpq_add,
+        "layout_bucketed_join": q_layout_bucketed_join,
+        "stream_hll_distinct": q_stream_hll_distinct,
+        "dedup_image_phash": q_dedup_image_phash,
+        "snapshot_links_overwrite": q_snapshot_links_overwrite,
         "sim_ivfpq_residual": q_sim_ivfpq_residual,
+        "stream_dedup_phash": q_stream_dedup_phash,
         "curate_shuffle_shards": q_curate_shuffle_shards,
-        "sketch_cms_counts": q_sketch_cms_counts,
-        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
-        "a4_pair_group_stats": q_a4_pair_group_stats,
-        "sketch_bloom_membership": q_sketch_bloom_membership,
         "curate_decontaminate": q_curate_decontaminate,
+        "dedup_boilerplate_lines": q_dedup_boilerplate_lines,
+        "sketch_bloom_membership": q_sketch_bloom_membership,
+        "sketch_cms_counts": q_sketch_cms_counts,
+        "a4_pair_group_stats": q_a4_pair_group_stats,
         "layout_zorder": q_layout_zorder,
+        "temporal_rollup": q_temporal_rollup,
+        "temporal_gap_fill": q_temporal_gap_fill,
+        "dedup_span_removal": q_dedup_span_removal,
+        "text_divergence": q_text_divergence,
         "a10_degree": q_a10_degree,
         "c1_timestamp_format": q_c1_timestamp_format,
         "c8_direction_resolution": q_c8_direction_resolution,
@@ -4170,26 +4125,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_lm_score": q_text_lm_score,
         "typed_attrs_links": q_typed_attrs_links,
-        "text_divergence": q_text_divergence,
-        "temporal_gap_fill": q_temporal_gap_fill,
-        "dedup_span_removal": q_dedup_span_removal,
-        "events_retention": q_events_retention,
         "tpch_q3_topk": q_tpch_q3_topk,
-        "temporal_rollup": q_temporal_rollup,
-        "curate_mixture_repeat": q_curate_mixture_repeat,
-        "snapshot_timeline": q_snapshot_timeline,
-        "graph_sssp": q_graph_sssp,
-        "sketch_kmv_setops": q_sketch_kmv_setops,
-        "graph_components": q_graph_components,
-        "multimodal_audio_decode": q_multimodal_audio_decode,
-        "dedup_embedding": q_dedup_embedding,
-        "snapshot_links_append": q_snapshot_links_append,
         "dedup_semantic": q_dedup_semantic,
-        "dedup_jaccard": q_dedup_jaccard,
-        "graph_pagerank": q_graph_pagerank,
-        "dedup_representatives": q_dedup_representatives,
-        "stream_windowed_stats": q_stream_windowed_stats,
+        "multimodal_audio_decode": q_multimodal_audio_decode,
+        "events_retention": q_events_retention,
+        "curate_mixture_repeat": q_curate_mixture_repeat,
+        "graph_sssp": q_graph_sssp,
+        "snapshot_links_append": q_snapshot_links_append,
+        "snapshot_timeline": q_snapshot_timeline,
+        "graph_components": q_graph_components,
         "graph_kcore": q_graph_kcore,
+        "graph_pagerank": q_graph_pagerank,
+        "stream_windowed_stats": q_stream_windowed_stats,
+        "sketch_kmv_setops": q_sketch_kmv_setops,
+        "dedup_jaccard": q_dedup_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "dedup_representatives": q_dedup_representatives,
+        "curate_pii_scrub": q_curate_pii_scrub,
+        "curate_pack": q_curate_pack,
+        "text_quality": q_text_quality,
+        "events_sessionize": q_events_sessionize,
+        "text_token_stats": q_text_token_stats,
+        "embed_quantize_int8": q_embed_quantize_int8,
+        "curate_sitemap_urls": q_curate_sitemap_urls,
+        "temporal_asof": q_temporal_asof,
+        "dedup_exact": q_dedup_exact,
+        "curate_repetition": q_curate_repetition,
+        "tpch_q1": q_tpch_q1,
+        "a1_latest_finding_per_node": q_a1_latest_finding_per_node,
+        "a7_graph_timestamp": q_a7_graph_timestamp,
+        "curate_hash_sample": q_curate_hash_sample,
+        "curate_split": q_curate_split,
+        "curate_stratified_sample": q_curate_stratified_sample,
+        "curate_weighted_sample": q_curate_weighted_sample,
+        "dedup_exact_incremental": q_dedup_exact_incremental,
+        "events_quantiles": q_events_quantiles,
+        "events_session_stats": q_events_session_stats,
+        "f1_interval_filter": q_f1_interval_filter,
+        "f2_node_lookup": q_f2_node_lookup,
+        "graph_components_dist": q_graph_components_dist,
+        "graph_kcore_dist": q_graph_kcore_dist,
+        "graph_pagerank_dist": q_graph_pagerank_dist,
+        "graph_sssp_dist": q_graph_sssp_dist,
+        "j5_reachability_dist": q_j5_reachability_dist,
+        "j9_combine_nodes": q_j9_combine_nodes,
+        "multimodal_gif_decode": q_multimodal_gif_decode,
+        "multimodal_image_decode": q_multimodal_image_decode,
+        "multimodal_jpeg_decode": q_multimodal_jpeg_decode,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "sketch_kmv_merged": q_sketch_kmv_merged,
+        "snapshot_incremental_links": q_snapshot_incremental_links,
+        "snapshot_incremental_nodes": q_snapshot_incremental_nodes,
+        "stream_latest_link_per_pair": q_stream_latest_link_per_pair,
+        "stream_rpl_dio_merged": q_stream_rpl_dio_merged,
+        "stream_stream_join": q_stream_stream_join,
+        "temporal_asof_forward": q_temporal_asof_forward,
+        "text_bm25": q_text_bm25,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "text_common_ngrams": q_text_common_ngrams,
+        "text_quality_filter": q_text_quality_filter,
+        "tpch_q9_nation_profit": q_tpch_q9_nation_profit,
+        "u2_union_links": q_u2_union_links,
+        "sim_knn_join": q_sim_knn_join,
+        "sim_ivf_topk": q_sim_ivf_topk,
+        "j5_reachability": q_j5_reachability,
+        "graph_triangles": q_graph_triangles,
+        "rpl_dio_merged": q_rpl_dio_merged,
     }
 
 def _bpe_oracle_ctes(n: int) -> str:
